@@ -1,0 +1,119 @@
+"""Street-network stage tests on FIXTURES.md micro-networks."""
+import numpy as np
+import pytest
+
+from tosidewalk_spark.operators import network as N
+from tosidewalk_spark.sources import synth
+
+
+def test_filter_streets_whitelist(spark):
+    _, ways = synth.osm_grid(spark, g=4, with_noise_ways=True)
+    kept = N.filter_streets(ways)
+    assert kept.count() == 8  # 4 horiz + 4 vert, noise dropped
+    assert kept.filter("highway IN ('footway','service')").count() == 0
+
+
+def test_intersections_grid(spark):
+    _, ways = synth.osm_grid(spark, g=4, with_noise_ways=False)
+    inter = N.intersections(ways)
+    # every grid node belongs to one horizontal + one vertical way
+    assert inter.count() == 16
+    assert inter.filter("n_ways != 2").count() == 0
+
+
+def test_intersections_t(spark):
+    _, ways = synth.micro_fixture(spark, "t_intersection")
+    inter = N.intersections(ways)
+    rows = inter.collect()
+    assert len(rows) == 1 and rows[0].node_id == 2 and rows[0].n_ways == 3
+
+
+def test_join_segmented_street(spark):
+    _, ways = synth.micro_fixture(spark, "segmented_street")
+    merged = N.join_segmented_ways(ways)
+    rows = merged.collect()
+    assert len(rows) == 1
+    assert rows[0].way_id == 1
+    assert rows[0].node_ids == [1, 2, 3]
+
+
+def test_join_ways_no_merge_at_intersection(spark):
+    # t_intersection: node 2 has 3 ways -> nothing merges
+    _, ways = synth.micro_fixture(spark, "t_intersection")
+    merged = N.join_segmented_ways(ways)
+    assert merged.count() == 3
+
+
+def test_split_street(spark):
+    _, ways = synth.micro_fixture(spark, "split_street")
+    segs = N.split_streets(ways).orderBy("way_id")
+    main = segs.filter("parent_way_id = 1").orderBy("seg_no").collect()
+    assert [r.node_ids for r in main] == [[1, 2], [2, 3, 4], [4, 5]]
+    # stubs unsplit
+    assert segs.filter("parent_way_id = 2").collect()[0].node_ids == [2, 6]
+
+
+def test_split_grid_counts(spark):
+    _, ways = synth.osm_grid(spark, g=4, with_noise_ways=False)
+    segs = N.split_streets(ways)
+    # each 4-vertex way -> 3 segments
+    assert segs.count() == 8 * 3
+    assert segs.filter("SIZE(node_ids) != 2").count() == 0
+
+
+def test_merge_nodes(spark):
+    nodes, ways = synth.micro_fixture(spark, "near_nodes")
+    n2, w2 = N.merge_nodes(nodes, ways, threshold_m=5.0)
+    assert n2.count() == 3  # node 3 collapsed into node 2
+    rows = {r.way_id: r.node_ids for r in w2.collect()}
+    assert rows[1] == [1, 2] and rows[2] == [2, 4]
+
+
+def test_merge_nodes_noop(spark):
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    n2, w2 = N.merge_nodes(nodes, ways, threshold_m=5.0)
+    assert n2.count() == 3 and w2.count() == 1
+
+
+def test_simplify_zigzag(spark):
+    nodes, ways = synth.micro_fixture(spark, "zigzag_redundant")
+    slim = N.simplify_ways(nodes, ways, tol_m=0.5)
+    rows = slim.collect()
+    assert rows[0].node_ids == [1, 10]
+
+
+def test_simplify_keeps_corner(spark):
+    nodes, ways = synth.micro_fixture(spark, "bent3")
+    slim = N.simplify_ways(nodes, ways, tol_m=0.5)
+    assert slim.collect()[0].node_ids == [1, 2, 3]
+
+
+def test_remove_short(spark):
+    nodes, ways = synth.micro_fixture(spark, "shortstub")
+    kept = N.remove_short_segments(nodes, ways, min_len_m=10.0)
+    assert kept.count() == 0
+    nodes2, ways2 = synth.micro_fixture(spark, "straight3")
+    assert N.remove_short_segments(nodes2, ways2, min_len_m=10.0).count() == 1
+
+
+def test_parallel_detect_and_merge(spark):
+    nodes, ways = synth.micro_fixture(spark, "parallel_lanes")
+    gw = N.geom_ways(nodes, ways)
+    pairs = N.find_parallel_pairs(gw)
+    prows = pairs.collect()
+    assert len(prows) == 1
+    assert {prows[0].way_a, prows[0].way_b} == {1, 2}
+    assert prows[0].sep_m == pytest.approx(18.0, rel=0.05)
+    merged = N.merge_parallel_pairs(gw, pairs)
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0].way_id == 1
+    # centerline = midpoints: lng halfway between the two lanes
+    lngs = np.array(rows[0].lngs)
+    assert np.allclose(lngs, -122.330 + 9.0 / (111111.0 * np.cos(np.radians(47.6))), atol=1e-7)
+
+
+def test_parallel_ignores_perpendicular(spark):
+    _, ways = synth.micro_fixture(spark, "t_intersection")
+    nodes, _ = synth.micro_fixture(spark, "t_intersection")
+    gw = N.geom_ways(nodes, ways)
+    assert N.find_parallel_pairs(gw).count() == 0

@@ -1,0 +1,116 @@
+"""Shared SQL expression templates — the bridge between the Spark engine
+and the DuckDB oracle.
+
+Each template here is a single ANSI-SQL string formatted with column
+references and used BOTH as a Spark ``F.expr(...)`` (JVM-side, whole-stage
+codegen — the fast path per the north rule) and verbatim inside the
+``oracle_sql()`` strings that DuckDB runs.  One template, two engines =>
+bit-identical arithmetic, which is what makes the driver's value-hash
+comparison pass without tolerance hacks.
+
+Kernel twins: cells.cell == CELL_TPL, geom.haversine_m == HAVERSINE_TPL,
+geom.point_segment_dist_m == SEG_DIST_TPL, cells.hash63 == polyhash.
+Unit tests in tests/test_sqlfns.py check numpy-vs-Spark-vs-DuckDB equality.
+"""
+
+from __future__ import annotations
+
+from ..kernel import cells as _cells
+
+POW2_56 = 72057594037927936  # 2**56
+POW2_28 = 268435456          # 2**28
+HASH_P = _cells.HASH_P
+M = "111111.0"
+EARTH_R = "6371009.0"
+
+
+def cell_sql(lat: str, lng: str, res: int = 9) -> str:
+    """Cell id at resolution ``res`` — mirror of kernel.cells.cell."""
+    s = repr(360.0 / float(2 ** (res + 9)))
+    return (
+        f"(CAST({res} AS BIGINT) * {POW2_56} "
+        f"+ CAST(FLOOR(({lat} + 90.0) / {s}) AS BIGINT) * {POW2_28} "
+        f"+ CAST(FLOOR(({lng} + 180.0) / {s}) AS BIGINT))"
+    )
+
+
+def parent_sql(cell: str, res: int, parent_res: int) -> str:
+    """Parent cell id — mirror of kernel.cells.parent.  Integer shifts are
+    spelled FLOOR(x / 2**n) because Spark's DIV is not DuckDB SQL and
+    DuckDB's // is not Spark SQL; all values < 2**52 so doubles are exact."""
+    d = 2 ** (res - parent_res)
+    j = f"CAST(FLOOR((({cell}) % {POW2_56}) / {POW2_28}) AS BIGINT)"
+    i = f"(({cell}) % {POW2_28})"
+    return (
+        f"(CAST({parent_res} AS BIGINT) * {POW2_56} "
+        f"+ CAST(FLOOR({j} / {d}) AS BIGINT) * {POW2_28} "
+        f"+ CAST(FLOOR({i} / {d}) AS BIGINT))"
+    )
+
+
+def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """Great-circle meters — mirror of kernel.geom.haversine_m."""
+    return (
+        f"(2.0 * {EARTH_R} * ASIN(SQRT("
+        f"POWER(SIN(RADIANS(({lat2}) - ({lat1})) / 2.0), 2) "
+        f"+ COS(RADIANS({lat1})) * COS(RADIANS({lat2})) "
+        f"* POWER(SIN(RADIANS(({lng2}) - ({lng1})) / 2.0), 2))))"
+    )
+
+
+def seg_dist_sql(plat: str, plng: str, alat: str, alng: str,
+                 blat: str, blng: str) -> str:
+    """Point-to-segment meters — mirror of kernel.geom.point_segment_dist_m.
+
+    Equirectangular frame anchored at the segment start; clamp the
+    projection parameter to [0, 1].  The tiny denominator epsilon guards
+    zero-length segments identically in both engines."""
+    c = f"(COS(RADIANS({alat})) * {M})"
+    mx = f"((({blng}) - ({alng})) * {c})"
+    my = f"((({blat}) - ({alat})) * {M})"
+    px = f"((({plng}) - ({alng})) * {c})"
+    py = f"((({plat}) - ({alat})) * {M})"
+    seg2 = f"({mx} * {mx} + {my} * {my} + 1e-300)"
+    t = f"LEAST(GREATEST(({px} * {mx} + {py} * {my}) / {seg2}, 0.0), 1.0)"
+    return (
+        f"(SQRT(POWER({px} - ({t}) * {mx}, 2) "
+        f"+ POWER({py} - ({t}) * {my}, 2)))"
+    )
+
+
+def polyhash_spark(s: str) -> str:
+    """Polynomial string hash, Spark flavor — mirror of kernel.cells.hash63.
+    CASE guards LENGTH=0 because Spark's SEQUENCE(1, 0) is descending."""
+    return (
+        f"(CASE WHEN {s} IS NULL OR LENGTH({s}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE AGGREGATE(TRANSFORM(SEQUENCE(1, LENGTH({s})), "
+        f"k -> CAST(ASCII(SUBSTRING({s}, k, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_P}) END)"
+    )
+
+
+def polyhash_duckdb(s: str) -> str:
+    """Polynomial string hash, DuckDB flavor — same fold as polyhash_spark
+    (list_prepend(0, ...) + list_reduce == aggregate with 0 init)."""
+    return (
+        f"(CASE WHEN {s} IS NULL THEN CAST(0 AS BIGINT) ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({s}) + 1), "
+        f"k -> CAST(ascii(substr({s}, k, 1)) AS BIGINT))), "
+        f"(a, x) -> (a * 31 + x) % {HASH_P}) END)"
+    )
+
+
+def minhash_spark(hashes_col: str, a: int, b: int) -> str:
+    """min over ((a*h + b) % P) of an array<bigint> column, Spark flavor."""
+    return (
+        f"ARRAY_MIN(TRANSFORM({hashes_col}, "
+        f"h -> ({a} * h + {b}) % {HASH_P}))"
+    )
+
+
+def minhash_duckdb(hashes_col: str, a: int, b: int) -> str:
+    return (
+        f"list_min(list_transform({hashes_col}, "
+        f"h -> ({a} * h + {b}) % {HASH_P}))"
+    )

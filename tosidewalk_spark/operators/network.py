@@ -1,0 +1,471 @@
+"""Street-network stages — DataFrame re-expressions of the reference's
+in-place object-graph mutations (SURVEY.md §2A R1-R8, R17, R18).
+
+Reference loci (module/function level; /root/reference was empty this
+session — SURVEY.md §0): ``network.py § OSM.parse_intersections`` (R3),
+``§ OSM.clean_street_segmentation / Network.join_ways`` (R4),
+``§ OSM.split_streets`` (R5), ``§ OSM.find/merge_parallel_street_segments``
+(R6/R7), node merge (R8), ``§ Network.simplify`` (R17),
+``§ remove_short_segments`` (R18).
+
+Every function is a pure DF -> DF transform.  The canonical network is a
+pair (nodes, ways):
+
+    nodes: node_id bigint, lat double, lng double, tags map<string,string>
+    ways:  way_id bigint, node_ids array<bigint>, highway string,
+           tags map<string,string>
+
+Scale notes (100 TB design): way_nodes explode + hash aggregations and
+equi-joins shuffle on node_id/way_id — uniformly distributed ids, no skew;
+fixpoint loops (R4/R8 connected components) run log-diameter rounds of
+min-label propagation with localCheckpoint per round to cut lineage;
+candidate generation for spatial self-joins (R6, R8) is cell-bucketed so
+the join is an equi-join, never a cross.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from ..functions import sqlfns
+from ..kernel import cells, geom
+
+STREET_WHITELIST = [
+    "motorway", "trunk", "primary", "secondary", "tertiary", "unclassified",
+    "residential", "living_street",
+]
+SPLIT_FACTOR = 1024           # split-segment way id = way_id * 1024 + seg_no
+PARALLEL_NODE_BASE = 3_000_000_000_000
+MAX_CC_ROUNDS = 30
+
+
+# --- R1 whitelist filter ----------------------------------------------------
+
+def filter_streets(ways: DataFrame) -> DataFrame:
+    """Keep drivable streets (reference: highway-tag whitelist; footway /
+    service / path are dropped)."""
+    return ways.filter(F.col("highway").isin(STREET_WHITELIST))
+
+
+# --- R2 node-ref resolution --------------------------------------------------
+
+def way_nodes(ways: DataFrame) -> DataFrame:
+    """Exploded edge table (way_id, seq, node_id) — the normalized form of
+    the reference's ordered nd-ref lists."""
+    return ways.select(
+        "way_id", F.posexplode("node_ids").alias("seq", "node_id"))
+
+
+def geom_ways(nodes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Resolve node refs to coordinates (R2: hash equi-join) and re-gather
+    ordered vertex arrays: way_id, highway, tags, node_ids, lats, lngs."""
+    wn = way_nodes(ways).join(nodes.select("node_id", "lat", "lng"), "node_id")
+    gathered = (
+        wn.groupBy("way_id")
+        .agg(F.sort_array(F.collect_list(F.struct("seq", "node_id", "lat", "lng"))).alias("vs"))
+        .select(
+            "way_id",
+            F.expr("TRANSFORM(vs, v -> v.node_id)").alias("node_ids"),
+            F.expr("TRANSFORM(vs, v -> v.lat)").alias("lats"),
+            F.expr("TRANSFORM(vs, v -> v.lng)").alias("lngs"),
+        )
+    )
+    return gathered.join(ways.select("way_id", "highway", "tags"), "way_id")
+
+
+# --- R3 intersection detection ----------------------------------------------
+
+def intersections(ways: DataFrame) -> DataFrame:
+    """Nodes shared by >= 2 distinct ways (reference: Node.is_intersection).
+    Returns node_id, n_ways, n_refs; crosswalk eligibility (degree >= 3)
+    is a downstream filter on arm count, not decided here."""
+    return (
+        way_nodes(ways)
+        .groupBy("node_id")
+        .agg(F.countDistinct("way_id").alias("n_ways"), F.count("*").alias("n_refs"))
+        .filter(F.col("n_ways") >= 2)
+    )
+
+
+# --- connected-components fixpoint (shared by R4 and R8) ----------------------
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
+    """Min-label propagation over an undirected edge list (src, dst) ->
+    (id, component).  Driver-side fixpoint loop (SURVEY.md §3.2): each round
+    is one shuffle; localCheckpoint cuts lineage.  Converges in graph-
+    diameter rounds — fine for way-chains and node-merge clusters whose
+    diameter is tiny; a large-star/small-star variant would replace this
+    for planet-scale general graphs."""
+    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "dst")
+                     .withColumnRenamed("component", "nbr_component"), "dst")
+            .groupBy("src").agg(F.min("nbr_component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
+            .select("id", F.least("component", F.coalesce("nbr_component", "component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# --- R4 street segmentation cleanup / way joining -----------------------------
+
+_MERGE_SCHEMA = T.StructType([
+    T.StructField("way_id", T.LongType()),
+    T.StructField("node_ids", T.ArrayType(T.LongType())),
+    T.StructField("highway", T.StringType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+])
+
+
+def _chain_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge a component of endpoint-chained ways into one ordered way.
+    Groups are tiny (a handful of OSM fragments), so plain python here is
+    not a hot path; determinism: output id = min way_id, orientation starts
+    from the chain end containing the smallest terminal node."""
+    if len(pdf) == 1:
+        r = pdf.iloc[0]
+        return pd.DataFrame([{"way_id": r.way_id, "node_ids": list(r.node_ids),
+                              "highway": r.highway, "tags": r.tags}])
+    seqs = {int(r.way_id): list(r.node_ids) for r in pdf.itertuples()}
+    # endpoint -> ways incident at that endpoint
+    from collections import defaultdict
+    at = defaultdict(list)
+    for wid, ids in seqs.items():
+        at[ids[0]].append(wid)
+        at[ids[-1]].append(wid)
+    terminals = sorted(n for n, ws in at.items() if len(ws) == 1)
+    start = terminals[0] if terminals else min(at)
+    merged, used = [], set()
+    cur = start
+    while True:
+        nxt = [w for w in at[cur] if w not in used]
+        if not nxt:
+            break
+        wid = min(nxt)
+        used.add(wid)
+        ids = seqs[wid]
+        if ids[-1] == cur:
+            ids = ids[::-1]
+        merged.extend(ids if not merged else ids[1:])
+        cur = ids[-1]
+    if len(used) < len(seqs):  # non-chain topology: bail out, keep originals
+        return pd.DataFrame([{"way_id": r.way_id, "node_ids": list(r.node_ids),
+                              "highway": r.highway, "tags": r.tags} for r in pdf.itertuples()])
+    first = pdf.loc[pdf.way_id.idxmin()]
+    return pd.DataFrame([{"way_id": int(pdf.way_id.min()), "node_ids": merged,
+                          "highway": first.highway, "tags": first.tags}])
+
+
+def join_segmented_ways(ways: DataFrame) -> DataFrame:
+    """R4: merge consecutive ways that share an endpoint node used by
+    exactly those two ways and carrying the same highway class (reference:
+    clean_street_segmentation).  Plan: endpoint self-join -> CC -> per-
+    component ordered chain merge in applyInPandas."""
+    ends = ways.select(
+        "way_id", "highway",
+        F.explode(F.array(F.element_at("node_ids", 1), F.element_at("node_ids", -1))).alias("node_id"),
+    )
+    deg = ends.groupBy("node_id", "highway").agg(
+        F.countDistinct("way_id").alias("n"), F.collect_set("way_id").alias("ws"))
+    # also require the node is not a true intersection (no third way anywhere)
+    all_deg = way_nodes(ways).groupBy("node_id").agg(F.countDistinct("way_id").alias("n_all"))
+    pairs = (
+        deg.join(all_deg, "node_id")
+        .filter((F.col("n") == 2) & (F.col("n_all") == 2))
+        .select(F.element_at(F.array_sort("ws"), 1).alias("src"),
+                F.element_at(F.array_sort("ws"), 2).alias("dst"))
+    )
+    if pairs.isEmpty():
+        return ways
+    comp = connected_components(pairs)
+    tagged = ways.join(comp.withColumnRenamed("id", "way_id"), "way_id", "left") \
+                 .withColumn("component", F.coalesce("component", "way_id"))
+    return tagged.groupBy("component").applyInPandas(
+        lambda _, pdf: _chain_merge(pdf.drop(columns=["component"])), _MERGE_SCHEMA)
+
+
+# --- R5 street splitting -------------------------------------------------------
+
+def split_streets(ways: DataFrame, inter: DataFrame | None = None) -> DataFrame:
+    """R5: split each way at interior intersection vertices so segments span
+    intersection -> intersection.  Window running sum assigns each vertex a
+    segment range [excl_prefix, incl_prefix]; split vertices belong to both
+    adjacent segments via explode(sequence(...)).  New way id =
+    way_id * SPLIT_FACTOR + seg_no (deterministic; parent kept)."""
+    inter = intersections(ways) if inter is None else inter
+    wn = way_nodes(ways)
+    sizes = ways.select("way_id", F.size("node_ids").alias("n_vertices"))
+    wn = wn.join(sizes, "way_id").join(
+        inter.select("node_id", F.lit(True).alias("is_x")), "node_id", "left")
+    w = Window.partitionBy("way_id").orderBy("seq")
+    wn = wn.withColumn(
+        "is_split",
+        (F.coalesce("is_x", F.lit(False)) & (F.col("seq") > 0)
+         & (F.col("seq") < F.col("n_vertices") - 1)).cast("int"))
+    wn = wn.withColumn("incl", F.sum("is_split").over(w)) \
+           .withColumn("excl", F.col("incl") - F.col("is_split"))
+    exploded = wn.select(
+        "way_id", "seq", "node_id",
+        F.explode(F.expr("SEQUENCE(excl, incl)")).alias("seg_no"))
+    segs = (
+        exploded.groupBy("way_id", "seg_no")
+        .agg(F.sort_array(F.collect_list(F.struct("seq", "node_id"))).alias("vs"))
+        .select(
+            (F.col("way_id") * SPLIT_FACTOR + F.col("seg_no")).alias("way_id"),
+            F.col("way_id").alias("parent_way_id"),
+            F.col("seg_no"),
+            F.expr("TRANSFORM(vs, v -> v.node_id)").alias("node_ids"),
+        )
+        .filter(F.size("node_ids") >= 2)
+    )
+    return segs.join(ways.select(F.col("way_id").alias("parent_way_id"), "highway", "tags"),
+                     "parent_way_id")
+
+
+# --- R8 node merging -----------------------------------------------------------
+
+def merge_nodes(nodes: DataFrame, ways: DataFrame,
+                threshold_m: float = geom.NODE_MERGE_M) -> tuple[DataFrame, DataFrame]:
+    """R8: collapse nodes closer than threshold_m into the min-id canonical
+    node and rewrite way vertex lists (consecutive duplicates dropped).
+
+    Candidates come from a cell-bucketed self-join (res chosen so the cell
+    edge exceeds the threshold, so a disk-1 neighborhood covers it) — an
+    equi-join, never a cross join.  Cluster merge = connected components."""
+    res = 13  # 9.5 m cells > 5 m threshold
+    disk_cells = F.array(*[
+        F.expr(sqlfns.cell_sql(f"lat + {di} * {cells.cell_size_deg(res)!r}",
+                               f"lng + {dj} * {cells.cell_size_deg(res)!r}", res))
+        for di in (-1, 0, 1) for dj in (-1, 0, 1)])
+    pts = nodes.select("node_id", "lat", "lng")
+    left = pts.withColumn("cell", F.explode(disk_cells))
+    right = pts.select(
+        F.col("node_id").alias("node_id_b"), F.col("lat").alias("lat_b"),
+        F.col("lng").alias("lng_b"),
+        F.expr(sqlfns.cell_sql("lat", "lng", res)).alias("cell"))
+    cand = (
+        left.join(right, "cell")
+        .filter(F.col("node_id") < F.col("node_id_b"))
+        .filter(F.expr(sqlfns.haversine_sql("lat", "lng", "lat_b", "lng_b")) < threshold_m)
+        .select(F.col("node_id").alias("src"), F.col("node_id_b").alias("dst"))
+        .distinct()
+    )
+    if cand.isEmpty():
+        return nodes, ways
+    comp = connected_components(cand)
+    remap = comp.filter(F.col("id") != F.col("component")) \
+                .select(F.col("id").alias("old_id"), F.col("component").alias("new_id"))
+    exploded = way_nodes(ways).join(
+        F.broadcast(remap).withColumnRenamed("old_id", "node_id"), "node_id", "left")
+    exploded = exploded.withColumn("node_id", F.coalesce("new_id", "node_id"))
+    rewritten = (
+        exploded.groupBy("way_id")
+        .agg(F.sort_array(F.collect_list(F.struct("seq", "node_id"))).alias("vs"))
+        .select("way_id", F.expr(
+            "FILTER(TRANSFORM(vs, v -> v.node_id), (x, i) -> i = 0 OR x != TRANSFORM(vs, v -> v.node_id)[i - 1])"
+        ).alias("node_ids"))
+        .filter(F.size("node_ids") >= 2)
+    )
+    new_ways = rewritten.join(ways.drop("node_ids"), "way_id")
+    merged_away = remap.select(F.col("old_id").alias("node_id"))
+    new_nodes = nodes.join(merged_away, "node_id", "left_anti")
+    return new_nodes, new_ways
+
+
+# --- R17 Douglas-Peucker simplification ------------------------------------------
+
+_SIMPLIFY_SCHEMA = T.StructType([
+    T.StructField("way_id", T.LongType()),
+    T.StructField("node_ids", T.ArrayType(T.LongType())),
+])
+
+
+def simplify_ways(nodes: DataFrame, ways: DataFrame,
+                  tol_m: float = geom.DP_TOLERANCE_M) -> DataFrame:
+    """R17: exact recursive Douglas-Peucker per way (kernel twin), dropping
+    interior vertices below tol_m.  GROUPED_MAP pandas UDF over the
+    resolved geometry — groups are single ways, trivially bounded."""
+    gw = geom_ways(nodes, ways)
+
+    def dp(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples():
+            keep = geom.douglas_peucker_mask(np.asarray(r.lats), np.asarray(r.lngs), tol_m)
+            out.append({"way_id": r.way_id,
+                        "node_ids": [int(x) for x, k in zip(r.node_ids, keep) if k]})
+        return pd.DataFrame(out)
+
+    slim = gw.groupBy("way_id").applyInPandas(lambda _, p: dp(p), _SIMPLIFY_SCHEMA)
+    return slim.join(ways.drop("node_ids"), "way_id")
+
+
+# --- R18 short-segment removal ----------------------------------------------------
+
+def way_length_expr() -> F.Column:
+    """Polyline length in meters as a pure SQL expression over (lats, lngs)
+    arrays — stays in whole-stage codegen."""
+    hav = sqlfns.haversine_sql("lats[k - 1]", "lngs[k - 1]", "lats[k]", "lngs[k]")
+    return F.expr(
+        f"AGGREGATE(SEQUENCE(1, SIZE(lats) - 1), CAST(0.0 AS DOUBLE), (acc, k) -> acc + {hav})")
+
+
+def remove_short_segments(nodes: DataFrame, ways: DataFrame,
+                          min_len_m: float = geom.SHORT_SEGMENT_M) -> DataFrame:
+    """R18: drop ways shorter than min_len_m (filter on an R9 length agg)."""
+    gw = geom_ways(nodes, ways).withColumn("len_m", way_length_expr())
+    return gw.filter(F.col("len_m") >= min_len_m) \
+             .select("way_id", "node_ids", "highway", "tags")
+
+
+# --- R6/R7 parallel segment detection + merge ---------------------------------------
+
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("way_a", T.LongType()),
+    T.StructField("way_b", T.LongType()),
+    T.StructField("sep_m", T.DoubleType()),
+])
+
+_MERGED_SCHEMA = T.StructType([
+    T.StructField("way_id", T.LongType()),
+    T.StructField("node_ids", T.ArrayType(T.LongType())),
+    T.StructField("lats", T.ArrayType(T.DoubleType())),
+    T.StructField("lngs", T.ArrayType(T.DoubleType())),
+    T.StructField("highway", T.StringType()),
+])
+
+
+def _mean_bearing(lats, lngs):
+    x, y = geom.equirect_xy(np.asarray(lats), np.asarray(lngs), lats[0], lngs[0])
+    return float(np.arctan2(y[-1] - y[0], x[-1] - x[0]))
+
+
+def find_parallel_pairs(gw: DataFrame,
+                        dist_m: float = geom.PARALLEL_DIST_M,
+                        angle_rad: float = geom.PARALLEL_ANGLE_RAD) -> DataFrame:
+    """R6: candidate pairs via cell-bucket equi-join on vertex cells (res 11
+    ~38 m cells with disk-1 expansion covers the 25 m threshold), refined by
+    an exact heading/separation/overlap predicate in a pandas UDF —
+    the reference's only theta-join, compiled to equi-join + refine."""
+    res = 11
+    s = cells.cell_size_deg(res)
+    covered = F.expr(
+        "ARRAY_DISTINCT(FLATTEN(TRANSFORM(SEQUENCE(0, SIZE(lats) - 1), k -> " +
+        "TRANSFORM(SEQUENCE(-1, 1), d -> " +
+        sqlfns.cell_sql(f"lats[k] + d * {s!r}", "lngs[k]", res) + "))))")
+    keyed = gw.select("way_id", "lats", "lngs", F.explode(covered).alias("cell"))
+    a = keyed.select(F.col("way_id").alias("way_a"), F.col("lats").alias("lats_a"),
+                     F.col("lngs").alias("lngs_a"), "cell")
+    b = gw.select(F.col("way_id").alias("way_b"), F.col("lats").alias("lats_b"),
+                  F.col("lngs").alias("lngs_b"),
+                  F.explode(F.expr("TRANSFORM(SEQUENCE(0, SIZE(lats) - 1), k -> " +
+                                   sqlfns.cell_sql("lats[k]", "lngs[k]", res) + ")")).alias("cell"))
+    cand = (a.join(b, "cell").filter(F.col("way_a") < F.col("way_b"))
+            .dropDuplicates(["way_a", "way_b"]))
+
+    def refine_batches(it):
+        for pdf in it:
+            yield refine(pdf)
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples():
+            la, ga = np.asarray(r.lats_a), np.asarray(r.lngs_a)
+            lb, gb = np.asarray(r.lats_b), np.asarray(r.lngs_b)
+            ba, bb = _mean_bearing(la, ga), _mean_bearing(lb, gb)
+            d = abs(ba - bb) % np.pi
+            d = min(d, np.pi - d)
+            if d > angle_rad:
+                continue
+            mid_a = len(la) // 2
+            sep = float(np.min(geom.point_segment_dist_m(
+                la[mid_a], ga[mid_a], lb[:-1], gb[:-1], lb[1:], gb[1:])))
+            if sep > dist_m or sep < 0.5:
+                continue
+            # overlap: project b endpoints onto a's chord
+            x, y = geom.equirect_xy(np.concatenate([la[[0, -1]], lb[[0, -1]]]),
+                                    np.concatenate([ga[[0, -1]], gb[[0, -1]]]), la[0], ga[0])
+            ax, ay, cx, cy = x[0], y[0], x[1] - x[0], y[1] - y[0]
+            L2 = cx * cx + cy * cy
+            t0 = ((x[2] - ax) * cx + (y[2] - ay) * cy) / L2
+            t1 = ((x[3] - ax) * cx + (y[3] - ay) * cy) / L2
+            lo, hi = min(t0, t1), max(t0, t1)
+            if min(hi, 1.0) - max(lo, 0.0) < 0.3:
+                continue
+            out.append({"way_a": int(r.way_a), "way_b": int(r.way_b), "sep_m": sep})
+        return pd.DataFrame(out, columns=["way_a", "way_b", "sep_m"])
+
+    # mapInPandas: per-batch refine, no extra shuffle after the cell join
+    return cand.mapInPandas(refine_batches, _PAIR_SCHEMA)
+
+
+def merge_parallel_pairs(gw: DataFrame, pairs: DataFrame) -> DataFrame:
+    """R7: replace each matched pair with a pointwise-midpoint centerline.
+    Greedy mutual-best matching keeps each segment in at most one merge
+    (window row_number by (sep, partner)); merged id = min(way_a, way_b),
+    fresh deterministic node ids.  Originals are anti-joined out, merged
+    rows unioned in — the reference's in-place rewiring as set ops."""
+    wa = Window.partitionBy("way_a").orderBy("sep_m", "way_b")
+    wb = Window.partitionBy("way_b").orderBy("sep_m", "way_a")
+    best = (pairs.withColumn("ra", F.row_number().over(wa))
+            .withColumn("rb", F.row_number().over(wb))
+            .filter((F.col("ra") == 1) & (F.col("rb") == 1))
+            .select("way_a", "way_b"))
+    ga = gw.select(F.col("way_id").alias("way_a"), F.col("lats").alias("lats_a"),
+                   F.col("lngs").alias("lngs_a"), F.col("highway").alias("highway_a"))
+    gb = gw.select(F.col("way_id").alias("way_b"), F.col("lats").alias("lats_b"),
+                   F.col("lngs").alias("lngs_b"))
+    todo = best.join(ga, "way_a").join(gb, "way_b")
+
+    def centerline(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples():
+            la, ga_ = np.asarray(r.lats_a), np.asarray(r.lngs_a)
+            lb, gb_ = np.asarray(r.lats_b), np.asarray(r.lngs_b)
+            ba, bb = _mean_bearing(la, ga_), _mean_bearing(lb, gb_)
+            if np.cos(ba - bb) < 0:       # orient b like a
+                lb, gb_ = lb[::-1], gb_[::-1]
+            k = max(la.size, lb.size)
+            t = np.linspace(0.0, 1.0, k)
+
+            def resample(ls, gs):
+                x, y = geom.equirect_xy(ls, gs, ls[0], gs[0])
+                d = np.concatenate([[0.0], np.cumsum(np.hypot(np.diff(x), np.diff(y)))])
+                tt = d / d[-1] if d[-1] > 0 else d
+                return np.interp(t, tt, ls), np.interp(t, tt, gs)
+
+            ral, rag = resample(la, ga_)
+            rbl, rbg = resample(lb, gb_)
+            wid = int(min(r.way_a, r.way_b))
+            out.append({
+                "way_id": wid,
+                "node_ids": [PARALLEL_NODE_BASE + wid * 10_000 + i for i in range(k)],
+                "lats": ((ral + rbl) / 2.0).tolist(),
+                "lngs": ((rag + rbg) / 2.0).tolist(),
+                "highway": r.highway_a,
+            })
+        return pd.DataFrame(out, columns=["way_id", "node_ids", "lats", "lngs", "highway"])
+
+    merged = todo.groupBy("way_a").applyInPandas(lambda _, p: centerline(p), _MERGED_SCHEMA)
+    drop = best.selectExpr("way_a AS way_id").union(best.selectExpr("way_b AS way_id"))
+    kept = gw.join(drop, "way_id", "left_anti") \
+             .select("way_id", "node_ids", "lats", "lngs", "highway")
+    return kept.unionByName(merged)
