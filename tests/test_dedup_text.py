@@ -1,0 +1,157 @@
+"""Dedup / text-analysis / similarity / multimodal operator tests."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tosidewalk_spark.kernel import cells
+from tosidewalk_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y")], "doc_id long, text string")
+    rows = {r.canonical_doc_id: r.n_dupes for r in dedup.exact_dedup(d).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_signature_props(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "p q r s")], "doc_id long, text string")
+    sigs = {r.doc_id: tuple(r.sig) for r in dedup.minhash_signatures(d).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert len(sigs[1]) == len(dedup.MINHASH_PERMS)
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    d = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+        (3, "completely different words entirely unrelated content here now"),
+    ], "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(d).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_for_same_tokens(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "zz yy xx ww")], "doc_id long, text string")
+    s = {r.doc_id: r.simhash for r in dedup.simhash(d).collect()}
+    assert s[1] == s[2]
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_dup_pairs(d).collect()}
+    assert (1, 2) in pairs
+
+
+def test_jaccard_pairs(spark):
+    d = spark.createDataFrame([
+        (1, "en", "a b c d e f g h"),
+        (2, "en", "a b c d e f g x"),
+        (3, "en", "p q r s t u v w"),
+    ], "doc_id long, lang string, text string")
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.jaccard_pairs(d, 0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(7 / 9, abs=1e-6)
+    assert (1, 3) not in pairs
+
+
+def test_jaccard_on_real_docs(spark, docs):
+    out = dedup.jaccard_pairs(docs, threshold=0.8)
+    rows = out.collect()
+    for r in rows:
+        assert 0.8 <= r.jaccard <= 1.0
+
+
+def test_embedding_neardup(spark, emb):
+    out = dedup.embedding_neardup_pairs(emb, cos_threshold=0.99).collect()
+    for r in out:
+        assert r.cosine >= 0.99 and r.vec_a < r.vec_b
+
+
+def test_token_stats_and_quality(spark, docs):
+    ts = text.token_stats(docs)
+    row = ts.filter("doc_id = 0").collect()[0]
+    d0 = docs.filter("doc_id = 0").collect()[0]
+    assert row.n_tokens == len(d0.text.split())
+    assert row.n_chars_measured == len(d0.text)
+    q = text.quality_score(docs).collect()
+    for r in q[:20]:
+        assert 0.0 <= r.alpha_ratio <= 1.0 and 0.0 <= r.quality <= 1.0
+
+
+def test_lang_id_markers(spark):
+    d = spark.createDataFrame([
+        (1, "xx", "the cat and the dog is here"),
+        (2, "xx", "der hund und die katze ist da"),
+        (3, "xx", "zzz qqq www"),
+    ], "doc_id long, lang string, text string")
+    out = {r.doc_id: r.lang_pred for r in text.lang_id(d).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_matches_kernel(spark, docs):
+    rows = text.fingerprint(docs.limit(5)).collect()
+    texts = {r.doc_id: r.text for r in docs.limit(5).collect()}
+    for r in rows:
+        assert r.fingerprint == cells.hash63(texts[r.doc_id])
+
+
+def test_extract_text_byte_identity(spark):
+    from tosidewalk_spark.sources import synth
+    pages = synth.pages(spark, 50)
+    got = text.extract_text(pages)
+    joined = got.withColumnRenamed("text", "extracted") \
+        .join(pages.select("url", "text"), "url")
+    assert joined.filter("extracted != text").count() == 0
+    # byte-identical across parallelism levels
+    a = {r.url: r.text for r in text.extract_text(pages.repartition(1)).collect()}
+    b = {r.url: r.text for r in text.extract_text(pages.repartition(7)).collect()}
+    assert a == b
+
+
+def test_brute_force_topk(spark, emb):
+    q = emb.limit(3)
+    out = similarity.brute_force_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    # verify one query against numpy
+    all_rows = emb.collect()
+    v = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in all_rows}
+    qid = rows[0].query_id
+    qv = v[qid]
+    cos = {i: round(float(qv @ u / (np.linalg.norm(qv) * np.linalg.norm(u))), 6)
+           for i, u in v.items() if i != qid}
+    want = sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r.corpus_id, r.cosine) for r in sorted(rows, key=lambda r: r.rank) if r.query_id == qid]
+    assert [w[0] for w in want] == [g[0] for g in got]
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb):
+    q = emb.limit(3)
+    out = similarity.lsh_topk(emb, q, k=3).collect()
+    assert all(r.rank <= 3 for r in out)
+    assert len(out) > 0
+
+
+def test_multimodal_plumbing(spark):
+    from tosidewalk_spark.sources import synth
+    pages = synth.pages(spark, 30)
+    media = multimodal.synth_media(pages)
+    feats = multimodal.extract_features(media).collect()
+    assert all(len(f.feature) == 8 for f in feats)
+    assert all(abs(sum(f.feature) - 1.0) < 1e-3 for f in feats)
+    frames = multimodal.sample_frames(media).collect()
+    vids = media.filter("media_type = 'video'").count()
+    assert (len(frames) > 0) == (vids > 0)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"x", "image")

@@ -1,0 +1,136 @@
+"""Graft spatial operator tests (G3-G6) incl. brute-force kNN equivalence
+and parallelism-invariance (FIXTURES.md §3)."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tosidewalk_spark.kernel import cells, geom
+from tosidewalk_spark.operators import network as N
+from tosidewalk_spark.operators import sidewalks as SW
+from tosidewalk_spark.operators import spatial as SP
+from tosidewalk_spark.plans import pipeline
+from tosidewalk_spark.sources import synth
+
+
+def _points(spark, rows):
+    df = spark.createDataFrame(rows, "url string, entity string, lat double, lng double")
+    return df.withColumn("cell9", F.expr(
+        __import__("tosidewalk_spark.functions.sqlfns", fromlist=["x"]).cell_sql("lat", "lng", 9)))
+
+
+def test_street_segments_explode(spark):
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    gw = N.geom_ways(nodes, ways).withColumn("kind", F.lit("street"))
+    segs = SP.street_segments(gw)
+    rows = segs.orderBy("segment_id").collect()
+    assert len(rows) == 2
+    assert rows[0].segment_id == 1 * SP.SEG_FACTOR + 0
+    assert rows[0].alat == 47.600 and rows[0].blat == pytest.approx(47.6009)
+
+
+def test_buffers_cover_and_contain(spark):
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    gw = N.geom_ways(nodes, ways)
+    bufs = SP.street_buffers(SP.street_segments(gw), half_width_m=12.0)
+    rows = bufs.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r.poly_lats) == 4
+        # cover includes the segment midpoint's cell
+        mid_cell = cells.cell((r.alat + r.blat) / 2, (r.alng + r.blng) / 2, 9)
+        assert mid_cell in set(r.cells)
+
+
+def test_pip_join_inside_outside(spark):
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    gw = N.geom_ways(nodes, ways)
+    bufs = SP.street_buffers(SP.street_segments(gw), half_width_m=12.0)
+    near = geom.latlng_offset(47.6004, -122.330, 5.0, 0.0)
+    far = geom.latlng_offset(47.6004, -122.330, 50.0, 0.0)
+    pts = _points(spark, [
+        ("u1", "e1", float(near[0]), float(near[1])),
+        ("u2", "e2", float(far[0]), float(far[1])),
+    ])
+    out = SP.pip_join(pts, bufs).collect()
+    assert {r.url for r in out} == {"u1"}
+    assert out[0].dist_m == pytest.approx(5.0, rel=0.01)
+
+
+def test_knn_matches_bruteforce(spark):
+    # 20 hash-placed points vs the grid-city sidewalk network
+    nodes, ways = synth.osm_grid(spark, g=5, with_noise_ways=False)
+    gw = N.geom_ways(nodes, N.split_streets(ways))
+    sw = SW.make_sidewalks(gw)
+    segs = SP.street_segments(sw.withColumn("kind", F.lit("sidewalk")))
+    bufs = SP.street_buffers(segs)
+    rng = np.random.default_rng(3)
+    rows = [(f"u{i}", f"e{i}",
+             float(47.60 + rng.uniform(0, 4) * synth.LAT_STEP),
+             float(-122.33 + rng.uniform(0, 4) * synth.LNG_STEP)) for i in range(20)]
+    pts = _points(spark, rows)
+    knn = SP.knn_join(pts, SP.segments_by_cell(bufs), k=2).collect()
+    # brute force with the numpy kernel
+    seg_rows = segs.collect()
+    a = np.array([[s.alat, s.alng, s.blat, s.blng] for s in seg_rows])
+    sid = np.array([s.segment_id for s in seg_rows])
+    wid = np.array([s.way_id for s in seg_rows])
+    got = {}
+    for r in knn:
+        got.setdefault(r.url, []).append((r.knn_rank, r.segment_id, r.dist_m))
+    assert len(got) == 20
+    for (u, e, plat, plng) in rows:
+        d = geom.point_segment_dist_m(plat, plng, a[:, 0], a[:, 1], a[:, 2], a[:, 3])
+        order = np.lexsort((sid, wid, np.round(d, 9)))
+        want = [int(sid[order[0]]), int(sid[order[1]])]
+        have = [s for _, s, _ in sorted(got[u])]
+        assert have == want, f"{u}: {have} != {want}"
+
+
+def test_knn_rank_and_distance_sane(spark):
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    gw = N.geom_ways(nodes, ways)
+    bufs = SP.street_buffers(SP.street_segments(gw))
+    p = geom.latlng_offset(47.6004, -122.330, 30.0, 0.0)
+    pts = _points(spark, [("u1", "e1", float(p[0]), float(p[1]))])
+    out = SP.knn_join(pts, SP.segments_by_cell(bufs), k=1).collect()
+    assert len(out) == 1 and out[0].knn_rank == 1
+    assert out[0].dist_m == pytest.approx(30.0, rel=0.01)
+
+
+def test_tiles_counts_and_raster(spark):
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    gw = N.geom_ways(nodes, ways)
+    bufs = SP.street_buffers(SP.street_segments(gw))
+    near = geom.latlng_offset(47.6004, -122.330, 5.0, 0.0)
+    far = geom.latlng_offset(47.6004, -122.330, 2000.0, 0.0)
+    pts = _points(spark, [
+        ("u1", "e1", float(near[0]), float(near[1])),
+        ("u2", "e2", float(near[0]), float(near[1])),
+        ("u3", "e3", float(far[0]), float(far[1])),
+    ])
+    knn = SP.knn_join(pts, SP.segments_by_cell(bufs), k=1, max_ring=2)
+    tiles = SP.coverage_tiles(pts, knn).collect()
+    by_cell = {t.cell9: t for t in tiles}
+    near_cell = cells.cell(float(near[0]), float(near[1]), 9)
+    t = by_cell[near_cell]
+    assert t.n_pages == 2 and t.n_matched == 2 and t.coverage == 1.0
+    assert len(t.raster) == 16 and sum(t.raster) == 2.0
+
+
+def test_tiles_parallelism_invariance(spark):
+    docs = spark.range(200).selectExpr("id AS doc_id")
+    pts = synth.geo_entities_from_documents(docs)
+    nodes, ways = synth.osm_grid(spark, g=4)
+    net = pipeline.build_network(nodes, ways)
+    out8 = pipeline.run_graft(pts.repartition(2), net, k=1)["tiles"]
+    out32 = pipeline.run_graft(pts.repartition(13), net, k=1)["tiles"]
+    a = sorted((r.cell9, r.n_pages, r.n_matched, tuple(r.raster)) for r in out8.collect())
+    b = sorted((r.cell9, r.n_pages, r.n_matched, tuple(r.raster)) for r in out32.collect())
+    assert a == b
+
+
+def test_flagship_smoke(spark):
+    df = pipeline.flagship(spark, "/root/testdata/sf0.001", grid=6)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["cell9", "n_pages", "n_matched", "coverage", "raster"]

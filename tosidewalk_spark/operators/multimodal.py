@@ -1,0 +1,103 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (documented; `decode_real` raises NotImplementedError
+until a codec is provisioned) — but the Spark-side plumbing is real and
+tested: schemas, mapInPandas batch shapes, feature-vector extraction, and
+frame sampling, exactly as a production decoder would slot in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("media_type", T.StringType()),   # image | audio | video
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+])
+
+
+def synth_media(pages: DataFrame) -> DataFrame:
+    """Deterministic fake media column derived from the page url — gives
+    the plumbing real bytes with a stable content hash."""
+    return pages.select(
+        "url",
+        F.expr("ELEMENT_AT(ARRAY('image','audio','video'), CAST(LENGTH(url) % 3 AS INT) + 1)").alias("media_type"),
+        F.expr("CAST(REPEAT(SUBSTRING(url, -8, 8), 16) AS BINARY)").alias("payload"),
+        F.lit(64).alias("width"), F.lit(48).alias("height"),
+        F.expr("CAST(LENGTH(url) % 7 + 1 AS INT)").alias("n_frames"),
+    )
+
+
+def decode_real(payload: bytes, media_type: str):
+    """Real codec hook — intentionally unimplemented in this container."""
+    raise NotImplementedError(
+        "no image/audio codecs in this environment; production deployments "
+        "plug Pillow/ffmpeg here — the surrounding Spark plumbing is final")
+
+
+_FEAT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
+])
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Deterministic fake feature extractor: byte-histogram of the payload,
+    L1-normalized, as array<double>[dim].  Vectorized per Arrow batch; the
+    schema/batch contract is what a real embedding model would use."""
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            feats = []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                total = hist.sum() or 1.0
+                feats.append(np.round(hist / total, 6).tolist())
+            yield pd.DataFrame({"url": pdf["url"], "media_type": pdf["media_type"],
+                                "feature": feats})
+
+    return media.select("url", "media_type", "payload").mapInPandas(run, _FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("frame_no", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling for video rows: emit every ``every``-th frame index
+    with a deterministic fake frame payload (slice of the source bytes).
+    Row-multiplying mapInPandas — the real decoder keeps this exact shape."""
+
+    def run(it):
+        for pdf in it:
+            vids = pdf[pdf["media_type"] == "video"]
+            if len(vids) == 0:
+                continue
+            urls, nos, frames = [], [], []
+            for r in vids.itertuples():
+                data = bytes(r.payload)
+                for fno in range(0, int(r.n_frames), every):
+                    urls.append(r.url)
+                    nos.append(fno)
+                    lo = (fno * 16) % max(len(data) - 16, 1)
+                    frames.append(data[lo:lo + 16])
+            yield pd.DataFrame({"url": urls, "frame_no": pd.array(nos, dtype="int32"),
+                                "frame": frames})
+
+    return media.mapInPandas(run, _FRAME_SCHEMA)

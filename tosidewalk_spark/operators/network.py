@@ -336,6 +336,41 @@ def remove_short_segments(nodes: DataFrame, ways: DataFrame,
              .select("way_id", "node_ids", "highway", "tags")
 
 
+def simplify_gw(gw: DataFrame, tol_m: float = geom.DP_TOLERANCE_M) -> DataFrame:
+    """R17 on gw-shaped rows (way_id, node_ids, lats, lngs, highway):
+    Douglas-Peucker directly over the vertex arrays."""
+    schema = T.StructType([
+        T.StructField("way_id", T.LongType()),
+        T.StructField("node_ids", T.ArrayType(T.LongType())),
+        T.StructField("lats", T.ArrayType(T.DoubleType())),
+        T.StructField("lngs", T.ArrayType(T.DoubleType())),
+        T.StructField("highway", T.StringType()),
+    ])
+
+    def dp(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for r in pdf.itertuples():
+                la, lg = np.asarray(r.lats), np.asarray(r.lngs)
+                keep = geom.douglas_peucker_mask(la, lg, tol_m)
+                rows.append({
+                    "way_id": r.way_id,
+                    "node_ids": [int(x) for x, kk in zip(r.node_ids, keep) if kk],
+                    "lats": la[keep].tolist(), "lngs": lg[keep].tolist(),
+                    "highway": r.highway})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return gw.select("way_id", "node_ids", "lats", "lngs", "highway").mapInPandas(dp, schema)
+
+
+def drop_short_gw(gw: DataFrame, min_len_m: float = geom.SHORT_SEGMENT_M) -> DataFrame:
+    """R18 on gw-shaped rows: length filter via the SQL length aggregate."""
+    return gw.withColumn("len_m", way_length_expr()) \
+             .filter(F.col("len_m") >= min_len_m).drop("len_m")
+
+
 # --- R6/R7 parallel segment detection + merge ---------------------------------------
 
 _PAIR_SCHEMA = T.StructType([

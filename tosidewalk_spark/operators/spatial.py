@@ -1,0 +1,239 @@
+"""Web-scale graft spatial operators (SURVEY.md §2B G3-G6).
+
+These are the operators the north rule adds on top of the reference
+pipeline [BASELINE.json:14]: cell encoding of geocoded page entities,
+point-in-polygon join of entity points against street-buffer polygons,
+kNN matching to the nearest inferred sidewalk segment via cell-ring
+expansion, and per-cell raster coverage tiles.
+
+Scale design:
+- The spatial join is compiled to a cell equi-join (build side: polyfill
+  of each buffer, exploded; probe side: the point's cell9) + an exact
+  vectorized ray-casting refine — Catalyst picks broadcast vs SMJ, AQE
+  handles skew coarsely, and dense-cell skew is handled explicitly by the
+  salted aggregation in G6/G7.
+- kNN is a driver-side ring-expansion fixpoint: each round is one
+  equi-join at Chebyshev ring r; a point finishes when its k-th candidate
+  distance is provably below the next ring's lower bound, so results are
+  EXACTLY the brute-force top-k (the DuckDB oracle checks this).
+- All per-row geometry is numpy over Arrow batches (mapInPandas), and the
+  only driver-side loop is the bounded ring expansion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+from ..functions import sqlfns
+from ..kernel import cells, geom
+
+SEG_FACTOR = 1024  # segment_id = way_id * 1024 + edge index
+
+
+def street_segments(net: DataFrame) -> DataFrame:
+    """Explode network polylines into single edges:
+    (way_id, segment_id, alat, alng, blat, blng).  Pure SQL (codegen)."""
+    return net.select(
+        "way_id",
+        F.posexplode(F.expr(
+            "TRANSFORM(SEQUENCE(0, SIZE(lats) - 2), k -> "
+            "STRUCT(lats[k] AS alat, lngs[k] AS alng, lats[k + 1] AS blat, lngs[k + 1] AS blng))"
+        )).alias("edge_no", "e"),
+    ).select(
+        "way_id",
+        (F.col("way_id") * SEG_FACTOR + F.col("edge_no")).alias("segment_id"),
+        F.col("e.alat").alias("alat"), F.col("e.alng").alias("alng"),
+        F.col("e.blat").alias("blat"), F.col("e.blng").alias("blng"),
+    )
+
+
+_BUF_SCHEMA = T.StructType([
+    T.StructField("way_id", T.LongType()),
+    T.StructField("segment_id", T.LongType()),
+    T.StructField("alat", T.DoubleType()), T.StructField("alng", T.DoubleType()),
+    T.StructField("blat", T.DoubleType()), T.StructField("blng", T.DoubleType()),
+    T.StructField("poly_lats", T.ArrayType(T.DoubleType())),
+    T.StructField("poly_lngs", T.ArrayType(T.DoubleType())),
+    T.StructField("cells", T.ArrayType(T.LongType())),
+])
+
+
+def street_buffers(segments: DataFrame,
+                   half_width_m: float = geom.BUFFER_HALF_WIDTH_M,
+                   res: int = cells.DEFAULT_RES) -> DataFrame:
+    """Buffered rectangle polygon + conservative cell cover per segment —
+    the build side of the PIP join (SURVEY.md §1.2 'street_buffers').
+    Vectorized numpy over Arrow batches."""
+
+    def build(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = pdf[["way_id", "segment_id", "alat", "alng", "blat", "blng"]].copy()
+            plats, plngs, ccells = [], [], []
+            for r in pdf.itertuples():
+                bl, bg = geom.buffer_segment(r.alat, r.alng, r.blat, r.blng, half_width_m)
+                plats.append(bl.tolist())
+                plngs.append(bg.tolist())
+                ccells.append(cells.polyfill(bl, bg, res).tolist())
+            out["poly_lats"], out["poly_lngs"], out["cells"] = plats, plngs, ccells
+            yield out
+
+    return segments.mapInPandas(build, _BUF_SCHEMA)
+
+
+_PIP_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("entity", T.StringType()),
+    T.StructField("cell9", T.LongType()),
+    T.StructField("way_id", T.LongType()),
+    T.StructField("segment_id", T.LongType()),
+    T.StructField("dist_m", T.DoubleType()),
+])
+
+
+def pip_join(points: DataFrame, buffers: DataFrame) -> DataFrame:
+    """G4: point-in-polygon spatial join compiled to relational ops:
+    explode(buffer cell cover) -> equi-join on the point's cell9 -> exact
+    ray-casting refine (vectorized over the 4 rectangle edges across the
+    whole Arrow batch — no per-row Python loop)."""
+    build_side = buffers.select(
+        "way_id", "segment_id", "alat", "alng", "blat", "blng",
+        "poly_lats", "poly_lngs", F.explode("cells").alias("cell9"))
+    cand = points.select("url", "entity", "lat", "lng", "cell9").join(build_side, "cell9")
+
+    def refine(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            plat = pdf["lat"].to_numpy()
+            plng = pdf["lng"].to_numpy()
+            vlat = np.stack(pdf["poly_lats"].to_numpy())  # (n, 4)
+            vlng = np.stack(pdf["poly_lngs"].to_numpy())
+            inside = np.zeros(len(pdf), dtype=bool)
+            jj = 3
+            for ii in range(4):
+                vy_i, vy_j = vlat[:, ii], vlat[:, jj]
+                vx_i, vx_j = vlng[:, ii], vlng[:, jj]
+                cond = (vy_i > plat) != (vy_j > plat)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = (vx_j - vx_i) * (plat - vy_i) / (vy_j - vy_i) + vx_i
+                inside ^= cond & (plng < xint)
+                jj = ii
+            hit = pdf[inside]
+            if len(hit) == 0:
+                continue
+            d = geom.point_segment_dist_m(
+                hit["lat"].to_numpy(), hit["lng"].to_numpy(),
+                hit["alat"].to_numpy(), hit["alng"].to_numpy(),
+                hit["blat"].to_numpy(), hit["blng"].to_numpy())
+            out = hit[["url", "entity", "cell9", "way_id", "segment_id"]].copy()
+            out["dist_m"] = d
+            yield out
+
+    return cand.mapInPandas(refine, _PIP_SCHEMA)
+
+
+# --- G5: kNN via cell-ring expansion -----------------------------------------
+
+def segments_by_cell(buffers: DataFrame) -> DataFrame:
+    """Segment cover keyed by cell — the reusable build side for kNN."""
+    return buffers.select(
+        "way_id", "segment_id", "alat", "alng", "blat", "blng",
+        F.explode("cells").alias("cell")).dropDuplicates(["segment_id", "cell"])
+
+
+def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
+             max_ring: int = 8) -> DataFrame:
+    """G5: for each point, the k nearest segments by point-to-segment
+    distance, found by iterative Chebyshev-ring expansion over the cell
+    index.  Exact: a point finishes only when its k-th best distance is
+    below the lower bound of the next unexplored ring, so the result equals
+    brute-force top-k (ties broken by (dist, way_id, segment_id)).
+
+    Driver-side fixpoint (SURVEY.md §3.2); each round = one equi-join on
+    ring cells; accumulated candidates are localCheckpoint-ed to cut
+    lineage.  max_ring bounds the search for isolated points."""
+    res = cells.DEFAULT_RES
+    s = cells.cell_size_deg(res)
+    # conservative meters-per-cell lower bound (lng edge at |lat|<=60)
+    edge_min_m = s * geom.M_PER_DEG * 0.5
+    pts = points.select("url", "entity", "lat", "lng", "cell9").localCheckpoint(eager=True)
+    pending = pts
+    acc = None
+    dist_expr = F.expr(sqlfns.seg_dist_sql("lat", "lng", "alat", "alng", "blat", "blng"))
+    for r in range(max_ring + 1):
+        offs = [(di, dj) for di in range(-r, r + 1) for dj in range(-r, r + 1)
+                if max(abs(di), abs(dj)) == r]
+        ring_cells = F.array(*[
+            F.expr(f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
+                   f"+ (CAST(FLOOR((cell9 % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT) + {dj}) * {sqlfns.POW2_28} "
+                   f"+ (cell9 % {sqlfns.POW2_28} + {di})")
+            for di, dj in offs])
+        probe = pending.withColumn("cell", F.explode(ring_cells))
+        found = (probe.join(seg_cells, "cell")
+                 .select("url", "entity", "lat", "lng", "cell9",
+                         "way_id", "segment_id", dist_expr.alias("dist_m"))
+                 .dropDuplicates(["url", "entity", "segment_id"]))
+        acc = found if acc is None else acc.unionByName(found) \
+            .dropDuplicates(["url", "entity", "segment_id"])
+        acc = acc.localCheckpoint(eager=True)
+        # a point is done when it has >= k candidates and the k-th distance
+        # beats anything a farther ring could contain
+        bound = (r) * edge_min_m
+        wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
+        kth = (acc.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") == k)
+               .select("url", "entity", F.col("dist_m").alias("kth_dist")))
+        done_keys = kth.filter(F.col("kth_dist") <= bound).select("url", "entity")
+        pending = pending.join(done_keys, ["url", "entity"], "left_anti") \
+                         .localCheckpoint(eager=True)
+        if pending.isEmpty():
+            break
+    wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
+    return (acc.withColumn("knn_rank", F.row_number().over(wk))
+            .filter(F.col("knn_rank") <= k)
+            .select("url", "entity", "cell9", "way_id", "segment_id", "dist_m", "knn_rank"))
+
+
+# --- G6: raster coverage tiles -------------------------------------------------
+
+def coverage_tiles(points: DataFrame, matches: DataFrame,
+                   n_sub: int = 4, salt_buckets: int = 16) -> DataFrame:
+    """G6 (+G7 salting): per res-9 cell — page count, matched count,
+    coverage ratio, and an n_sub x n_sub sub-cell raster histogram
+    (row-major array<double>).
+
+    Skew: dense urban cells concentrate keys, so the aggregation runs in
+    two phases — partial agg on (cell9, salt = pmod(hash(url), B)), final
+    agg on cell9 — a map-side-combine-friendly plan that survives hot
+    cells at any scale [BASELINE.json:14 'salted skew handling']."""
+    res = cells.DEFAULT_RES
+    sub_res = res + 2  # 4x per axis
+    s_sub = repr(cells.cell_size_deg(sub_res))
+    sub_idx = (
+        f"(CAST(FLOOR((lat + 90.0) / {s_sub}) AS BIGINT) % {n_sub}) * {n_sub} "
+        f"+ (CAST(FLOOR((lng + 180.0) / {s_sub}) AS BIGINT) % {n_sub})")
+    matched = matches.filter(F.col("knn_rank") == 1).select(
+        "url", "entity", F.lit(1).alias("is_matched"))
+    pts = (points.join(matched, ["url", "entity"], "left")
+           .withColumn("is_matched", F.coalesce("is_matched", F.lit(0)))
+           .withColumn("sub_idx", F.expr(sub_idx))
+           .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
+    partial = pts.groupBy("cell9", "salt", "sub_idx").agg(
+        F.count("*").alias("pn"), F.sum("is_matched").alias("pm"))
+    per_sub = partial.groupBy("cell9", "sub_idx").agg(
+        F.sum("pn").alias("n"), F.sum("pm").alias("m"))
+    tiles = per_sub.groupBy("cell9").agg(
+        F.sum("n").alias("n_pages"),
+        F.sum("m").alias("n_matched"),
+        F.sort_array(F.collect_list(F.struct("sub_idx", "n"))).alias("hist"))
+    raster = F.expr(
+        f"TRANSFORM(SEQUENCE(0, {n_sub * n_sub - 1}), i -> "
+        f"CAST(COALESCE(ELEMENT_AT(MAP_FROM_ENTRIES(hist), CAST(i AS BIGINT)), 0) AS DOUBLE))")
+    return tiles.select(
+        "cell9", "n_pages", "n_matched",
+        F.round(F.col("n_matched") / F.col("n_pages"), 6).alias("coverage"),
+        raster.alias("raster"))

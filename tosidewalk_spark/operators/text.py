@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting, and
+the G2 HTML->text extractor with the byte-identical-per-url invariant
+[BASELINE.json:16].
+
+Everything except the HTML extractor is pure Spark SQL (codegen) with an
+exact DuckDB twin; the extractor is a deterministic, version-pinned
+vectorized pandas UDF (Arrow batches) whose output is golden-hashed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions import sqlfns
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def _tokens(col: str = "text") -> str:
+    return f"FILTER(SPLIT({col}, ' '), t -> LENGTH(t) > 0)"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (len/4 heuristic
+    used by public tokenizer-sizing rules) + char count."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"SIZE({_tokens()})").alias("n_tokens"),
+        F.expr("CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)").alias("n_bpe_est"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: mean word length, stopword ratio,
+    alpha ratio, and a composite score — standard Common-Crawl-style
+    filters (C4/Gopher rules), SQL-only."""
+    toks = _tokens()
+    stop_arr = "ARRAY(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return docs.select(
+        "doc_id", "lang",
+        F.expr(f"SIZE({toks})").alias("n_tokens"),
+        F.expr(f"ROUND(LENGTH(REPLACE(text, ' ', '')) / GREATEST(SIZE({toks}), 1), 6)").alias("mean_word_len"),
+        F.expr(f"ROUND(SIZE(FILTER({toks}, t -> ARRAY_CONTAINS({stop_arr}, t))) / GREATEST(SIZE({toks}), 1), 6)").alias("stopword_ratio"),
+        F.expr("ROUND(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '')) / GREATEST(LENGTH(text), 1), 6)").alias("alpha_ratio"),
+    ).withColumn(
+        "quality",
+        F.round((F.col("alpha_ratio") + F.least(F.col("stopword_ratio") * 4, F.lit(1.0))) / 2, 6))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-free language-ID heuristic: score against tiny per-language
+    marker lexicons; deterministic argmax with fixed tie order."""
+    markers = {
+        "en": ["the", "and", "of", "is"],
+        "de": ["der", "und", "die", "ist"],
+        "fr": ["le", "et", "la", "est"],
+        "es": ["el", "y", "la", "es"],
+    }
+    toks = _tokens()
+    scores = [
+        F.expr(f"SIZE(FILTER({toks}, t -> ARRAY_CONTAINS(ARRAY("
+               + ",".join(f"'{w}'" for w in ws) + "), t)))").alias(f"s_{lg}")
+        for lg, ws in markers.items()
+    ]
+    df = docs.select("doc_id", "lang", *scores)
+    best = F.expr(
+        "CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END")
+    return df.select("doc_id", F.col("lang").alias("lang_declared"),
+                     best.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash of the full text —
+    the cheap exact-dup key (shared hash, oracle twin available)."""
+    return docs.select(
+        "doc_id", F.expr(sqlfns.polyhash_spark("text")).alias("fingerprint"))
+
+
+# --- G2: HTML -> text extraction (pages table) -------------------------------
+
+_EXTRACT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+EXTRACTOR_VERSION = 1  # frozen: changing this breaks the byte-identity gate
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """G2: deterministic HTML->text over the binary html column.  The
+    per-row invariant is byte-identical text per url across runs and
+    parallelism levels [BASELINE.json:16]: strip tags, decode utf-8,
+    collapse whitespace, strip ends.  Vectorized over Arrow batches."""
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            texts = []
+            for h in pdf["html"]:
+                raw = _TAG_RE.sub(b" ", bytes(h))
+                texts.append(_WS_RE.sub(" ", raw.decode("utf-8", "replace")).strip())
+            yield pd.DataFrame({"url": pdf["url"], "text": texts})
+
+    return pages.select("url", "html").mapInPandas(run, _EXTRACT_SCHEMA)

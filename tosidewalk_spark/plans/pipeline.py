@@ -1,0 +1,75 @@
+"""End-to-end staged pipeline (SURVEY.md §3.2): street-network inference
+(reference preprocess order: filter -> join-ways -> split -> parallel-merge
+-> simplify -> drop-short), sidewalk + crosswalk synthesis, then the graft
+spatial stages (geo-encode -> buffers -> PIP join -> kNN -> tiles).
+
+Deviation from the reference stage order, documented: the reference runs
+node-merge (R8) between parallel-merge and simplify; here R8 is a
+standalone tested operator (operators.network.merge_nodes) applied on the
+node/way form before geometry gathering — the gw-shaped pipeline keeps
+coordinates inline, and merged-node dedup on gw rows lands in a later
+round.  Output semantics for the graft tables are unaffected (buffers/
+join/kNN/tiles depend only on way geometry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernel import geom
+from ..operators import network as N
+from ..operators import sidewalks as SW
+from ..operators import spatial as SP
+from ..sources import synth
+
+
+def build_network(nodes: DataFrame, ways: DataFrame,
+                  merge_close_nodes: bool = True) -> DataFrame:
+    """Street network -> full inferred network (streets U sidewalks U
+    crosswalks) in the unified gw schema (way_id, kind, highway, node_ids,
+    lats, lngs)."""
+    streets = N.filter_streets(ways)
+    if merge_close_nodes:
+        nodes, streets = N.merge_nodes(nodes, streets)
+    streets = N.join_segmented_ways(streets)
+    inter = N.intersections(streets)
+    segs = N.split_streets(streets, inter)
+    gw = N.geom_ways(nodes, segs)
+    pairs = N.find_parallel_pairs(gw)
+    gw = N.merge_parallel_pairs(gw, pairs)
+    gw = N.simplify_gw(gw)
+    gw = N.drop_short_gw(gw)
+    full_inter_gw = N.geom_ways(nodes, streets)  # arms from unsplit streets
+    sidewalks = SW.make_sidewalks(gw)
+    crosswalks = SW.make_crosswalks(full_inter_gw, inter)
+    corners = SW.crosswalk_corner_nodes(crosswalks)
+    sidewalks = SW.rewire_sidewalk_endpoints(sidewalks, corners)
+    return SW.union_network(gw, sidewalks, crosswalks)
+
+
+def run_graft(points: DataFrame, net: DataFrame, k: int = 1) -> dict[str, DataFrame]:
+    """Graft spatial stages over an inferred network: returns
+    {'buffers', 'join_out', 'knn', 'tiles'}.  ``points`` must carry
+    (url, entity, lat, lng, cell9)."""
+    sidewalk_net = net.filter(F.col("kind") == "sidewalk")
+    segments = SP.street_segments(sidewalk_net)
+    buffers = SP.street_buffers(segments)
+    join_out = SP.pip_join(points, buffers)
+    seg_cells = SP.segments_by_cell(buffers)
+    knn = SP.knn_join(points, seg_cells, k=k)
+    tiles = SP.coverage_tiles(points, knn)
+    return {"buffers": buffers, "join_out": join_out, "knn": knn, "tiles": tiles}
+
+
+def flagship(spark: SparkSession, sf_dir: str, grid: int = 8) -> DataFrame:
+    """The headline query (entry() contract): documents-derived geo points
+    vs the grid-city inferred sidewalk network -> coverage tiles joined
+    with kNN match stats.  Returns one row per populated res-9 cell."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    points = synth.geo_entities_from_documents(docs)
+    nodes, ways = synth.osm_grid(spark, g=grid)
+    net = build_network(nodes, ways)
+    out = run_graft(points, net, k=1)
+    return (out["tiles"]
+            .orderBy("cell9")
+            .select("cell9", "n_pages", "n_matched", "coverage", "raster"))

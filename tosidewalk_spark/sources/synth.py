@@ -81,6 +81,34 @@ def geo_entities(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
     )
 
 
+def geo_entities_from_documents(docs: DataFrame) -> DataFrame:
+    """Pages-proxy geo entities derived from the driver's read-only
+    ``documents`` table (FIXTURES.md §4): url/entity/lat/lng/cell9 are all
+    pure SQL functions of doc_id, so the DuckDB oracle can reproduce every
+    row bit-for-bit (geo_entities_duckdb_sql below is the twin)."""
+    ent = f"CONCAT('poi_', CAST((doc_id * 7) % {N_ENTITIES} AS STRING))"
+    lat, lng = entity_latlng_sql(ent)
+    return docs.select(
+        F.expr("CONCAT('https://site', CAST(doc_id % 997 AS STRING), '.example/p/', CAST(doc_id AS STRING))").alias("url"),
+        F.expr(ent).alias("entity"),
+        F.expr(lat).alias("lat"),
+        F.expr(lng).alias("lng"),
+        F.expr(sqlfns.cell_sql(lat, lng, 9)).alias("cell9"),
+    )
+
+
+def geo_entities_duckdb_sql() -> str:
+    """DuckDB twin of geo_entities_from_documents: a SELECT over the
+    pre-registered ``documents`` view producing identical rows."""
+    ent = f"CONCAT('poi_', CAST((doc_id * 7) % {N_ENTITIES} AS VARCHAR))"
+    lat, lng = entity_latlng_sql_duckdb(ent)
+    return (
+        f"SELECT CONCAT('https://site', CAST(doc_id % 997 AS VARCHAR), '.example/p/', CAST(doc_id AS VARCHAR)) AS url, "
+        f"{ent} AS entity, {lat} AS lat, {lng} AS lng, "
+        f"{sqlfns.cell_sql(lat, lng, 9)} AS cell9 FROM documents"
+    )
+
+
 def osm_grid(spark: SparkSession, g: int = 8, with_noise_ways: bool = True
              ) -> tuple[DataFrame, DataFrame]:
     """Grid-city street network (FIXTURES.md §1 'osm_nodes/osm_ways'):
