@@ -70,3 +70,14 @@ def test_polyhash_three_way(spark):
     got_d = np.array(duckdb.sql(f"SELECT {sqlfns.polyhash_duckdb('s')} AS v FROM words").df()["v"], dtype=np.int64)
     assert np.array_equal(want, got_s)
     assert np.array_equal(want, got_d)
+
+
+def test_coslat_and_equirect_bit_identical(spark):
+    want_cos = geom.coslat(LAT)
+    expr = sqlfns.coslat_sql("lat")
+    assert np.array_equal(want_cos, _spark_eval(spark, expr, np.float64))
+    assert np.array_equal(want_cos, _duck_eval(expr, np.float64))
+    want_d = geom.equirect_m(LAT, LNG, LAT2, LNG2)
+    dexpr = sqlfns.equirect_dist_sql("lat", "lng", "lat2", "lng2")
+    assert np.array_equal(want_d, _spark_eval(spark, dexpr, np.float64))
+    assert np.array_equal(want_d, _duck_eval(dexpr, np.float64))

@@ -20,17 +20,28 @@ from ..kernel import cells as _cells
 POW2_56 = 72057594037927936  # 2**56
 POW2_28 = 268435456          # 2**28
 HASH_P = _cells.HASH_P
-M = "111111.0"
-EARTH_R = "6371009.0"
+
+
+def dlit(x: float) -> str:
+    """Emit a float as a DOUBLE literal valid in both Spark and DuckDB.
+    Plain fractional literals parse as DECIMAL in both engines (and chained
+    DECIMAL multiplication overflows DuckDB's max scale), so force exponent
+    notation — exponent literals are DOUBLE everywhere."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+M = "111111.0e0"
+EARTH_R = "6371009.0e0"
 
 
 def cell_sql(lat: str, lng: str, res: int = 9) -> str:
     """Cell id at resolution ``res`` — mirror of kernel.cells.cell."""
-    s = repr(360.0 / float(2 ** (res + 9)))
+    s = dlit(360.0 / float(2 ** (res + 9)))
     return (
         f"(CAST({res} AS BIGINT) * {POW2_56} "
-        f"+ CAST(FLOOR(({lat} + 90.0) / {s}) AS BIGINT) * {POW2_28} "
-        f"+ CAST(FLOOR(({lng} + 180.0) / {s}) AS BIGINT))"
+        f"+ CAST(FLOOR(({lat} + 90.0e0) / {s}) AS BIGINT) * {POW2_28} "
+        f"+ CAST(FLOOR(({lng} + 180.0e0) / {s}) AS BIGINT))"
     )
 
 
@@ -51,11 +62,32 @@ def parent_sql(cell: str, res: int, parent_res: int) -> str:
 def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
     """Great-circle meters — mirror of kernel.geom.haversine_m."""
     return (
-        f"(2.0 * {EARTH_R} * ASIN(SQRT("
-        f"POWER(SIN(RADIANS(({lat2}) - ({lat1})) / 2.0), 2) "
+        f"(2.0e0 * {EARTH_R} * ASIN(SQRT("
+        f"POWER(SIN(RADIANS(({lat2}) - ({lat1})) / 2.0e0), 2) "
         f"+ COS(RADIANS({lat1})) * COS(RADIANS({lat2})) "
-        f"* POWER(SIN(RADIANS(({lng2}) - ({lng1})) / 2.0), 2))))"
+        f"* POWER(SIN(RADIANS(({lng2}) - ({lng1})) / 2.0e0), 2))))"
     )
+
+
+RAD = "0.017453292519943295e0"
+
+
+def coslat_sql(lat: str) -> str:
+    """cos(radians(lat)) as the shared degree-8 Horner polynomial — twin of
+    kernel.geom.coslat.  +-* only, so Spark, DuckDB and numpy produce the
+    SAME double bit-for-bit (libm cos does not guarantee that)."""
+    t = f"(({lat}) * {RAD})"
+    t2 = f"({t} * {t})"
+    return (f"(1.0e0 + {t2} * (-0.5e0 + {t2} * (0.041666666666666664e0 "
+            f"+ {t2} * (-0.001388888888888889e0 + {t2} * 2.48015873015873e-05))))")
+
+
+def equirect_dist_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """Planar equirectangular meters anchored at point 1 — twin of
+    kernel.geom.equirect_m; bit-identical across engines (poly cos)."""
+    dx = f"((({lng2}) - ({lng1})) * {coslat_sql(lat1)} * {M})"
+    dy = f"((({lat2}) - ({lat1})) * {M})"
+    return f"(SQRT({dx} * {dx} + {dy} * {dy}))"
 
 
 def seg_dist_sql(plat: str, plng: str, alat: str, alng: str,
@@ -64,14 +96,15 @@ def seg_dist_sql(plat: str, plng: str, alat: str, alng: str,
 
     Equirectangular frame anchored at the segment start; clamp the
     projection parameter to [0, 1].  The tiny denominator epsilon guards
-    zero-length segments identically in both engines."""
-    c = f"(COS(RADIANS({alat})) * {M})"
+    zero-length segments identically in both engines.  Uses the shared
+    polynomial cos so all three engines agree bit-for-bit."""
+    c = f"({coslat_sql(alat)} * {M})"
     mx = f"((({blng}) - ({alng})) * {c})"
     my = f"((({blat}) - ({alat})) * {M})"
     px = f"((({plng}) - ({alng})) * {c})"
     py = f"((({plat}) - ({alat})) * {M})"
     seg2 = f"({mx} * {mx} + {my} * {my} + 1e-300)"
-    t = f"LEAST(GREATEST(({px} * {mx} + {py} * {my}) / {seg2}, 0.0), 1.0)"
+    t = f"LEAST(GREATEST(({px} * {mx} + {py} * {my}) / {seg2}, 0.0e0), 1.0e0)"
     return (
         f"(SQRT(POWER({px} - ({t}) * {mx}, 2) "
         f"+ POWER({py} - ({t}) * {my}, 2)))"

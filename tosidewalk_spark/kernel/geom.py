@@ -24,6 +24,26 @@ import numpy as np
 
 M_PER_DEG = 111111.0  # meters per degree of latitude (reference R10 constant)
 EARTH_R = 6371009.0   # mean earth radius, meters (haversine)
+RAD = 0.017453292519943295  # pi / 180, frozen literal shared with sqlfns
+
+# cos(radians(lat)) as a degree-8 Taylor/Horner polynomial.  Rationale
+# (SURVEY.md correctness design): libm cos differs in the last ulp between
+# the JVM, numpy and DuckDB, which would make cross-engine value-hash
+# comparisons flaky; +-*/ and sqrt are IEEE exact-rounded, so a fixed
+# Horner polynomial evaluated in the same op order is BIT-IDENTICAL in all
+# three engines.  Relative error < 5e-8 for |lat| <= 60 deg — irrelevant at
+# city scale, and the approximation IS the engine's frozen metric.
+_C2 = -0.5
+_C4 = 1.0 / 24.0
+_C6 = -1.0 / 720.0
+_C8 = 1.0 / 40320.0
+
+
+def coslat(lat_deg):
+    """Shared polynomial cos(radians(lat)) — twin of sqlfns.coslat_sql."""
+    t = np.asarray(lat_deg, dtype=np.float64) * RAD
+    t2 = t * t
+    return 1.0 + t2 * (_C2 + t2 * (_C4 + t2 * (_C6 + t2 * _C8)))
 
 # Pipeline constants (reference values unverifiable this session — these are
 # the engine's frozen semantics, golden-tested; re-check when the reference
@@ -63,7 +83,7 @@ def equirect_xy(lat, lng, lat0, lng0):
     """Project to the local meter frame anchored at (lat0, lng0)."""
     lat = np.asarray(lat, dtype=np.float64)
     lng = np.asarray(lng, dtype=np.float64)
-    x = (lng - lng0) * np.cos(np.radians(lat0)) * M_PER_DEG
+    x = (lng - lng0) * coslat(lat0) * M_PER_DEG
     y = (lat - lat0) * M_PER_DEG
     return x, y
 
@@ -76,7 +96,7 @@ def latlng_offset(lat, lng, dx_m, dy_m):
     lat = np.asarray(lat, dtype=np.float64)
     lng = np.asarray(lng, dtype=np.float64)
     nlat = lat + np.asarray(dy_m) / M_PER_DEG
-    nlng = lng + np.asarray(dx_m) / (M_PER_DEG * np.cos(np.radians(lat)))
+    nlng = lng + np.asarray(dx_m) / (M_PER_DEG * coslat(lat))
     return nlat, nlng
 
 
@@ -115,7 +135,7 @@ def offset_polyline(lats, lngs, dist_m):
     rx, ry = x + vy * dist_m, y - vx * dist_m
     def unproject(px, py):
         plat = lat0 + py / M_PER_DEG
-        plng = lng0 + px / (M_PER_DEG * np.cos(np.radians(lat0)))
+        plng = lng0 + px / (M_PER_DEG * coslat(lat0))
         return plat, plng
     llat, llng = unproject(lx, ly)
     rlat, rlng = unproject(rx, ry)
@@ -155,7 +175,7 @@ def crosswalk_corners(center_lat, center_lng, arm_lats, arm_lngs,
     bl = np.where(degen, 1.0, bl)
     cx, cy = bx / bl * dist_m, by / bl * dist_m
     clat = center_lat + cy / M_PER_DEG
-    clng = center_lng + cx / (M_PER_DEG * np.cos(np.radians(center_lat)))
+    clng = center_lng + cx / (M_PER_DEG * coslat(center_lat))
     return clat, clng, order
 
 
@@ -228,7 +248,7 @@ def buffer_segment(alat, alng, blat, blng, half_width_m=BUFFER_HALF_WIDTH_M):
     cx = np.array([x[0] + nx, x[1] + nx, x[1] - nx, x[0] - nx])
     cy = np.array([y[0] + ny, y[1] + ny, y[1] - ny, y[0] - ny])
     clat = alat + cy / M_PER_DEG
-    clng = alng + cx / (M_PER_DEG * np.cos(np.radians(alat)))
+    clng = alng + cx / (M_PER_DEG * coslat(alat))
     return clat, clng
 
 
@@ -241,7 +261,7 @@ def point_segment_dist_m(plat, plng, alat, alng, blat, blng):
     plat = np.asarray(plat, dtype=np.float64); plng = np.asarray(plng, dtype=np.float64)
     alat = np.asarray(alat, dtype=np.float64); alng = np.asarray(alng, dtype=np.float64)
     blat = np.asarray(blat, dtype=np.float64); blng = np.asarray(blng, dtype=np.float64)
-    c = np.cos(np.radians(alat)) * M_PER_DEG
+    c = coslat(alat) * M_PER_DEG
     mx, my = (blng - alng) * c, (blat - alat) * M_PER_DEG
     px, py = (plng - alng) * c, (plat - alat) * M_PER_DEG
     seg2 = mx * mx + my * my
@@ -255,3 +275,13 @@ def polyline_length_m(lats, lngs):
     lngs = np.asarray(lngs, dtype=np.float64)
     x, y = equirect_xy(lats, lngs, lats[0], lngs[0])
     return float(np.sum(np.hypot(np.diff(x), np.diff(y))))
+
+
+def equirect_m(lat1, lng1, lat2, lng2):
+    """Planar equirectangular meters anchored at point 1 — twin of
+    sqlfns.equirect_dist_sql (bit-identical: poly cos, exact-rounded ops)."""
+    lat1 = np.asarray(lat1, dtype=np.float64); lng1 = np.asarray(lng1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64); lng2 = np.asarray(lng2, dtype=np.float64)
+    dx = (lng2 - lng1) * coslat(lat1) * M_PER_DEG
+    dy = (lat2 - lat1) * M_PER_DEG
+    return np.sqrt(dx * dx + dy * dy)

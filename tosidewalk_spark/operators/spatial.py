@@ -202,9 +202,9 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
 
 def coverage_tiles(points: DataFrame, matches: DataFrame,
                    n_sub: int = 4, salt_buckets: int = 16) -> DataFrame:
-    """G6 (+G7 salting): per res-9 cell — page count, matched count,
-    coverage ratio, and an n_sub x n_sub sub-cell raster histogram
-    (row-major array<double>).
+    """G6 (+G7 salting): per res-9 cell — page count, matched count
+    (matched = point appeared in the PIP join output), coverage ratio, and
+    an n_sub x n_sub sub-cell raster histogram (row-major array<double>).
 
     Skew: dense urban cells concentrate keys, so the aggregation runs in
     two phases — partial agg on (cell9, salt = pmod(hash(url), B)), final
@@ -216,8 +216,8 @@ def coverage_tiles(points: DataFrame, matches: DataFrame,
     sub_idx = (
         f"(CAST(FLOOR((lat + 90.0) / {s_sub}) AS BIGINT) % {n_sub}) * {n_sub} "
         f"+ (CAST(FLOOR((lng + 180.0) / {s_sub}) AS BIGINT) % {n_sub})")
-    matched = matches.filter(F.col("knn_rank") == 1).select(
-        "url", "entity", F.lit(1).alias("is_matched"))
+    matched = matches.select("url", "entity").distinct() \
+        .withColumn("is_matched", F.lit(1))
     pts = (points.join(matched, ["url", "entity"], "left")
            .withColumn("is_matched", F.coalesce("is_matched", F.lit(0)))
            .withColumn("sub_idx", F.expr(sub_idx))

@@ -30,9 +30,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
     used by public tokenizer-sizing rules) + char count."""
     return docs.select(
         "doc_id",
-        F.expr(f"SIZE({_tokens()})").alias("n_tokens"),
+        F.expr(f"CAST(SIZE({_tokens()}) AS BIGINT)").alias("n_tokens"),
         F.expr("CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)").alias("n_bpe_est"),
-        F.length("text").alias("n_chars_measured"),
+        F.length("text").cast("long").alias("n_chars_measured"),
     )
 
 
@@ -44,7 +44,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stop_arr = "ARRAY(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
     return docs.select(
         "doc_id", "lang",
-        F.expr(f"SIZE({toks})").alias("n_tokens"),
+        F.expr(f"CAST(SIZE({toks}) AS BIGINT)").alias("n_tokens"),
         F.expr(f"ROUND(LENGTH(REPLACE(text, ' ', '')) / GREATEST(SIZE({toks}), 1), 6)").alias("mean_word_len"),
         F.expr(f"ROUND(SIZE(FILTER({toks}, t -> ARRAY_CONTAINS({stop_arr}, t))) / GREATEST(SIZE({toks}), 1), 6)").alias("stopword_ratio"),
         F.expr("ROUND(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '')) / GREATEST(LENGTH(text), 1), 6)").alias("alpha_ratio"),

@@ -1,0 +1,617 @@
+"""Query + DuckDB-oracle registry backing __spark_entry__.py.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (Spark query,
+DuckDB oracle) pair over the driver's read-only tables (documents,
+embeddings, events, lineitem).  Design rules that make the driver's
+row-count + schema + value-hash comparison pass:
+
+- shared arithmetic: both sides evaluate the SAME template strings from
+  functions/sqlfns.py (cell ids, haversine, seg-dist, polynomial hash);
+- compared float columns are ROUND-ed in the query itself (6 decimals for
+  geometry degrees/cosines, 4 for meters) so last-ulp libm differences
+  between the JVM, numpy and DuckDB cannot flip the hash;
+- ties in every row_number window are broken by a deterministic column;
+- id-scheme-dependent columns are never compared — geometry keys
+  (rounded midpoints) identify segments instead.
+
+The geospatial queries run the REAL engine operators (split_streets,
+make_sidewalks, street_buffers, pip_join, knn_join, coverage_tiles) on the
+deterministic grid city; the oracle reproduces their closed-form geometry
+relationally from range() — axis-aligned streets make the buffers exact
+bboxes and the sidewalk offsets pure +-constant shifts, so the oracle is
+simple while the engine path exercises the full UDF machinery.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import sqlfns
+from ..kernel import geom
+from ..operators import dedup, network as N, sidewalks as SW, spatial as SP, text
+from ..sources import synth
+
+G = 8  # grid size for oracle-checked geospatial queries
+LAT_STEP = synth.LAT_STEP
+LNG_STEP = synth.LNG_STEP
+CITY_LAT = synth.CITY_LAT
+CITY_LNG = synth.CITY_LNG
+OFF_M = geom.SIDEWALK_OFFSET_M
+HW = geom.BUFFER_HALF_WIDTH_M
+# bbox (+small margin) keeping kNN ring expansion short and both engines identical
+LAT_LO = sqlfns.dlit(CITY_LAT - 0.0002)
+LAT_HI = sqlfns.dlit(CITY_LAT + (G - 1) * LAT_STEP + 0.0002)
+LNG_LO = sqlfns.dlit(CITY_LNG - 0.0002)
+LNG_HI = sqlfns.dlit(CITY_LNG + (G - 1) * LNG_STEP + 0.0002)
+
+
+# --------------------------------------------------------------------------
+# shared builders — Spark side
+# --------------------------------------------------------------------------
+
+def _points(spark: SparkSession, sf_dir: str, bbox: bool = False) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = synth.geo_entities_from_documents(docs)
+    if bbox:
+        pts = pts.filter(
+            f"lat > {LAT_LO} AND lat < {LAT_HI} AND lng > {LNG_LO} AND lng < {LNG_HI}")
+    return pts
+
+
+def _grid_sidewalk_segments(spark: SparkSession) -> DataFrame:
+    """Engine path: grid -> R1 filter -> R5 split -> R12/R13 sidewalks ->
+    per-edge segments.  (No way-join / parallel-merge here: the oracle's
+    closed form needs the plain grid; the full pipeline is exercised by
+    entry() and pytest.)"""
+    nodes, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    streets = N.filter_streets(ways)
+    segs = N.split_streets(streets)
+    gw = N.geom_ways(nodes, segs)
+    sw = SW.make_sidewalks(gw, offset_m=OFF_M)
+    return SP.street_segments(sw)
+
+
+def _grid_buffers(spark: SparkSession) -> DataFrame:
+    return SP.street_buffers(_grid_sidewalk_segments(spark), half_width_m=HW)
+
+
+# --------------------------------------------------------------------------
+# shared builders — DuckDB side (closed-form grid geometry)
+# --------------------------------------------------------------------------
+
+def _duck_points(bbox: bool = False) -> str:
+    q = synth.geo_entities_duckdb_sql()
+    if bbox:
+        q = (f"SELECT * FROM ({q}) WHERE lat > {LAT_LO} AND lat < {LAT_HI} "
+             f"AND lng > {LNG_LO} AND lng < {LNG_HI}")
+    return q
+
+
+def _duck_sidewalk_segments() -> str:
+    """Closed-form sidewalk edges of the grid city: for every street edge,
+    two parallel sidewalk edges offset +-4 m perpendicular.  Horizontal
+    streets shift lat by OFF/111111; vertical streets shift lng by
+    OFF/(111111*cos(radians(alat))), matching the engine's equirect
+    anchor (= segment start vertex)."""
+    dlat = sqlfns.dlit(OFF_M / 111111.0)
+    dlng = f"({sqlfns.dlit(OFF_M)} / (111111.0 * {sqlfns.coslat_sql(f'47.6e0 + j * {sqlfns.dlit(LAT_STEP)}')}))"
+    return f"""
+    SELECT 47.6e0 + j * {sqlfns.dlit(LAT_STEP)} + s * {dlat} AS alat,
+           -122.33e0 + k * {sqlfns.dlit(LNG_STEP)} AS alng,
+           47.6e0 + j * {sqlfns.dlit(LAT_STEP)} + s * {dlat} AS blat,
+           -122.33e0 + (k + 1) * {sqlfns.dlit(LNG_STEP)} AS blng
+    FROM range(0, {G}) t(j), range(0, {G - 1}) u(k), (VALUES (1), (-1)) v(s)
+    UNION ALL
+    SELECT 47.6e0 + j * {sqlfns.dlit(LAT_STEP)} AS alat,
+           -122.33e0 + k * {sqlfns.dlit(LNG_STEP)} + s * {dlng} AS alng,
+           47.6e0 + (j + 1) * {sqlfns.dlit(LAT_STEP)} AS blat,
+           -122.33e0 + k * {sqlfns.dlit(LNG_STEP)} + s * {dlng} AS blng
+    FROM range(0, {G - 1}) t(j), range(0, {G}) u(k), (VALUES (1), (-1)) v(s)
+    """
+
+
+def _duck_pip_pairs() -> str:
+    """Points x sidewalk buffers, exact bbox containment (axis-aligned
+    rectangles with flat caps == engine ray-cast on the same corners)."""
+    dlat = f"({sqlfns.dlit(HW)} / 111111.0)"
+    dlng = f"({sqlfns.dlit(HW)} / (111111.0 * {sqlfns.coslat_sql('s.alat')}))"
+    dist = sqlfns.seg_dist_sql("p.lat", "p.lng", "s.alat", "s.alng", "s.blat", "s.blng")
+    return f"""
+    SELECT p.url, p.entity, p.cell9,
+           ROUND({dist}, 4) AS dist_r4,
+           ROUND((s.alat + s.blat) / 2, 6) AS seg_mid_lat,
+           ROUND((s.alng + s.blng) / 2, 6) AS seg_mid_lng
+    FROM ({_duck_points(bbox=True)}) p, ({_duck_sidewalk_segments()}) s
+    WHERE (CASE WHEN s.alat = s.blat
+           THEN p.lat > s.alat - {dlat} AND p.lat < s.alat + {dlat}
+                AND p.lng > LEAST(s.alng, s.blng) AND p.lng < GREATEST(s.alng, s.blng)
+           ELSE p.lng > s.alng - {dlng} AND p.lng < s.alng + {dlng}
+                AND p.lat > LEAST(s.alat, s.blat) AND p.lat < GREATEST(s.alat, s.blat) END)
+    """
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_g3_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir)
+
+
+def o_g3_cell_encode() -> str:
+    return _duck_points()
+
+
+def q_g3_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    return (pts.withColumn("cell5", F.expr(sqlfns.parent_sql("cell9", 9, 5)))
+            .groupBy("cell5").agg(F.count("*").alias("n_points"),
+                                  F.countDistinct("entity").alias("n_entities")))
+
+
+def o_g3_parent_rollup() -> str:
+    return (f"SELECT {sqlfns.parent_sql('cell9', 9, 5)} AS cell5, "
+            f"COUNT(*) AS n_points, COUNT(DISTINCT entity) AS n_entities "
+            f"FROM ({_duck_points()}) GROUP BY 1")
+
+
+def q_r9_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 geodesic scalar (equirectangular planar metric — the poly-cos
+    variant is bit-identical across engines, no rounding risk)."""
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "url", "entity",
+        F.expr(f"ROUND({sqlfns.equirect_dist_sql('lat', 'lng', '47.6', '-122.33')}, 6)")
+        .alias("dist_center_m"))
+
+
+def o_r9_distance() -> str:
+    return (f"SELECT url, entity, "
+            f"ROUND({sqlfns.equirect_dist_sql('lat', 'lng', '47.6', '-122.33')}, 6) AS dist_center_m "
+            f"FROM ({_duck_points()})")
+
+
+def q_r3_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    return N.intersections(N.filter_streets(ways)).orderBy("node_id")
+
+
+def o_r3_intersections() -> str:
+    # every grid node is shared by exactly its row way and column way
+    return (f"SELECT i AS node_id, CAST(2 AS BIGINT) AS n_ways, "
+            f"CAST(2 AS BIGINT) AS n_refs FROM range(0, {G * G}) t(i)")
+
+
+def q_r5_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    segs = N.split_streets(N.filter_streets(ways))
+    return segs.groupBy("parent_way_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.size("node_ids")).alias("n_vertex_refs"))
+
+
+def o_r5_split_counts() -> str:
+    # each g-vertex way splits into g-1 two-vertex segments
+    return (f"SELECT i AS parent_way_id, CAST({G - 1} AS BIGINT) AS n_segments, "
+            f"CAST({2 * (G - 1)} AS BIGINT) AS n_vertex_refs FROM range(0, {2 * G}) t(i)")
+
+
+def q_r12_sidewalk_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = _grid_sidewalk_segments(spark)
+    return segs.select(
+        F.explode(F.array(
+            F.struct(F.round("alat", 9).alias("vlat"), F.round("alng", 9).alias("vlng")),
+            F.struct(F.round("blat", 9).alias("vlat"), F.round("blng", 9).alias("vlng")),
+        )).alias("v")).select("v.vlat", "v.vlng").distinct()
+
+
+def o_r12_sidewalk_vertices() -> str:
+    return (f"SELECT DISTINCT ROUND(vlat, 9) AS vlat, ROUND(vlng, 9) AS vlng FROM ("
+            f"SELECT alat AS vlat, alng AS vlng FROM ({_duck_sidewalk_segments()}) "
+            f"UNION ALL SELECT blat, blng FROM ({_duck_sidewalk_segments()}))")
+
+
+def q_g4_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir, bbox=True)
+    out = SP.pip_join(pts, _grid_buffers(spark))
+    bufs = _grid_buffers(spark).select(
+        "segment_id",
+        F.round((F.col("alat") + F.col("blat")) / 2, 6).alias("seg_mid_lat"),
+        F.round((F.col("alng") + F.col("blng")) / 2, 6).alias("seg_mid_lng"))
+    return (out.join(bufs, "segment_id")
+            .select("url", "entity", "cell9", F.round("dist_m", 4).alias("dist_r4"),
+                    "seg_mid_lat", "seg_mid_lng"))
+
+
+def o_g4_pip_join() -> str:
+    return _duck_pip_pairs()
+
+
+def q_g5_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir, bbox=True)
+    seg_cells = SP.segments_by_cell(_grid_buffers(spark))
+    knn = SP.knn_join(pts, seg_cells, k=3, max_ring=6)
+    return knn.select("url", "entity", "knn_rank", F.round("dist_m", 4).alias("dist_r4"))
+
+
+def o_g5_knn() -> str:
+    dist = sqlfns.seg_dist_sql("p.lat", "p.lng", "s.alat", "s.alng", "s.blat", "s.blng")
+    return f"""
+    SELECT url, entity, CAST(knn_rank AS INT) AS knn_rank, ROUND(dist_m, 4) AS dist_r4 FROM (
+      SELECT p.url, p.entity, {dist} AS dist_m,
+             ROW_NUMBER() OVER (PARTITION BY p.url, p.entity
+                                ORDER BY {dist}, s.alat, s.alng, s.blat) AS knn_rank
+      FROM ({_duck_points(bbox=True)}) p, ({_duck_sidewalk_segments()}) s
+    ) WHERE knn_rank <= 3
+    """
+
+
+def q_g6_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir, bbox=True)
+    matches = SP.pip_join(pts, _grid_buffers(spark))
+    tiles = SP.coverage_tiles(pts, matches)
+    return tiles.select(
+        "cell9", "n_pages", "n_matched", "coverage",
+        F.expr("CONCAT_WS(',', TRANSFORM(raster, x -> CAST(CAST(x AS BIGINT) AS STRING)))")
+        .alias("raster_csv"))
+
+
+def o_g6_tiles() -> str:
+    s_sub = sqlfns.dlit(360.0 / float(2 ** (11 + 9)))
+    sub_idx = (f"(CAST(FLOOR((lat + 90.0) / {s_sub}) AS BIGINT) % 4) * 4 "
+               f"+ (CAST(FLOOR((lng + 180.0) / {s_sub}) AS BIGINT) % 4)")
+    return f"""
+    WITH pts AS (SELECT * FROM ({_duck_points(bbox=True)})),
+    matched AS (SELECT DISTINCT url, entity FROM ({_duck_pip_pairs()})),
+    flagged AS (
+      SELECT p.cell9, {sub_idx} AS sub_idx,
+             CASE WHEN m.url IS NULL THEN 0 ELSE 1 END AS is_matched
+      FROM pts p LEFT JOIN matched m ON p.url = m.url AND p.entity = m.entity),
+    per_sub AS (SELECT cell9, sub_idx, COUNT(*) AS n, CAST(SUM(is_matched) AS BIGINT) AS m
+                FROM flagged GROUP BY 1, 2),
+    cellz AS (SELECT cell9, CAST(SUM(n) AS BIGINT) AS n_pages,
+                     CAST(SUM(m) AS BIGINT) AS n_matched FROM per_sub GROUP BY 1),
+    raster AS (
+      SELECT c.cell9, STRING_AGG(CAST(COALESCE(p.n, 0) AS VARCHAR), ',' ORDER BY r.i) AS raster_csv
+      FROM cellz c CROSS JOIN range(0, 16) r(i)
+      LEFT JOIN per_sub p ON p.cell9 = c.cell9 AND p.sub_idx = r.i
+      GROUP BY c.cell9)
+    SELECT c.cell9, c.n_pages, c.n_matched,
+           ROUND(CAST(c.n_matched AS DOUBLE) / c.n_pages, 6) AS coverage, raster_csv
+    FROM cellz c JOIN raster USING (cell9)
+    """
+
+
+# --- dedup / text / similarity ------------------------------------------------
+
+def _duck_tokens(col: str = "text") -> str:
+    return f"list_filter(string_split({col}, ' '), t -> length(t) > 0)"
+
+
+def _duck_token_hashes(col: str = "text") -> str:
+    return (f"list_transform(list_distinct({_duck_tokens(col)}), t -> "
+            + sqlfns.polyhash_duckdb("t") + ")")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs)
+
+
+def o_exact_dedup() -> str:
+    return ("SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dupes "
+            "FROM documents GROUP BY text")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprint(docs)
+
+
+def o_fingerprint() -> str:
+    return f"SELECT doc_id, {sqlfns.polyhash_duckdb('text')} AS fingerprint FROM documents"
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs)
+
+
+def o_minhash_lsh() -> str:
+    th = _duck_token_hashes()
+    r = len(dedup.MINHASH_PERMS) // dedup.LSH_BANDS
+    mins = ", ".join(
+        f"{sqlfns.minhash_duckdb('th', a, b)} AS m{k}"
+        for k, (a, b) in enumerate(dedup.MINHASH_PERMS))
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bno} AS band_no, CONCAT_WS(',', "
+        + ", ".join(f"CAST(m{bno * r + j} AS VARCHAR)" for j in range(r))
+        + ") AS band_sig FROM sigs"
+        for bno in range(dedup.LSH_BANDS))
+    return f"""
+    WITH sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, {th} AS th FROM documents)),
+    bands AS ({band_rows})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b ON a.band_no = b.band_no AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    """
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+def o_simhash() -> str:
+    th = _duck_token_hashes()
+    fp = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), b -> "
+        f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(th, h -> CASE WHEN CAST(FLOOR(h / POWER(2, b)) AS BIGINT) % 2 = 1 "
+        f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, x) -> a + x) > 0 "
+        f"THEN CAST(POWER(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)")
+    return (f"SELECT doc_id, {fp} AS simhash FROM "
+            f"(SELECT doc_id, {th} AS th FROM documents)")
+
+
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.jaccard_pairs(docs, threshold=0.5)
+
+
+def o_jaccard() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_sort(list_distinct({_duck_tokens()})) AS t,
+             len(list_distinct({_duck_tokens()})) AS nt
+      FROM documents),
+    a AS (SELECT doc_id AS doc_a, lang, t AS ta, nt AS nta,
+                 CAST(FLOOR(log2(nt)) AS INT) AS band FROM toks),
+    b AS (SELECT doc_id AS doc_b, lang, t AS tb, nt AS ntb,
+                 CAST(UNNEST(range(CAST(FLOOR(log2(nt * 0.5e0)) AS BIGINT),
+                                   CAST(FLOOR(log2(nt / 0.5e0)) AS BIGINT) + 1)) AS INT) AS band
+          FROM toks)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                 / (nta + ntb - len(list_intersect(ta, tb))), 6) AS jaccard
+    FROM a JOIN b USING (lang, band)
+    WHERE doc_a < doc_b
+      AND CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+          / (nta + ntb - len(list_intersect(ta, tb))) >= 0.5
+    """
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_neardup_pairs(emb, cos_threshold=0.9)
+
+
+def _duck_dot(va: str, vb: str) -> str:
+    prods = (f"list_transform(range(1, len({va}) + 1), "
+             f"i -> CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE))")
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (a, x) -> a + x)")
+
+
+def _duck_norm(v: str) -> str:
+    sq = f"list_transform(range(1, len({v}) + 1), i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))"
+    return f"SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (a, x) -> a + x))"
+
+
+def o_embedding_neardup() -> str:
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           ROUND({_duck_dot('a.embedding', 'b.embedding')}
+                 / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_duck_dot('a.embedding', 'b.embedding')}
+                / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6) >= 0.9
+    """
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 25 = 0")
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def o_ann_topk() -> str:
+    dot = _duck_dot("q.embedding", "c.embedding")
+    nq, nc = _duck_norm("q.embedding"), _duck_norm("c.embedding")
+    return f"""
+    SELECT query_id, corpus_id, label, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label,
+             ROUND({dot} / ({nq} * {nc}), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({dot} / ({nq} * {nc}), 6) DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 25 = 0
+    ) WHERE rank <= 5
+    """
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.token_stats(docs)
+
+
+def o_token_stats() -> str:
+    return (f"SELECT doc_id, len({_duck_tokens()}) AS n_tokens, "
+            f"CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_bpe_est, "
+            f"length(text) AS n_chars_measured FROM documents")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_score(docs)
+
+
+def o_quality() -> str:
+    toks = _duck_tokens()
+    stop = "['" + "','".join(text.STOPWORDS) + "']"
+    return f"""
+    SELECT doc_id, lang, len({toks}) AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) / GREATEST(len({toks}), 1), 6) AS mean_word_len,
+           ROUND(CAST(len(list_filter({toks}, t -> list_contains({stop}, t))) AS DOUBLE)
+                 / GREATEST(len({toks}), 1), 6) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 6) AS alpha_ratio,
+           ROUND((ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                        / GREATEST(length(text), 1), 6)
+                  + LEAST(ROUND(CAST(len(list_filter({toks}, t -> list_contains({stop}, t))) AS DOUBLE)
+                                / GREATEST(len({toks}), 1), 6) * 4, 1.0)) / 2, 6) AS quality
+    FROM documents
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lang_id(docs)
+
+
+def o_lang_id() -> str:
+    toks = _duck_tokens()
+    markers = {"en": ["the", "and", "of", "is"], "de": ["der", "und", "die", "ist"],
+               "fr": ["le", "et", "la", "est"], "es": ["el", "y", "la", "es"]}
+    score = {lg: f"len(list_filter({toks}, t -> list_contains(['"
+             + "','".join(ws) + "'], t)))" for lg, ws in markers.items()}
+    return f"""
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+    FROM (SELECT doc_id, lang, {score['en']} AS s_en, {score['de']} AS s_de,
+                 {score['fr']} AS s_fr, {score['es']} AS s_es FROM documents)
+    """
+
+
+# --- generic relational validation ---------------------------------------------
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sums in exact integer cents (value has 2 decimals in the
+    generator) — window-sum implementations are free to reassociate floats,
+    so integer arithmetic is the only hash-stable form."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.selectExpr(
+        "event_id", "user_id", "event_type",
+        "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents",
+        "unix_micros(CAST(ts AS TIMESTAMP)) - LAG(unix_micros(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us",
+    )
+
+
+def o_events_window() -> str:
+    return """
+    SELECT event_id, user_id, event_type,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+    FROM events
+    """
+
+
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.selectExpr(
+        "user_id",
+        "CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) - LAG(unix_micros(CAST(ts AS TIMESTAMP))) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 OR "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_start",
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents",
+    ).groupBy("user_id").agg(
+        F.sum("is_start").alias("n_sessions"),
+        F.sum("cents").alias("total_cents"))
+
+
+def o_events_sessionized() -> str:
+    return """
+    SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM (SELECT user_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events)
+    GROUP BY user_id
+    """
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary in exact integer cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.expr("SUM(CAST(ROUND(l_quantity, 0) AS BIGINT))").alias("sum_qty"),
+                 F.expr("SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))").alias("sum_base_cents"),
+                 F.expr("SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT))").alias("sum_disc_pct"),
+                 F.count("*").alias("count_order")))
+
+
+def o_tpch_q1() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the small dims (the pattern the
+    engine uses for remap/cell-cover tables)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.expr("SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))").alias("total_cents")))
+
+
+def o_broadcast_star_join() -> str:
+    return """
+    SELECT n_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+
+
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "g3_cell_encode": (q_g3_cell_encode, o_g3_cell_encode),
+    "g3_parent_rollup": (q_g3_parent_rollup, o_g3_parent_rollup),
+    "r9_distance": (q_r9_distance, o_r9_distance),
+    "r3_intersections": (q_r3_intersections, o_r3_intersections),
+    "r5_split_counts": (q_r5_split_counts, o_r5_split_counts),
+    "r12_sidewalk_vertices": (q_r12_sidewalk_vertices, o_r12_sidewalk_vertices),
+    "g4_pip_join": (q_g4_pip_join, o_g4_pip_join),
+    "g5_knn": (q_g5_knn, o_g5_knn),
+    "g6_tiles": (q_g6_tiles, o_g6_tiles),
+    "exact_dedup": (q_exact_dedup, o_exact_dedup),
+    "fingerprint": (q_fingerprint, o_fingerprint),
+    "minhash_lsh_pairs": (q_minhash_lsh, o_minhash_lsh),
+    "simhash": (q_simhash, o_simhash),
+    "jaccard_pairs": (q_jaccard, o_jaccard),
+    "embedding_neardup": (q_embedding_neardup, o_embedding_neardup),
+    "ann_topk": (q_ann_topk, o_ann_topk),
+    "token_stats": (q_token_stats, o_token_stats),
+    "quality_score": (q_quality, o_quality),
+    "lang_id": (q_lang_id, o_lang_id),
+    "events_window": (q_events_window, o_events_window),
+    "events_sessionized": (q_events_sessionized, o_events_sessionized),
+    "tpch_q1": (q_tpch_q1, o_tpch_q1),
+    "broadcast_star_join": (q_broadcast_star_join, o_broadcast_star_join),
+}

@@ -53,16 +53,16 @@ def entity_latlng_sql(entity: str) -> tuple[str, str]:
     lat/lng = city center +- hash-derived jitter within ~0.01 deg."""
     h1 = sqlfns.polyhash_spark(entity)
     h2 = sqlfns.polyhash_spark(f"CONCAT({entity}, 'x')")
-    lat = f"(47.60 + ((({h1}) % 20000) - 10000) * 1e-6)"
-    lng = f"(-122.33 + ((({h2}) % 20000) - 10000) * 1e-6)"
+    lat = f"(47.60e0 + ((({h1}) % 20000) - 10000) * 1e-6)"
+    lng = f"(-122.33e0 + ((({h2}) % 20000) - 10000) * 1e-6)"
     return lat, lng
 
 
 def entity_latlng_sql_duckdb(entity: str) -> tuple[str, str]:
     h1 = sqlfns.polyhash_duckdb(entity)
     h2 = sqlfns.polyhash_duckdb(f"CONCAT({entity}, 'x')")
-    lat = f"(47.60 + ((({h1}) % 20000) - 10000) * 1e-6)"
-    lng = f"(-122.33 + ((({h2}) % 20000) - 10000) * 1e-6)"
+    lat = f"(47.60e0 + ((({h1}) % 20000) - 10000) * 1e-6)"
+    lng = f"(-122.33e0 + ((({h2}) % 20000) - 10000) * 1e-6)"
     return lat, lng
 
 
