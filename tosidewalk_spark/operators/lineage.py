@@ -1,0 +1,86 @@
+"""G7: per-partition lineage + checkpoint tables enabling resume
+[BASELINE.json:14 'resumable from checkpoint with per-partition lineage +
+metrics'].
+
+Model: a staged pipeline writes each stage's output as Parquet partitioned
+by a deterministic partition key (cell prefix for spatial tables, hash
+bucket otherwise).  Alongside the data, a lineage table records one row
+per (stage, part_id) with row count, checksum, wall time and completion
+timestamp.  A resumed run anti-joins the pending partition list against
+the completed lineage rows and recomputes only the remainder — partitions
+are idempotent units, so a crash mid-stage never corrupts completed work
+(the lineage row is written only after the partition's data commit).
+
+At cluster scale the same structure holds: the lineage table is tiny
+(one row per partition), broadcast into the anti-join; data writes use
+dynamic partition overwrite so re-running a partition replaces it
+atomically.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_SCHEMA = "stage string, part_id bigint, rows bigint, checksum bigint, wall_ms bigint, done_ts double"
+
+
+def partition_key(col: str = "cell9", buckets: int = 64) -> F.Column:
+    """Deterministic partition id: coarse cell prefix folded into a bounded
+    bucket count (uniform for hash keys, locality-preserving for cells)."""
+    return F.pmod(F.col(col), F.lit(buckets)).alias("part_id")
+
+
+def lineage_path(base: str) -> str:
+    return os.path.join(base, "_lineage")
+
+
+def read_lineage(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    p = lineage_path(base)
+    try:
+        df = spark.read.schema(LINEAGE_SCHEMA).parquet(p)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    return df.filter(F.col("stage") == stage)
+
+
+def checksum_expr(cols: list[str]) -> F.Column:
+    """Order-insensitive content checksum: sum of per-row hashes folded to
+    2^31 so the int64 sum cannot overflow below ~4e9 rows per partition —
+    partition-order independent, so identical across parallelism levels."""
+    return F.sum(F.pmod(F.xxhash64(*cols), F.lit(2 ** 31))).alias("checksum")
+
+
+def run_stage_with_resume(spark: SparkSession, base: str, stage: str,
+                          df: DataFrame, part_col: F.Column,
+                          value_cols: list[str]) -> DataFrame:
+    """Write ``df`` partitioned by part_id under base/stage, skipping
+    partitions already recorded in the lineage table; returns the full
+    stage output (completed + newly computed) read back from disk.
+
+    Pattern: pending = distinct part ids ANTI JOIN done part ids; only
+    pending partitions are computed and written (dynamic partition
+    overwrite), then their lineage rows are appended."""
+    data_path = os.path.join(base, stage)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    staged = df.withColumn("part_id", part_col)
+    done = read_lineage(spark, base, stage).select("part_id")
+    pending = staged.join(F.broadcast(done), "part_id", "left_anti")
+    if not pending.isEmpty():
+        t0 = time.perf_counter()
+        pending.write.mode("overwrite").partitionBy("part_id").parquet(data_path)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        metrics = (pending.groupBy("part_id")
+                   .agg(F.count("*").alias("rows"), checksum_expr(value_cols))
+                   .select(F.lit(stage).alias("stage"), "part_id", "rows", "checksum",
+                           F.lit(wall_ms).alias("wall_ms"),
+                           F.lit(time.time()).alias("done_ts")))
+        metrics.write.mode("append").parquet(lineage_path(base))
+    return spark.read.parquet(data_path)
+
+
+def stage_metrics(spark: SparkSession, base: str) -> DataFrame:
+    """The lineage/metrics record for all stages under ``base``."""
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path(base))
