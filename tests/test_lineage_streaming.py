@@ -108,3 +108,20 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     assert len(got_rows) > 0
     for k, v in got_rows.items():
         assert batch_rows[k] == v
+
+
+def test_run_staged_and_resume(spark, tmp_path):
+    from tosidewalk_spark.plans import pipeline
+    out = str(tmp_path / "staged")
+    c1 = pipeline.run_staged(spark, "/root/testdata/sf0.001", out, grid=6)
+    assert c1["points"] == 500 and c1["tiles"] > 0
+    # delete one stage's data but keep others; resume recomputes only it
+    import shutil
+    shutil.rmtree(os.path.join(out, "tiles"))
+    # also wipe its lineage rows by rewriting the lineage table without them
+    lin = lineage.stage_metrics(spark, out).filter("stage != 'tiles'").collect()
+    shutil.rmtree(lineage.lineage_path(out))
+    if lin:
+        spark.createDataFrame(lin, lineage.LINEAGE_SCHEMA).write.parquet(lineage.lineage_path(out))
+    c2 = pipeline.run_staged(spark, "/root/testdata/sf0.001", out, grid=6)
+    assert c2 == c1

@@ -23,6 +23,17 @@ MINHASH_PERMS = [(1 + 2 * k, 12289 + 7 * k * k) for k in range(16)]
 LSH_BANDS = 4  # 16 minhashes -> 4 bands of 4
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's core count when the input arrives in
+    fewer partitions (e.g. one small parquet file) so CPU-heavy per-row
+    derivations parallelize; a no-op at real data scale where the scan
+    already yields >= cores partitions."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _tokens(col: str = "text") -> str:
     return f"FILTER(SPLIT({col}, ' '), t -> LENGTH(t) > 0)"
 
@@ -44,10 +55,12 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """16-permutation minhash signature per document over distinct-token
-    hashes — array<bigint> column 'sig'."""
-    th = _token_hashes()
-    sig = F.array(*[F.expr(sqlfns.minhash_spark(th, a, b)) for a, b in MINHASH_PERMS])
-    return docs.select("doc_id", sig.alias("sig"))
+    hashes — array<bigint> column 'sig'.  The token-hash array is
+    materialized ONCE as a column before the 16 permutation mins (inlining
+    it would make Catalyst evaluate the per-char hash fold 16x)."""
+    th_col = _spread(docs).select("doc_id", F.expr(_token_hashes()).alias("th"))
+    sig = F.array(*[F.expr(sqlfns.minhash_spark("th", a, b)) for a, b in MINHASH_PERMS])
+    return th_col.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
@@ -71,14 +84,15 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over distinct-token hashes: bit b of the
     fingerprint is 1 iff more token hashes have bit b set than not.
-    Pure SQL (aggregate over a sequence of bit positions)."""
-    th = _token_hashes()
+    Pure SQL (aggregate over a sequence of bit positions); the token-hash
+    array is materialized once, not re-derived per bit."""
     fp = (
         f"AGGREGATE(SEQUENCE(0, {bits - 1}), CAST(0 AS BIGINT), (acc, b) -> "
-        f"acc + CASE WHEN AGGREGATE({th}, CAST(0 AS BIGINT), "
+        f"acc + CASE WHEN AGGREGATE(th, CAST(0 AS BIGINT), "
         f"(s, h) -> s + CASE WHEN CAST(FLOOR(h / POWER(2, b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END)")
-    return docs.select("doc_id", F.expr(fp).alias("simhash"))
+    return _spread(docs).select("doc_id", F.expr(_token_hashes()).alias("th")) \
+               .select("doc_id", F.expr(fp).alias("simhash"))
 
 
 def simhash_dup_pairs(docs: DataFrame, bits: int = 16) -> DataFrame:
@@ -99,7 +113,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     self-join is an equi-join; the exact |A n B| / |A u B| runs as array
     intersection JVM-side.  Jaccard is rounded to 6 decimals for stable
     cross-engine comparison."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id", "lang",
         F.expr(f"ARRAY_SORT(ARRAY_DISTINCT({_tokens()}))").alias("toks"))
     toks = toks.withColumn("nt", F.size("toks"))
@@ -127,7 +141,7 @@ def embedding_neardup_pairs(emb: DataFrame, cos_threshold: float = 0.95) -> Data
     """Embedding-cosine near-duplicate pairs within the same label bucket
     (label acts as the coarse LSH bucket; brute force within bucket).
     Dot products via zip_with/aggregate — JVM-side, no UDF."""
-    e = emb.select(
+    e = _spread(emb).select(
         "vec_id", "label",
         F.expr("TRANSFORM(embedding, x -> CAST(x AS DOUBLE))").alias("v"))
     e = e.withColumn("norm", F.expr(

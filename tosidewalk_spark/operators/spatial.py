@@ -146,53 +146,61 @@ def segments_by_cell(buffers: DataFrame) -> DataFrame:
         F.explode("cells").alias("cell")).dropDuplicates(["segment_id", "cell"])
 
 
+def _disk_cells_expr(r_lo: int, r_hi: int) -> F.Column:
+    """Array of cell ids at Chebyshev distance in [r_lo, r_hi] of cell9."""
+    res = cells.DEFAULT_RES
+    offs = [(di, dj) for di in range(-r_hi, r_hi + 1) for dj in range(-r_hi, r_hi + 1)
+            if r_lo <= max(abs(di), abs(dj)) <= r_hi]
+    return F.array(*[
+        F.expr(f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
+               f"+ (CAST(FLOOR((cell9 % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT) + {dj}) * {sqlfns.POW2_28} "
+               f"+ (cell9 % {sqlfns.POW2_28} + {di})")
+        for di, dj in offs])
+
+
 def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
-             max_ring: int = 8) -> DataFrame:
+             max_ring: int = 8, first_radius: int = 2) -> DataFrame:
     """G5: for each point, the k nearest segments by point-to-segment
-    distance, found by iterative Chebyshev-ring expansion over the cell
-    index.  Exact: a point finishes only when its k-th best distance is
-    below the lower bound of the next unexplored ring, so the result equals
+    distance, found by cell-disk probe + ring expansion for stragglers.
+    Exact: a point finishes only when its k-th best distance is below the
+    lower bound of the first unexplored ring, so the result equals
     brute-force top-k (ties broken by (dist, way_id, segment_id)).
 
-    Driver-side fixpoint (SURVEY.md §3.2); each round = one equi-join on
-    ring cells; accumulated candidates are localCheckpoint-ed to cut
-    lineage.  max_ring bounds the search for isolated points."""
+    Scale shape: round one joins every point's disk(first_radius) cells in
+    ONE equi-join — at realistic density that settles almost all points, so
+    the driver fixpoint (SURVEY.md §3.2) only iterates for isolated
+    stragglers; accumulated candidates are localCheckpoint-ed to cut
+    lineage; max_ring bounds the search."""
     res = cells.DEFAULT_RES
     s = cells.cell_size_deg(res)
     # conservative meters-per-cell lower bound (lng edge at |lat|<=60)
     edge_min_m = s * geom.M_PER_DEG * 0.5
-    pts = points.select("url", "entity", "lat", "lng", "cell9").localCheckpoint(eager=True)
-    pending = pts
-    acc = None
+    pts = points.select("url", "entity", "lat", "lng", "cell9")
     dist_expr = F.expr(sqlfns.seg_dist_sql("lat", "lng", "alat", "alng", "blat", "blng"))
-    for r in range(max_ring + 1):
-        offs = [(di, dj) for di in range(-r, r + 1) for dj in range(-r, r + 1)
-                if max(abs(di), abs(dj)) == r]
-        ring_cells = F.array(*[
-            F.expr(f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
-                   f"+ (CAST(FLOOR((cell9 % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT) + {dj}) * {sqlfns.POW2_28} "
-                   f"+ (cell9 % {sqlfns.POW2_28} + {di})")
-            for di, dj in offs])
-        probe = pending.withColumn("cell", F.explode(ring_cells))
-        found = (probe.join(seg_cells, "cell")
-                 .select("url", "entity", "lat", "lng", "cell9",
-                         "way_id", "segment_id", dist_expr.alias("dist_m"))
-                 .dropDuplicates(["url", "entity", "segment_id"]))
-        acc = found if acc is None else acc.unionByName(found) \
-            .dropDuplicates(["url", "entity", "segment_id"])
-        acc = acc.localCheckpoint(eager=True)
-        # a point is done when it has >= k candidates and the k-th distance
-        # beats anything a farther ring could contain
-        bound = (r) * edge_min_m
-        wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
+    wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
+
+    def probe(src: DataFrame, r_lo: int, r_hi: int) -> DataFrame:
+        return (src.withColumn("cell", F.explode(_disk_cells_expr(r_lo, r_hi)))
+                .join(seg_cells, "cell")
+                .select("url", "entity", "lat", "lng", "cell9",
+                        "way_id", "segment_id", dist_expr.alias("dist_m"))
+                .dropDuplicates(["url", "entity", "segment_id"]))
+
+    acc = probe(pts, 0, first_radius)
+    pending = None
+    r = first_radius
+    while r < max_ring:
+        bound = r * edge_min_m
         kth = (acc.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") == k)
                .select("url", "entity", F.col("dist_m").alias("kth_dist")))
         done_keys = kth.filter(F.col("kth_dist") <= bound).select("url", "entity")
-        pending = pending.join(done_keys, ["url", "entity"], "left_anti") \
-                         .localCheckpoint(eager=True)
+        pending = pts.join(done_keys, ["url", "entity"], "left_anti").localCheckpoint(eager=True)
         if pending.isEmpty():
             break
-    wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
+        acc = acc.unionByName(probe(pending, r + 1, r + 1)) \
+                 .dropDuplicates(["url", "entity", "segment_id"]) \
+                 .localCheckpoint(eager=True)
+        r += 1
     return (acc.withColumn("knn_rank", F.row_number().over(wk))
             .filter(F.col("knn_rank") <= k)
             .select("url", "entity", "cell9", "way_id", "segment_id", "dist_m", "knn_rank"))

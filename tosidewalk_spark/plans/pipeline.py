@@ -14,6 +14,8 @@ join/kNN/tiles depend only on way geometry).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..kernel import geom
@@ -61,6 +63,52 @@ def run_graft(points: DataFrame, net: DataFrame, k: int = 1) -> dict[str, DataFr
     return {"buffers": buffers, "join_out": join_out, "knn": knn, "tiles": tiles}
 
 
+def run_staged(spark: SparkSession, sf_dir: str, out_dir: str,
+               grid: int = 8, resume: bool = True) -> dict[str, int]:
+    """spark-submit entry: staged execution with per-partition lineage +
+    resume (G7).  Each stage writes partitioned parquet + lineage rows; a
+    rerun (``--resume``) anti-joins completed partitions and recomputes
+    only what is missing — kill the job at any stage boundary and rerun to
+    finish.  Returns per-stage row counts."""
+    import shutil
+
+    from ..operators import lineage
+
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    points = synth.geo_entities_from_documents(docs)
+    counts = {}
+    pts = lineage.run_stage_with_resume(
+        spark, out_dir, "points", points,
+        lineage.partition_key("cell9", 32), ["url", "entity", "cell9"])
+    counts["points"] = pts.count()
+
+    nodes, ways = synth.osm_grid(spark, g=grid)
+    net = build_network(nodes, ways)
+    sidewalk_net = net.filter(F.col("kind") == "sidewalk")
+    segs = SP.street_segments(sidewalk_net)
+    buffers = SP.street_buffers(segs)
+    buf = lineage.run_stage_with_resume(
+        spark, out_dir, "buffers",
+        buffers.withColumn("cell9", F.element_at("cells", 1)),
+        lineage.partition_key("cell9", 32), ["segment_id"])
+    counts["buffers"] = buf.count()
+
+    join_out = SP.pip_join(pts, buf)
+    jo = lineage.run_stage_with_resume(
+        spark, out_dir, "join_out", join_out,
+        lineage.partition_key("cell9", 32), ["url", "entity", "segment_id"])
+    counts["join_out"] = jo.count()
+
+    tiles = SP.coverage_tiles(pts, jo)
+    tl = lineage.run_stage_with_resume(
+        spark, out_dir, "tiles", tiles,
+        lineage.partition_key("cell9", 32), ["cell9", "n_pages", "n_matched"])
+    counts["tiles"] = tl.count()
+    return counts
+
+
 def flagship(spark: SparkSession, sf_dir: str, grid: int = 8) -> DataFrame:
     """The headline query (entry() contract): documents-derived geo points
     vs the grid-city inferred sidewalk network -> coverage tiles joined
@@ -73,3 +121,28 @@ def flagship(spark: SparkSession, sf_dir: str, grid: int = 8) -> DataFrame:
     return (out["tiles"]
             .orderBy("cell9")
             .select("cell9", "n_pages", "n_matched", "coverage", "raster"))
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``spark-submit --py-files engine.zip -m tosidewalk_spark.plans.pipeline``
+    CLI: --sf-dir --out --stage-grid --resume/--fresh."""
+    import argparse
+
+    from ..session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--grid", type=int, default=8)
+    ap.add_argument("--fresh", action="store_true",
+                    help="discard existing checkpoints instead of resuming")
+    args = ap.parse_args(argv)
+    spark = get_spark("tosidewalk-pipeline")
+    counts = run_staged(spark, args.sf_dir, args.out, grid=args.grid,
+                        resume=not args.fresh)
+    print(counts)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
