@@ -61,12 +61,19 @@ _BUF_SCHEMA = T.StructType([
 ])
 
 
+PIP_COVER_RES = 11  # 38 m cells: tight cover for 12 m buffers, ~8x fewer
+                    # join candidates than the res-9 tiling cells
+
+
 def street_buffers(segments: DataFrame,
                    half_width_m: float = geom.BUFFER_HALF_WIDTH_M,
                    res: int = cells.DEFAULT_RES) -> DataFrame:
     """Buffered rectangle polygon + conservative cell cover per segment —
     the build side of the PIP join (SURVEY.md §1.2 'street_buffers').
-    Vectorized numpy over Arrow batches."""
+    Vectorized numpy over Arrow batches.  ``res`` picks the cover
+    granularity: PIP_COVER_RES for the PIP join (tight cover, small
+    candidate fan-out), DEFAULT_RES (9) for the kNN ring index whose
+    distance bounds are calibrated to res-9 cell edges."""
 
     def build(it):
         for pdf in it:
@@ -95,15 +102,26 @@ _PIP_SCHEMA = T.StructType([
 ])
 
 
-def pip_join(points: DataFrame, buffers: DataFrame) -> DataFrame:
+def pip_join(points: DataFrame, buffers: DataFrame,
+             cover_res: int | None = None) -> DataFrame:
     """G4: point-in-polygon spatial join compiled to relational ops:
-    explode(buffer cell cover) -> equi-join on the point's cell9 -> exact
-    ray-casting refine (vectorized over the 4 rectangle edges across the
-    whole Arrow batch — no per-row Python loop)."""
+    explode(buffer cell cover) -> equi-join on the point's cell at the
+    cover resolution -> exact ray-casting refine (vectorized over the 4
+    rectangle edges across the whole Arrow batch — no per-row Python
+    loop).  The probe key is derived from lat/lng at the SAME resolution
+    the buffers were covered with (detected from the first cover cell if
+    not given), so candidate fan-out tracks the buffer size, not the
+    coarser res-9 tiling cells."""
+    if cover_res is None:
+        first = buffers.select(F.expr(f"CAST(cells[0] / {sqlfns.POW2_56} AS INT)").alias("r")).first()
+        cover_res = int(first.r) if first else cells.DEFAULT_RES
     build_side = buffers.select(
         "way_id", "segment_id", "alat", "alng", "blat", "blng",
-        "poly_lats", "poly_lngs", F.explode("cells").alias("cell9"))
-    cand = points.select("url", "entity", "lat", "lng", "cell9").join(build_side, "cell9")
+        "poly_lats", "poly_lngs", F.explode("cells").alias("cell"))
+    probe = points.select(
+        "url", "entity", "lat", "lng", "cell9",
+        F.expr(sqlfns.cell_sql("lat", "lng", cover_res)).alias("cell"))
+    cand = probe.join(build_side, "cell")
 
     def refine(it):
         for pdf in it:

@@ -55,9 +55,9 @@ def run_graft(points: DataFrame, net: DataFrame, k: int = 1) -> dict[str, DataFr
     (url, entity, lat, lng, cell9)."""
     sidewalk_net = net.filter(F.col("kind") == "sidewalk")
     segments = SP.street_segments(sidewalk_net)
-    buffers = SP.street_buffers(segments)
-    join_out = SP.pip_join(points, buffers)
-    seg_cells = SP.segments_by_cell(buffers)
+    buffers = SP.street_buffers(segments, res=SP.PIP_COVER_RES)
+    join_out = SP.pip_join(points, buffers, cover_res=SP.PIP_COVER_RES)
+    seg_cells = SP.segments_by_cell(SP.street_buffers(segments))
     knn = SP.knn_join(points, seg_cells, k=k)
     tiles = SP.coverage_tiles(points, knn)
     return {"buffers": buffers, "join_out": join_out, "knn": knn, "tiles": tiles}

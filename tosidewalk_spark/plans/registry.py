@@ -73,8 +73,8 @@ def _grid_sidewalk_segments(spark: SparkSession) -> DataFrame:
     return SP.street_segments(sw)
 
 
-def _grid_buffers(spark: SparkSession) -> DataFrame:
-    return SP.street_buffers(_grid_sidewalk_segments(spark), half_width_m=HW)
+def _grid_buffers(spark: SparkSession, res: int = SP.PIP_COVER_RES) -> DataFrame:
+    return SP.street_buffers(_grid_sidewalk_segments(spark), half_width_m=HW, res=res)
 
 
 # --------------------------------------------------------------------------
@@ -231,7 +231,7 @@ def o_g4_pip_join() -> str:
 
 def q_g5_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _points(spark, sf_dir, bbox=True)
-    seg_cells = SP.segments_by_cell(_grid_buffers(spark))
+    seg_cells = SP.segments_by_cell(_grid_buffers(spark, res=9))
     knn = SP.knn_join(pts, seg_cells, k=3, max_ring=6)
     return knn.select("url", "entity", "knn_rank", F.round("dist_m", 4).alias("dist_r4"))
 

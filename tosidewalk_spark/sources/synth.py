@@ -34,11 +34,15 @@ CW_WAY_BASE = 2_000_000_000
 CW_NODE_BASE = 2_000_000_000_000
 
 
-def pages(spark: SparkSession, n: int) -> DataFrame:
-    """Common-Crawl-style pages table (FIXTURES.md §1 'pages')."""
+def pages(spark: SparkSession, n: int, filler_repeats: int = 60) -> DataFrame:
+    """Common-Crawl-style pages table (FIXTURES.md §1 'pages').  The body
+    carries ~1.5 KB of deterministic filler so per-page work (extraction,
+    tokenization) is representative of real web pages, not 60-byte stubs."""
     ent = f"CONCAT('poi_', CAST((id * 7) % {N_ENTITIES} AS STRING))"
+    filler = (f"RTRIM(REPEAT(CONCAT('filler segment ', CAST(id % 97 AS STRING), "
+              f"' of page text corpus '), {filler_repeats}))")
     text = (f"CONCAT('visit ', {ent}, ' near block ', CAST(id % 1000 AS STRING), "
-            f"' in sector ', CAST(id % 37 AS STRING))")
+            f"' in sector ', CAST(id % 37 AS STRING), ' ', {filler})")
     return spark.range(n).select(
         F.expr("CONCAT('https://site', CAST(id % 997 AS STRING), '.example/p/', CAST(id AS STRING))").alias("url"),
         F.expr("TIMESTAMP '2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, id * 137)").alias("warc_ts"),
@@ -66,19 +70,30 @@ def entity_latlng_sql_duckdb(entity: str) -> tuple[str, str]:
     return lat, lng
 
 
+def _geocode_from_entity(df: DataFrame) -> DataFrame:
+    """(url, entity) -> + lat, lng, cell9.  Staged projections: the
+    expensive polynomial hash is computed ONCE per row in its own Project
+    (Catalyst keeps non-cheap expressions un-inlined across projects);
+    inlining the full templates into one select re-evaluates the hash 4x —
+    measured 10x slower.  Values are identical to the inline DuckDB twin."""
+    h = df.select(
+        "url", "entity",
+        F.expr(sqlfns.polyhash_spark("entity")).alias("h1"),
+        F.expr(sqlfns.polyhash_spark("CONCAT(entity, 'x')")).alias("h2"))
+    lat = "(47.60e0 + ((h1 % 20000) - 10000) * 1e-6)"
+    lng = "(-122.33e0 + ((h2 % 20000) - 10000) * 1e-6)"
+    return h.selectExpr(
+        "url", "entity", f"{lat} AS lat", f"{lng} AS lng",
+        f"{sqlfns.cell_sql(lat, lng, 9)} AS cell9")
+
+
 def geo_entities(spark: SparkSession, pages_df: DataFrame) -> DataFrame:
     """Extract entity mentions from page text and geocode them (G3).
     Deterministic hash-geocoder; cell id via the shared SQL template so the
     DuckDB oracle can reproduce it bit-for-bit."""
-    ent = "REGEXP_EXTRACT(text, 'poi_[0-9]+', 0)"
-    lat, lng = entity_latlng_sql(ent)
-    return pages_df.select(
-        F.col("url"),
-        F.expr(ent).alias("entity"),
-        F.expr(lat).alias("lat"),
-        F.expr(lng).alias("lng"),
-        F.expr(sqlfns.cell_sql(lat, lng, 9)).alias("cell9"),
-    )
+    ent_df = pages_df.select(
+        "url", F.expr("REGEXP_EXTRACT(text, 'poi_[0-9]+', 0)").alias("entity"))
+    return _geocode_from_entity(ent_df)
 
 
 def geo_entities_from_documents(docs: DataFrame) -> DataFrame:
@@ -86,15 +101,11 @@ def geo_entities_from_documents(docs: DataFrame) -> DataFrame:
     ``documents`` table (FIXTURES.md §4): url/entity/lat/lng/cell9 are all
     pure SQL functions of doc_id, so the DuckDB oracle can reproduce every
     row bit-for-bit (geo_entities_duckdb_sql below is the twin)."""
-    ent = f"CONCAT('poi_', CAST((doc_id * 7) % {N_ENTITIES} AS STRING))"
-    lat, lng = entity_latlng_sql(ent)
-    return docs.select(
+    ent_df = docs.select(
         F.expr("CONCAT('https://site', CAST(doc_id % 997 AS STRING), '.example/p/', CAST(doc_id AS STRING))").alias("url"),
-        F.expr(ent).alias("entity"),
-        F.expr(lat).alias("lat"),
-        F.expr(lng).alias("lng"),
-        F.expr(sqlfns.cell_sql(lat, lng, 9)).alias("cell9"),
+        F.expr(f"CONCAT('poi_', CAST((doc_id * 7) % {N_ENTITIES} AS STRING))").alias("entity"),
     )
+    return _geocode_from_entity(ent_df)
 
 
 def geo_entities_duckdb_sql() -> str:
