@@ -95,6 +95,8 @@ def street_buffers(segments: DataFrame,
 _PIP_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("entity", T.StringType()),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lng", T.DoubleType()),
     T.StructField("cell9", T.LongType()),
     T.StructField("way_id", T.LongType()),
     T.StructField("segment_id", T.LongType()),
@@ -148,7 +150,7 @@ def pip_join(points: DataFrame, buffers: DataFrame,
                 hit["lat"].to_numpy(), hit["lng"].to_numpy(),
                 hit["alat"].to_numpy(), hit["alng"].to_numpy(),
                 hit["blat"].to_numpy(), hit["blng"].to_numpy())
-            out = hit[["url", "entity", "cell9", "way_id", "segment_id"]].copy()
+            out = hit[["url", "entity", "lat", "lng", "cell9", "way_id", "segment_id"]].copy()
             out["dist_m"] = d
             yield out
 
@@ -221,7 +223,8 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
         r += 1
     return (acc.withColumn("knn_rank", F.row_number().over(wk))
             .filter(F.col("knn_rank") <= k)
-            .select("url", "entity", "cell9", "way_id", "segment_id", "dist_m", "knn_rank"))
+            .select("url", "entity", "lat", "lng", "cell9",
+                    "way_id", "segment_id", "dist_m", "knn_rank"))
 
 
 # --- G6: raster coverage tiles -------------------------------------------------
@@ -242,16 +245,23 @@ def coverage_tiles(points: DataFrame, matches: DataFrame,
     sub_idx = (
         f"(CAST(FLOOR((lat + 90.0) / {s_sub}) AS BIGINT) % {n_sub}) * {n_sub} "
         f"+ (CAST(FLOOR((lng + 180.0) / {s_sub}) AS BIGINT) % {n_sub})")
-    matched = matches.select("url", "entity").distinct() \
-        .withColumn("is_matched", F.lit(1))
-    pts = (points.join(matched, ["url", "entity"], "left")
-           .withColumn("is_matched", F.coalesce("is_matched", F.lit(0)))
+    # page counts: salted two-phase hash agg over the full points table;
+    # matched counts: distinct-page agg over the (already filtered) match
+    # rows, which carry their own lat/lng — NO wide (url, entity) join of
+    # the full points table against the match set (that join was the
+    # dominant shuffle at scale; two narrow aggs + a tiny per-cell join
+    # replace it)
+    pts = (points
            .withColumn("sub_idx", F.expr(sub_idx))
            .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))))
-    partial = pts.groupBy("cell9", "salt", "sub_idx").agg(
-        F.count("*").alias("pn"), F.sum("is_matched").alias("pm"))
-    per_sub = partial.groupBy("cell9", "sub_idx").agg(
-        F.sum("pn").alias("n"), F.sum("pm").alias("m"))
+    partial = pts.groupBy("cell9", "salt", "sub_idx").agg(F.count("*").alias("pn"))
+    n_side = partial.groupBy("cell9", "sub_idx").agg(F.sum("pn").alias("n"))
+    m_side = (matches
+              .withColumn("sub_idx", F.expr(sub_idx))
+              .groupBy("cell9", "sub_idx")
+              .agg(F.countDistinct("url", "entity").alias("m")))
+    per_sub = n_side.join(m_side, ["cell9", "sub_idx"], "left") \
+                    .withColumn("m", F.coalesce("m", F.lit(0)))
     tiles = per_sub.groupBy("cell9").agg(
         F.sum("n").alias("n_pages"),
         F.sum("m").alias("n_matched"),

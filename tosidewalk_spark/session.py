@@ -15,7 +15,7 @@ def get_spark(app_name: str = "tosidewalk-spark", cpus: str | int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get(
-        "SPARK_GRAFT_SHUFFLE", str(max(int(cpus) if str(cpus).isdigit() else 32, 8))))
+        "SPARK_GRAFT_SHUFFLE", str(2 * max(int(cpus) if str(cpus).isdigit() else 32, 8))))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -25,7 +25,7 @@ def get_spark(app_name: str = "tosidewalk-spark", cpus: str | int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
