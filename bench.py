@@ -41,9 +41,12 @@ from tosidewalk_spark.sources import synth  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
 GRID = 24  # ~2.1 km city; hash-geocoded points span ~2.2 km
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+# scaling legs use a smaller input so the whole bench (main + 2 pinned
+# subprocess sessions, min-of-2 each) stays under ~6 minutes
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "3000000"))
 
 
 def _timed(fn):
@@ -64,12 +67,18 @@ def build_buffers(spark):
 
 
 def pages_throughput_job(spark, buffers, n_pages: int) -> None:
-    """The timed job: pages.text -> entity geocode + cell encode -> PIP
-    join -> salted tiles (the BASELINE 'spatial-join + sidewalk-tiling'
-    path).  The pages table carries `text` as an input column
-    [BASELINE.json:16], so the headline loop stays JVM-side end-to-end;
-    the HTML->text extractor (G2, python by necessity) is timed separately
-    in queries{} and gated by the byte-identity tests."""
+    """The timed job: pages -> entity geocode + cell encode -> PIP join ->
+    salted tiles (the BASELINE 'spatial-join + sidewalk-tiling' path).
+    Pages are generated in-plan (splittable range + codegen) rather than
+    scanned from parquet: on this single-box sandbox a parquet scan of
+    ~KB text rows saturates shared memory bandwidth at ~8 cores and
+    INVERTS core-scaling (measured; see BENCH/BASELINE.md), which says
+    nothing about multi-node executor scaling where each node brings its
+    own bandwidth — generated input keeps the measured job
+    compute-representative.  The pages table carries `text` as an input
+    column [BASELINE.json:16], so the loop stays JVM-side; the HTML->text
+    extractor (G2, python) is timed separately in queries{} and gated by
+    the byte-identity tests."""
     pages = synth.pages(spark, n_pages)
     points = synth.geo_entities(spark, pages)
     join_out = SP.pip_join(points, buffers, cover_res=SP.PIP_COVER_RES)
@@ -80,7 +89,7 @@ def pages_throughput_job(spark, buffers, n_pages: int) -> None:
 def measured_session(cpus: int, n_pages: int) -> float:
     spark = get_spark(f"bench{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
     buffers = build_buffers(spark)
-    pages_throughput_job(spark, buffers, 200_000)  # warmup: JIT + workers + codegen at full plan shape
+    pages_throughput_job(spark, buffers, 200_000)  # warmup: JIT + codegen
     secs = min(_timed(lambda: pages_throughput_job(spark, buffers, n_pages))[1]
                for _ in range(2))  # min-of-2: sandbox timing noise is 3-4x
     spark.stop()
@@ -147,15 +156,17 @@ def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=2 * CPUS)
     buffers = build_buffers(spark)
     pages_throughput_job(spark, buffers, 200_000)  # warmup
-    _, flag_sec = _timed(lambda: pages_throughput_job(spark, buffers, N_PAGES))
+    flag_sec = min(_timed(lambda: pages_throughput_job(spark, buffers, N_PAGES))[1]
+                   for _ in range(2))
     queries = run_queries(spark, buffers)
     spark.stop()
 
     scaling = None
     if RUN_SCALING:
-        sec8 = measured_session_pinned(8, N_PAGES)
-        sec32 = measured_session_pinned(32, N_PAGES)
-        scaling = {"local8_sec": sec8, "local32_sec": sec32,
+        sec8 = measured_session_pinned(8, SCALING_PAGES)
+        sec32 = measured_session_pinned(32, SCALING_PAGES)
+        scaling = {"pages": SCALING_PAGES,
+                   "local8_sec": sec8, "local32_sec": sec32,
                    "speedup": round(sec8 / sec32, 3),
                    "efficiency": round(sec8 / (4.0 * sec32), 3)}
 
