@@ -38,7 +38,9 @@ def _rows_to_multiset(cols, rows):
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
-QUERY_NAMES = sorted(entry_mod.queries().keys())
+ORACLES = entry_mod.oracle_sql()
+QUERY_NAMES = sorted(ORACLES.keys())
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(ORACLES))
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
@@ -63,6 +65,12 @@ def test_query_matches_oracle(spark, name):
         diff_s = [r for r in sset if r not in oset][:3]
         diff_o = [r for r in oset if r not in sset][:3]
         raise AssertionError(f"{name}: value mismatch; spark-only={diff_s} oracle-only={diff_o}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
 
 
 def test_entry_smoke(spark):

@@ -60,17 +60,27 @@ def _points(spark: SparkSession, sf_dir: str, bbox: bool = False) -> DataFrame:
     return pts
 
 
+_SEGMENT_CACHE: dict[int, DataFrame] = {}
+
+
 def _grid_sidewalk_segments(spark: SparkSession) -> DataFrame:
     """Engine path: grid -> R1 filter -> R5 split -> R12/R13 sidewalks ->
     per-edge segments.  (No way-join / parallel-merge here: the oracle's
     closed form needs the plain grid; the full pipeline is exercised by
-    entry() and pytest.)"""
-    nodes, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
-    streets = N.filter_streets(ways)
-    segs = N.split_streets(streets)
-    gw = N.geom_ways(nodes, segs)
-    sw = SW.make_sidewalks(gw, offset_m=OFF_M)
-    return SP.street_segments(sw)
+    entry() and pytest.)  Persisted once per session — several registry
+    queries share this fixed build side."""
+    key = id(spark)
+    if key not in _SEGMENT_CACHE:
+        nodes, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+        streets = N.filter_streets(ways)
+        segs = N.split_streets(streets)
+        gw = N.geom_ways(nodes, segs)
+        sw = SW.make_sidewalks(gw, offset_m=OFF_M)
+        cached = SP.street_segments(sw).persist()
+        cached.count()
+        _SEGMENT_CACHE.clear()
+        _SEGMENT_CACHE[key] = cached
+    return _SEGMENT_CACHE[key]
 
 
 def _grid_buffers(spark: SparkSession, res: int = SP.PIP_COVER_RES) -> DataFrame:
@@ -615,3 +625,132 @@ QUERIES = {
     "tpch_q1": (q_tpch_q1, o_tpch_q1),
     "broadcast_star_join": (q_broadcast_star_join, o_broadcast_star_join),
 }
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs)
+    return sigs.select(
+        "doc_id",
+        F.expr("CONCAT_WS(',', TRANSFORM(sig, x -> CAST(x AS STRING)))").alias("sig_csv"))
+
+
+def o_minhash_signatures() -> str:
+    th = _duck_token_hashes()
+    mins = ", ".join(
+        f"CAST({sqlfns.minhash_duckdb('th', a, b)} AS VARCHAR)"
+        for a, b in dedup.MINHASH_PERMS)
+    return (f"SELECT doc_id, CONCAT_WS(',', {mins}) AS sig_csv FROM "
+            f"(SELECT doc_id, {th} AS th FROM documents)")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_dup_pairs(docs)
+
+
+def o_simhash_pairs() -> str:
+    inner = o_simhash()
+    return f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+    FROM ({inner}) a JOIN ({inner}) b
+    ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, emb.filter("vec_id % 25 = 0"), k=3)
+
+
+def o_lsh_topk() -> str:
+    from ..operators import similarity
+    # hyperplane-sign bucket in DuckDB: same integer coefficients
+    def sig(v):
+        terms = []
+        for p in range(similarity.N_PLANES):
+            coef = (f"list_transform(range(0, 64), j -> "
+                    f"CAST((({p} * 1009 + j) * 2654435761) % 97 - 48 AS DOUBLE))")
+            prods = (f"list_transform(range(1, 65), i -> CAST({v}[i] AS DOUBLE) * ({coef})[i])")
+            dot = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (a, x) -> a + x)"
+            terms.append(f"CASE WHEN {dot} > 0 THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+        return "(" + " + ".join(terms) + ")"
+    dot = _duck_dot("q.embedding", "c.embedding")
+    nq, nc = _duck_norm("q.embedding"), _duck_norm("c.embedding")
+    return f"""
+    SELECT query_id, corpus_id, label, bucket, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label,
+             {sig('q.embedding')} AS bucket,
+             ROUND({dot} / ({nq} * {nc}), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({dot} / ({nq} * {nc}), 6) DESC, c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c
+        ON {sig('q.embedding')} = {sig('c.embedding')} AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 25 = 0
+    ) WHERE rank <= 3
+    """
+
+
+def q_r18_way_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18's length aggregate over the split grid streets (equirect twin
+    of way_length_expr for bit-stable comparison)."""
+    _, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    streets = N.filter_streets(ways)
+    segs = N.split_streets(streets)
+    nodes, _ = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    gw = N.geom_ways(nodes, segs)
+    d = sqlfns.equirect_dist_sql("lats[0]", "lngs[0]", "lats[1]", "lngs[1]")
+    return gw.select("parent_way_id", "seg_no",
+                     F.expr(f"ROUND({d}, 6)").alias("len_m"))
+
+
+def o_r18_way_lengths() -> str:
+    # horizontal edges: alat=blat, lng step; vertical: alng=blng, lat step
+    dh = sqlfns.equirect_dist_sql(
+        f"47.6e0 + j * {sqlfns.dlit(LAT_STEP)}", f"-122.33e0 + k * {sqlfns.dlit(LNG_STEP)}",
+        f"47.6e0 + j * {sqlfns.dlit(LAT_STEP)}", f"-122.33e0 + (k + 1) * {sqlfns.dlit(LNG_STEP)}")
+    dv = sqlfns.equirect_dist_sql(
+        f"47.6e0 + k * {sqlfns.dlit(LAT_STEP)}", f"-122.33e0 + j * {sqlfns.dlit(LNG_STEP)}",
+        f"47.6e0 + (k + 1) * {sqlfns.dlit(LAT_STEP)}", f"-122.33e0 + j * {sqlfns.dlit(LNG_STEP)}")
+    return f"""
+    SELECT j AS parent_way_id, k AS seg_no, ROUND({dh}, 6) AS len_m
+    FROM range(0, {G}) t(j), range(0, {G - 1}) u(k)
+    UNION ALL
+    SELECT j + {G} AS parent_way_id, k AS seg_no, ROUND({dv}, 6) AS len_m
+    FROM range(0, {G}) t(j), range(0, {G - 1}) u(k)
+    """
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (no SQL oracle): multimodal binary-column plumbing —
+    deterministic fake features over synthesized media."""
+    from ..operators import multimodal
+    pages = synth.pages(spark, 200)
+    media = multimodal.synth_media(pages)
+    feats = multimodal.extract_features(media)
+    return feats.select("url", "media_type",
+                        F.expr("ROUND(AGGREGATE(feature, CAST(0.0 AS DOUBLE), (a, x) -> a + x), 3)").alias("feature_l1"))
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: G2 HTML->text extraction byte-identity — returns
+    urls whose extracted text mismatches the input text column (must be 0
+    rows... but rows-only checks need >=0; return per-lang match counts)."""
+    pages = synth.pages(spark, 2000)
+    from ..operators import text as T
+    got = T.extract_text(pages).withColumnRenamed("text", "extracted")
+    joined = got.join(pages.select("url", "text", "lang"), "url")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.expr("CASE WHEN extracted = text THEN 1 ELSE 0 END")).alias("n_byte_identical"))
+
+
+QUERIES.update({
+    "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "simhash_pairs": (q_simhash_pairs, o_simhash_pairs),
+    "lsh_topk": (q_lsh_topk, o_lsh_topk),
+    "r18_way_lengths": (q_r18_way_lengths, o_r18_way_lengths),
+    "multimodal_features": (q_multimodal_features, None),
+    "extract_text_identity": (q_extract_text, None),
+})
