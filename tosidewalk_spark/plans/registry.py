@@ -701,8 +701,11 @@ def q_r18_way_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _ = synth.osm_grid(spark, g=G, with_noise_ways=True)
     gw = N.geom_ways(nodes, segs)
     d = sqlfns.equirect_dist_sql("lats[0]", "lngs[0]", "lats[1]", "lngs[1]")
-    return gw.select("parent_way_id", "seg_no",
-                     F.expr(f"ROUND({d}, 6)").alias("len_m"))
+    # split ids are parent * SPLIT_FACTOR + seg_no (network.split_streets)
+    return gw.select(
+        F.expr(f"CAST(FLOOR(way_id / {N.SPLIT_FACTOR}) AS BIGINT)").alias("parent_way_id"),
+        F.expr(f"way_id % {N.SPLIT_FACTOR}").alias("seg_no"),
+        F.expr(f"ROUND({d}, 6)").alias("len_m"))
 
 
 def o_r18_way_lengths() -> str:
