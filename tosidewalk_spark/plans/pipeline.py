@@ -46,7 +46,11 @@ def build_network(nodes: DataFrame, ways: DataFrame,
     crosswalks = SW.make_crosswalks(full_inter_gw, inter)
     corners = SW.crosswalk_corner_nodes(crosswalks)
     sidewalks = SW.rewire_sidewalk_endpoints(sidewalks, corners)
-    return SW.union_network(gw, sidewalks, crosswalks)
+    # the network is tiny (city-scale rows) but its plan is deep (UDF
+    # chains + CC fixpoints); materialize once so downstream branches do
+    # not re-evaluate the whole inference DAG per consumer (measured 13x
+    # re-evaluation in entry() without this)
+    return SW.union_network(gw, sidewalks, crosswalks).localCheckpoint(eager=True)
 
 
 def run_graft(points: DataFrame, net: DataFrame, k: int = 1) -> dict[str, DataFrame]:
@@ -55,11 +59,14 @@ def run_graft(points: DataFrame, net: DataFrame, k: int = 1) -> dict[str, DataFr
     (url, entity, lat, lng, cell9)."""
     sidewalk_net = net.filter(F.col("kind") == "sidewalk")
     segments = SP.street_segments(sidewalk_net)
-    buffers = SP.street_buffers(segments, res=SP.PIP_COVER_RES)
+    buffers = SP.street_buffers(segments, res=SP.PIP_COVER_RES).localCheckpoint(eager=True)
     join_out = SP.pip_join(points, buffers, cover_res=SP.PIP_COVER_RES)
     seg_cells = SP.segments_by_cell(SP.street_buffers(segments))
     knn = SP.knn_join(points, seg_cells, k=k)
-    tiles = SP.coverage_tiles(points, knn)
+    # tiles count PIP containment matches (same semantics as the oracle);
+    # knn is returned lazily — consumers that don't collect it pay nothing
+    # (the ring-expansion fixpoint only runs when knn is materialized)
+    tiles = SP.coverage_tiles(points, join_out)
     return {"buffers": buffers, "join_out": join_out, "knn": knn, "tiles": tiles}
 
 
