@@ -24,10 +24,14 @@ def _duck():
 
 
 def _norm(v):
+    # EXACT comparison, even for floats: every compared float column is
+    # rounded in-query and computed with bit-identical cross-engine
+    # arithmetic (poly-cos, shared templates), so repr equality must hold —
+    # this is what makes the driver's value-hash comparison engine-proof.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return repr(v)
