@@ -166,65 +166,81 @@ def segments_by_cell(buffers: DataFrame) -> DataFrame:
         F.explode("cells").alias("cell")).dropDuplicates(["segment_id", "cell"])
 
 
-def _disk_cells_expr(r_lo: int, r_hi: int) -> F.Column:
-    """Array of cell ids at Chebyshev distance in [r_lo, r_hi] of cell9."""
-    res = cells.DEFAULT_RES
-    offs = [(di, dj) for di in range(-r_hi, r_hi + 1) for dj in range(-r_hi, r_hi + 1)
-            if r_lo <= max(abs(di), abs(dj)) <= r_hi]
+def _probe_cells_expr(res: int, r_hi: int) -> F.Column:
+    """(2*r_hi+1)^2 probe cells (Chebyshev disk) around the point's cell at
+    ``res``, derived from lat/lng so the probe resolution is decoupled from
+    the stored cell9 tiling resolution."""
+    s = sqlfns.dlit(cells.cell_size_deg(res))
+    j = f"CAST(FLOOR((lat + 90.0e0) / {s}) AS BIGINT)"
+    i = f"CAST(FLOOR((lng + 180.0e0) / {s}) AS BIGINT)"
+    offs = [(di, dj) for di in range(-r_hi, r_hi + 1) for dj in range(-r_hi, r_hi + 1)]
     return F.array(*[
         F.expr(f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
-               f"+ (CAST(FLOOR((cell9 % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT) + {dj}) * {sqlfns.POW2_28} "
-               f"+ (cell9 % {sqlfns.POW2_28} + {di})")
+               f"+ ({j} + {dj}) * {sqlfns.POW2_28} + ({i} + {di})")
         for di, dj in offs])
 
 
 def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
-             max_ring: int = 8, first_radius: int = 2) -> DataFrame:
+             max_ring: int = 8, first_radius: int = 2,
+             res: int = cells.DEFAULT_RES) -> DataFrame:
     """G5: for each point, the k nearest segments by point-to-segment
-    distance, found by cell-disk probe + ring expansion for stragglers.
-    Exact: a point finishes only when its k-th best distance is below the
-    lower bound of the first unexplored ring, so the result equals
-    brute-force top-k (ties broken by (dist, way_id, segment_id)).
+    distance.  Exact: equals brute-force top-k (ties broken by
+    (dist, way_id, segment_id)) whenever the k-th neighbor lies within
+    disk(max_ring); points with fewer candidates there return what exists.
 
-    Scale shape: round one joins every point's disk(first_radius) cells in
-    ONE equi-join — at realistic density that settles almost all points, so
-    the driver fixpoint (SURVEY.md §3.2) only iterates for isolated
-    stragglers; accumulated candidates are localCheckpoint-ed to cut
-    lineage; max_ring bounds the search."""
-    res = cells.DEFAULT_RES
+    Two-phase declarative plan (VERDICT.md round-1 'What's wrong' #1 — the
+    old driver-side ring fixpoint re-windowed and localCheckpoint-ed the
+    FULL accumulated candidate set every round):
+
+    - Phase 1 probes every point's Chebyshev disk(first_radius) in ONE cell
+      equi-join and ranks candidates; a point is settled when it has k
+      candidates and its k-th distance is <= first_radius * (minimum cell
+      edge), so no unexplored segment can beat it.  At realistic density
+      this settles ~all points.
+    - Phase 2 re-probes only the stragglers with disk(max_ring) in one more
+      join.  With zero stragglers the phase-2 subtree is an empty join —
+      no driver-side loop, no isEmpty() action, no checkpoint; the whole
+      operator is a single Catalyst plan (AQE broadcasts the tiny settled-
+      key side of the semi/anti joins at runtime).
+
+    Only phase-1's top-k rows (<= k per point) are persisted for reuse
+    across the three consumers — never the raw candidate set."""
     s = cells.cell_size_deg(res)
     # conservative meters-per-cell lower bound (lng edge at |lat|<=60)
     edge_min_m = s * geom.M_PER_DEG * 0.5
     pts = points.select("url", "entity", "lat", "lng", "cell9")
     dist_expr = F.expr(sqlfns.seg_dist_sql("lat", "lng", "alat", "alng", "blat", "blng"))
+    wd = Window.partitionBy("url", "entity").orderBy("segment_id")
     wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
+    cols = ["url", "entity", "lat", "lng", "cell9",
+            "way_id", "segment_id", "dist_m", "knn_rank"]
 
-    def probe(src: DataFrame, r_lo: int, r_hi: int) -> DataFrame:
-        return (src.withColumn("cell", F.explode(_disk_cells_expr(r_lo, r_hi)))
+    def topk(src: DataFrame, r_hi: int) -> DataFrame:
+        cand = (src.withColumn("cell", F.explode(_probe_cells_expr(res, r_hi)))
                 .join(seg_cells, "cell")
                 .select("url", "entity", "lat", "lng", "cell9",
-                        "way_id", "segment_id", dist_expr.alias("dist_m"))
-                .dropDuplicates(["url", "entity", "segment_id"]))
+                        "way_id", "segment_id", dist_expr.alias("dist_m")))
+        # ONE shuffle on (url, entity) serves both the per-segment dedup (a
+        # segment covering several probed cells appears once per cell; the
+        # duplicate rows are identical) and the rank window — the second
+        # window re-sorts within partitions but does not re-shuffle.
+        dedup = (cand.withColumn("_prev", F.lag("segment_id").over(wd))
+                 .filter(F.col("_prev").isNull()
+                         | (F.col("_prev") != F.col("segment_id")))
+                 .drop("_prev"))
+        return (dedup.withColumn("knn_rank", F.row_number().over(wk))
+                .filter(F.col("knn_rank") <= k))
 
-    acc = probe(pts, 0, first_radius)
-    pending = None
-    r = first_radius
-    while r < max_ring:
-        bound = r * edge_min_m
-        kth = (acc.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") == k)
-               .select("url", "entity", F.col("dist_m").alias("kth_dist")))
-        done_keys = kth.filter(F.col("kth_dist") <= bound).select("url", "entity")
-        pending = pts.join(done_keys, ["url", "entity"], "left_anti").localCheckpoint(eager=True)
-        if pending.isEmpty():
-            break
-        acc = acc.unionByName(probe(pending, r + 1, r + 1)) \
-                 .dropDuplicates(["url", "entity", "segment_id"]) \
-                 .localCheckpoint(eager=True)
-        r += 1
-    return (acc.withColumn("knn_rank", F.row_number().over(wk))
-            .filter(F.col("knn_rank") <= k)
-            .select("url", "entity", "lat", "lng", "cell9",
-                    "way_id", "segment_id", "dist_m", "knn_rank"))
+    phase1 = topk(pts, first_radius).persist()
+    bound = first_radius * edge_min_m
+    settled = (phase1.groupBy("url", "entity")
+               .agg(F.max("dist_m").alias("kth"), F.count("*").alias("n"))
+               .filter((F.col("n") == k) & (F.col("kth") <= bound))
+               .select("url", "entity"))
+    done = phase1.join(settled, ["url", "entity"], "left_semi")
+    stragglers = pts.join(settled, ["url", "entity"], "left_anti")
+    phase2 = topk(stragglers, max(max_ring, first_radius))
+    return done.select(*cols).unionByName(phase2.select(*cols))
 
 
 # --- G6: raster coverage tiles -------------------------------------------------
