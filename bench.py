@@ -44,9 +44,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
 GRID = 24  # ~2.1 km city; hash-geocoded points span ~2.2 km
 RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-# scaling legs use a smaller input so the whole bench (main + 2 pinned
-# subprocess sessions, min-of-2 each) stays under ~6 minutes
-SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "3000000"))
+# scaling legs: large enough that per-job fixed overhead (stage scheduling,
+# Arrow worker spawn) is <5% of the 32-core leg — fixed overhead is the
+# Amdahl term that deflates measured N->4N efficiency
+SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "6000000"))
+# parquet-scan leg (ADVICE r1): measure the scan-inclusive path separately
+# so the generated-input headline can't be mistaken for scan throughput
+SCAN_PAGES = int(os.environ.get("SPARK_GRAFT_SCAN_PAGES", "1000000"))
 
 
 def _timed(fn):
@@ -87,6 +91,18 @@ def pages_throughput_job(spark, buffers, n_pages: int) -> None:
 
 
 def measured_session(cpus: int, n_pages: int) -> float:
+    """One scaling leg.  MUST run in a fresh process: sched_setaffinity is
+    applied before the JVM starts so the Spark driver, executors and every
+    spawned python UDF worker inherit the mask.  Spark's local[N] caps JVM
+    task slots but NOT python UDF workers — unpinned, a local[8] job
+    borrows the other 24 cores for its pandas workers, which silently
+    inflates the small leg and deflates measured N->4N efficiency (round-1
+    driver run: 0.594 unpinned vs 0.861 pinned on the same plan).  The
+    affinity syscall needs no taskset binary and works under any harness."""
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+    except (AttributeError, OSError):
+        pass
     spark = get_spark(f"bench{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
     buffers = build_buffers(spark)
     pages_throughput_job(spark, buffers, 200_000)  # warmup: JIT + codegen
@@ -97,20 +113,38 @@ def measured_session(cpus: int, n_pages: int) -> float:
 
 
 def measured_session_pinned(cpus: int, n_pages: int) -> float:
-    """Run one scaling leg in a subprocess pinned to exactly ``cpus``
-    physical cores with taskset.  Spark's local[N] caps JVM task slots but
-    NOT python UDF workers — unpinned, a local[8] job borrows the other 24
-    cores for its pandas workers, which silently inflates the small leg and
-    oversubscribes the big one.  CPU affinity is what makes the N vs 4N
-    comparison mean cores, the sandbox proxy for executors."""
-    import shutil
+    """Run one scaling leg in a subprocess (fresh JVM + fresh affinity)."""
     import subprocess
-    if shutil.which("taskset") is None:
-        return measured_session(cpus, n_pages)
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.abspath(__file__),
+    cmd = [sys.executable, os.path.abspath(__file__),
            "--scaling-leg", str(cpus), "--pages", str(n_pages)]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return float(out.stdout.strip().splitlines()[-1])
+
+
+def parquet_scan_leg(spark, buffers, n_pages: int) -> dict:
+    """Scan-inclusive throughput: write the pages table to parquet once
+    (untimed), then time scan -> geocode -> PIP join -> tiles.  Reported
+    separately because on this single-box sandbox the scan path is bounded
+    by one machine's memory bandwidth (not representative of per-node
+    bandwidth on a cluster) — see BENCH/BASELINE.md."""
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        synth.pages(spark, n_pages).write.mode("overwrite").parquet(d)
+
+        def job():
+            pages = spark.read.parquet(d)
+            points = synth.geo_entities(spark, pages)
+            join_out = SP.pip_join(points, buffers, cover_res=SP.PIP_COVER_RES)
+            SP.coverage_tiles(points, join_out).write.mode("overwrite").format("noop").save()
+
+        job()  # warmup
+        secs = min(_timed(job)[1] for _ in range(2))
+        return {"pages": n_pages, "wall_sec": secs,
+                "pages_per_sec": round(n_pages / secs, 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def run_queries(spark, buffers) -> dict[str, float]:
@@ -158,6 +192,7 @@ def main() -> None:
     pages_throughput_job(spark, buffers, 200_000)  # warmup
     flag_sec = min(_timed(lambda: pages_throughput_job(spark, buffers, N_PAGES))[1]
                    for _ in range(2))
+    scan = parquet_scan_leg(spark, buffers, SCAN_PAGES)
     queries = run_queries(spark, buffers)
     spark.stop()
 
@@ -177,7 +212,8 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "pages": N_PAGES,
-        "pages_per_sec": round(N_PAGES / flag_sec, 1),
+        "pages_per_sec": round(N_PAGES / flag_sec, 1),  # generated-input path
+        "parquet_scan": scan,  # scan-inclusive path, measured separately
     }
     if scaling:
         out["scaling"] = scaling

@@ -47,6 +47,26 @@ def test_lineage_partial_resume(spark, tmp_path):
     assert out.count() > 500
 
 
+def test_lineage_single_upstream_evaluation(spark, tmp_path):
+    # the data write and the metrics agg share one persisted `pending`:
+    # the upstream DAG must run ONCE per stage (VERDICT.md r1 #6)
+    from pyspark.sql import types as T
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.LongType())
+    def bump(x):
+        acc.add(1)
+        return x
+
+    df = spark.range(100).select(bump("id").alias("v"),
+                                 (F.col("id") % 4).alias("cell9"))
+    out = lineage.run_stage_with_resume(
+        spark, str(tmp_path / "one"), "s1", df,
+        lineage.partition_key("cell9", 4), ["v"])
+    assert out.count() == 100
+    assert acc.value == 100, f"upstream evaluated {acc.value / 100}x"
+
+
 def test_lineage_checksum_parallelism_invariant(spark, tmp_path):
     df = spark.range(400).select(F.col("id"), (F.col("id") % 5).alias("cell9"),
                                  (F.col("id") * 3).alias("v"))

@@ -69,6 +69,18 @@ def test_merge_nodes(spark):
     assert rows[1] == [1, 2] and rows[2] == [2, 4]
 
 
+def test_merge_nodes_gw_reference_position(spark):
+    # R8 on the gw form (between parallel-merge and simplify, as the
+    # reference orders it): ids AND inline coordinates rewrite
+    nodes, ways = synth.micro_fixture(spark, "near_nodes")
+    gw = N.geom_ways(nodes, ways)
+    merged = N.merge_nodes_gw(gw, threshold_m=5.0)
+    rows = {r.way_id: r for r in merged.collect()}
+    assert rows[1].node_ids == [1, 2] and rows[2].node_ids == [2, 4]
+    assert rows[2].lats[0] == rows[1].lats[1]
+    assert rows[2].lngs[0] == rows[1].lngs[1]
+
+
 def test_merge_nodes_noop(spark):
     nodes, ways = synth.micro_fixture(spark, "straight3")
     n2, w2 = N.merge_nodes(nodes, ways, threshold_m=5.0)
@@ -110,6 +122,17 @@ def test_parallel_detect_and_merge(spark):
     # centerline = midpoints: lng halfway between the two lanes
     lngs = np.array(rows[0].lngs)
     assert np.allclose(lngs, -122.330 + 9.0 / (111111.0 * np.cos(np.radians(47.6))), atol=1e-7)
+
+
+def test_parallel_detect_ns_lng_separated(spark):
+    # east-west separation straddling a res-11 cell column (ADVICE.md r1:
+    # the round-1 lat-only cover silently missed these pairs)
+    nodes, ways = synth.micro_fixture(spark, "parallel_lanes_ns")
+    gw = N.geom_ways(nodes, ways)
+    prows = N.find_parallel_pairs(gw).collect()
+    assert len(prows) == 1
+    assert {prows[0].way_a, prows[0].way_b} == {1, 2}
+    assert prows[0].sep_m == pytest.approx(24.0, rel=0.05)
 
 
 def test_parallel_ignores_perpendicular(spark):

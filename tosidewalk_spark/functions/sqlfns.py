@@ -111,6 +111,51 @@ def seg_dist_sql(plat: str, plng: str, alat: str, alng: str,
     )
 
 
+def buffer_corners_sql(alat: str, alng: str, blat: str, blng: str,
+                       half_width_m: float) -> tuple[list[str], list[str]]:
+    """The 4 corner coordinates (CCW, flat caps) of the rectangle buffering
+    segment a->b by half_width_m each side — twin of
+    kernel.geom.buffer_segment (which uses sqrt(dx*dx + dy*dy), not hypot,
+    precisely so this template is bit-identical in Spark, DuckDB and numpy).
+    Returns ([4 lat exprs], [4 lng exprs])."""
+    hw = dlit(half_width_m)
+    cm = f"({coslat_sql(alat)} * {M})"
+    mx = f"((({blng}) - ({alng})) * {cm})"
+    my = f"((({blat}) - ({alat})) * {M})"
+    L = (f"(CASE WHEN SQRT({mx} * {mx} + {my} * {my}) = 0.0e0 THEN 1.0e0 "
+         f"ELSE SQRT({mx} * {mx} + {my} * {my}) END)")
+    nx = f"(-(({my}) / {L}) * {hw})"
+    ny = f"((({mx}) / {L}) * {hw})"
+    lats = [f"(({alat}) + {ny} / {M})",
+            f"(({alat}) + ({my} + {ny}) / {M})",
+            f"(({alat}) + ({my} - {ny}) / {M})",
+            f"(({alat}) + (-{ny}) / {M})"]
+    lngs = [f"(({alng}) + {nx} / {cm})",
+            f"(({alng}) + ({mx} + {nx}) / {cm})",
+            f"(({alng}) + ({mx} - {nx}) / {cm})",
+            f"(({alng}) + (-{nx}) / {cm})"]
+    return lats, lngs
+
+
+def raycast_inside_sql(plat: str, plng: str,
+                       lat4: list[str], lng4: list[str]) -> str:
+    """Even-odd ray-casting containment of point (plat, plng) in the
+    4-corner polygon — the exact arithmetic of kernel.geom.point_in_polygon
+    / the pip_join refine, as a SQL boolean for DuckDB oracles of
+    non-axis-aligned (rotated) buffers.  CASE guards make the horizontal-
+    edge division unreachable (cond false => la_i == la_j never divides)."""
+    terms = []
+    for i in range(4):
+        j = (i - 1) % 4
+        vy_i, vy_j = lat4[i], lat4[j]
+        vx_i, vx_j = lng4[i], lng4[j]
+        xint = f"(({vx_j} - {vx_i}) * (({plat}) - {vy_i}) / ({vy_j} - {vy_i}) + {vx_i})"
+        terms.append(
+            f"(CASE WHEN ({vy_i} > ({plat})) <> ({vy_j} > ({plat})) "
+            f"THEN (CASE WHEN ({plng}) < {xint} THEN 1 ELSE 0 END) ELSE 0 END)")
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
 def polyhash_spark(s: str) -> str:
     """Polynomial string hash, Spark flavor — mirror of kernel.cells.hash63.
     CASE guards LENGTH=0 because Spark's SEQUENCE(1, 0) is descending."""

@@ -242,7 +242,10 @@ def buffer_segment(alat, alng, blat, blng, half_width_m=BUFFER_HALF_WIDTH_M):
     a->b by half_width_m on each side (flat caps)."""
     x, y = equirect_xy(np.array([alat, blat]), np.array([alng, blng]), alat, alng)
     dx, dy = x[1] - x[0], y[1] - y[0]
-    L = float(np.hypot(dx, dy)) or 1.0
+    # sqrt(dx*dx + dy*dy), NOT np.hypot: IEEE RN sqrt/mul are exact-rounded,
+    # so this matches sqlfns.buffer_corners_sql bit-for-bit in Spark/DuckDB
+    # (hypot uses a different algorithm and can differ in the last ulp)
+    L = float(np.sqrt(dx * dx + dy * dy)) or 1.0
     ux, uy = dx / L, dy / L
     nx, ny = -uy * half_width_m, ux * half_width_m
     cx = np.array([x[0] + nx, x[1] + nx, x[1] - nx, x[0] - nx])

@@ -37,7 +37,10 @@ STREET_WHITELIST = [
     "motorway", "trunk", "primary", "secondary", "tertiary", "unclassified",
     "residential", "living_street",
 ]
-SPLIT_FACTOR = 1024           # split-segment way id = way_id * 1024 + seg_no
+SPLIT_FACTOR = 4096           # split-segment way id = way_id * 4096 + seg_no
+                              # (OSM ways allow 2000 nd refs; ASSERT_TRUE in
+                              # split_streets fails loudly on overflow rather
+                              # than corrupting ids — ADVICE.md r1)
 PARALLEL_NODE_BASE = 3_000_000_000_000
 MAX_CC_ROUNDS = 30
 
@@ -230,7 +233,9 @@ def split_streets(ways: DataFrame, inter: DataFrame | None = None) -> DataFrame:
         exploded.groupBy("way_id", "seg_no")
         .agg(F.sort_array(F.collect_list(F.struct("seq", "node_id"))).alias("vs"))
         .select(
-            (F.col("way_id") * SPLIT_FACTOR + F.col("seg_no")).alias("way_id"),
+            F.expr(f"way_id * {SPLIT_FACTOR} + seg_no + COALESCE(CAST(ASSERT_TRUE("
+                   f"seg_no < {SPLIT_FACTOR}, 'seg_no overflows SPLIT_FACTOR') AS BIGINT), 0)"
+                   ).alias("way_id"),
             F.col("way_id").alias("parent_way_id"),
             F.col("seg_no"),
             F.expr("TRANSFORM(vs, v -> v.node_id)").alias("node_ids"),
@@ -243,20 +248,17 @@ def split_streets(ways: DataFrame, inter: DataFrame | None = None) -> DataFrame:
 
 # --- R8 node merging -----------------------------------------------------------
 
-def merge_nodes(nodes: DataFrame, ways: DataFrame,
-                threshold_m: float = geom.NODE_MERGE_M) -> tuple[DataFrame, DataFrame]:
-    """R8: collapse nodes closer than threshold_m into the min-id canonical
-    node and rewrite way vertex lists (consecutive duplicates dropped).
-
-    Candidates come from a cell-bucketed self-join (res chosen so the cell
-    edge exceeds the threshold, so a disk-1 neighborhood covers it) — an
-    equi-join, never a cross join.  Cluster merge = connected components."""
+def _node_merge_remap(pts: DataFrame, threshold_m: float) -> DataFrame | None:
+    """(old_id -> new_id) remap for nodes closer than threshold_m.
+    Candidates from a cell-bucketed self-join (cell edge > threshold so a
+    disk-1 neighborhood covers it) — an equi-join, never a cross join;
+    cluster merge = connected components; canonical id = min(node_id).
+    Returns None when no pair is within threshold."""
     res = 13  # 9.5 m cells > 5 m threshold
     disk_cells = F.array(*[
         F.expr(sqlfns.cell_sql(f"lat + {di} * {cells.cell_size_deg(res)!r}",
                                f"lng + {dj} * {cells.cell_size_deg(res)!r}", res))
         for di in (-1, 0, 1) for dj in (-1, 0, 1)])
-    pts = nodes.select("node_id", "lat", "lng")
     left = pts.withColumn("cell", F.explode(disk_cells))
     right = pts.select(
         F.col("node_id").alias("node_id_b"), F.col("lat").alias("lat_b"),
@@ -270,10 +272,19 @@ def merge_nodes(nodes: DataFrame, ways: DataFrame,
         .distinct()
     )
     if cand.isEmpty():
-        return nodes, ways
+        return None
     comp = connected_components(cand)
-    remap = comp.filter(F.col("id") != F.col("component")) \
-                .select(F.col("id").alias("old_id"), F.col("component").alias("new_id"))
+    return comp.filter(F.col("id") != F.col("component")) \
+               .select(F.col("id").alias("old_id"), F.col("component").alias("new_id"))
+
+
+def merge_nodes(nodes: DataFrame, ways: DataFrame,
+                threshold_m: float = geom.NODE_MERGE_M) -> tuple[DataFrame, DataFrame]:
+    """R8: collapse nodes closer than threshold_m into the min-id canonical
+    node and rewrite way vertex lists (consecutive duplicates dropped)."""
+    remap = _node_merge_remap(nodes.select("node_id", "lat", "lng"), threshold_m)
+    if remap is None:
+        return nodes, ways
     exploded = way_nodes(ways).join(
         F.broadcast(remap).withColumnRenamed("old_id", "node_id"), "node_id", "left")
     exploded = exploded.withColumn("node_id", F.coalesce("new_id", "node_id"))
@@ -289,6 +300,50 @@ def merge_nodes(nodes: DataFrame, ways: DataFrame,
     merged_away = remap.select(F.col("old_id").alias("node_id"))
     new_nodes = nodes.join(merged_away, "node_id", "left_anti")
     return new_nodes, new_ways
+
+
+def merge_nodes_gw(gw: DataFrame,
+                   threshold_m: float = geom.NODE_MERGE_M) -> DataFrame:
+    """R8 in the REFERENCE's pipeline position — between parallel-merge and
+    simplify, over the gw form where coordinates ride inline (VERDICT.md r1
+    'What's missing' #5; round 1 only merged on the node/way form before
+    geometry gathering).  Vertices closer than threshold_m collapse to the
+    min-id vertex: ids AND coordinates rewrite to the canonical vertex,
+    consecutive duplicates drop, degenerate (<2 vertex) ways drop."""
+    verts = (gw.select(F.explode(F.arrays_zip("node_ids", "lats", "lngs")).alias("v"))
+             .select(F.col("v.node_ids").alias("node_id"),
+                     F.col("v.lats").alias("lat"), F.col("v.lngs").alias("lng"))
+             .dropDuplicates(["node_id"]))
+    remap = _node_merge_remap(verts, threshold_m)
+    if remap is None:
+        return gw
+    canon = remap.join(verts.select(F.col("node_id").alias("new_id"),
+                                    F.col("lat").alias("c_lat"),
+                                    F.col("lng").alias("c_lng")), "new_id")
+    exploded = gw.select(
+        "way_id", "highway",
+        F.posexplode(F.arrays_zip("node_ids", "lats", "lngs")).alias("seq", "v")
+    ).select("way_id", "highway", "seq",
+             F.col("v.node_ids").alias("node_id"),
+             F.col("v.lats").alias("lat"), F.col("v.lngs").alias("lng"))
+    exploded = (exploded.join(
+        F.broadcast(canon).withColumnRenamed("old_id", "node_id"), "node_id", "left")
+        .select("way_id", "highway", "seq",
+                F.coalesce("new_id", "node_id").alias("node_id"),
+                F.coalesce("c_lat", "lat").alias("lat"),
+                F.coalesce("c_lng", "lng").alias("lng")))
+    gathered = (exploded.groupBy("way_id", "highway")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("seq", "node_id", "lat", "lng"))).alias("vs"))
+                .withColumn("vs", F.expr(
+                    "FILTER(vs, (x, i) -> i = 0 OR x.node_id != vs[i - 1].node_id)")))
+    return (gathered.select(
+        "way_id", "highway",
+        F.expr("TRANSFORM(vs, v -> v.node_id)").alias("node_ids"),
+        F.expr("TRANSFORM(vs, v -> v.lat)").alias("lats"),
+        F.expr("TRANSFORM(vs, v -> v.lng)").alias("lngs"))
+        .filter(F.size("node_ids") >= 2)
+        .select("way_id", "node_ids", "lats", "lngs", "highway"))
 
 
 # --- R17 Douglas-Peucker simplification ------------------------------------------
@@ -324,8 +379,13 @@ def way_length_expr() -> F.Column:
     """Polyline length in meters as a pure SQL expression over (lats, lngs)
     arrays — stays in whole-stage codegen."""
     hav = sqlfns.haversine_sql("lats[k - 1]", "lngs[k - 1]", "lats[k]", "lngs[k]")
+    # SIZE guard: SEQUENCE(1, 0) is DESCENDING in Spark, so a 1-vertex way
+    # would walk bogus negative indices (ADVICE.md r1) — degenerate rows get
+    # length 0 and drop cleanly at the >= min_len filter
     return F.expr(
-        f"AGGREGATE(SEQUENCE(1, SIZE(lats) - 1), CAST(0.0 AS DOUBLE), (acc, k) -> acc + {hav})")
+        f"CASE WHEN SIZE(lats) >= 2 THEN "
+        f"AGGREGATE(SEQUENCE(1, SIZE(lats) - 1), CAST(0.0 AS DOUBLE), (acc, k) -> acc + {hav}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END")
 
 
 def remove_short_segments(nodes: DataFrame, ways: DataFrame,
@@ -373,12 +433,6 @@ def drop_short_gw(gw: DataFrame, min_len_m: float = geom.SHORT_SEGMENT_M) -> Dat
 
 # --- R6/R7 parallel segment detection + merge ---------------------------------------
 
-_PAIR_SCHEMA = T.StructType([
-    T.StructField("way_a", T.LongType()),
-    T.StructField("way_b", T.LongType()),
-    T.StructField("sep_m", T.DoubleType()),
-])
-
 _MERGED_SCHEMA = T.StructType([
     T.StructField("way_id", T.LongType()),
     T.StructField("node_ids", T.ArrayType(T.LongType())),
@@ -393,63 +447,101 @@ def _mean_bearing(lats, lngs):
     return float(np.arctan2(y[-1] - y[0], x[-1] - x[0]))
 
 
+def _endpoint_cols(side: str) -> list:
+    """Scalar endpoint/midpoint columns for one side of the parallel-pair
+    join: first/last/middle vertex of the polyline, JVM-side."""
+    return [
+        F.expr("ELEMENT_AT(lats, 1)").alias(f"flat_{side}"),
+        F.expr("ELEMENT_AT(lngs, 1)").alias(f"flng_{side}"),
+        F.expr("ELEMENT_AT(lats, -1)").alias(f"llat_{side}"),
+        F.expr("ELEMENT_AT(lngs, -1)").alias(f"llng_{side}"),
+        F.expr("lats[CAST(SIZE(lats) / 2 AS INT)]").alias(f"mlat_{side}"),
+        F.expr("lngs[CAST(SIZE(lngs) / 2 AS INT)]").alias(f"mlng_{side}"),
+    ]
+
+
 def find_parallel_pairs(gw: DataFrame,
                         dist_m: float = geom.PARALLEL_DIST_M,
                         angle_rad: float = geom.PARALLEL_ANGLE_RAD) -> DataFrame:
-    """R6: candidate pairs via cell-bucket equi-join on vertex cells (res 11
-    ~38 m cells with disk-1 expansion covers the 25 m threshold), refined by
-    an exact heading/separation/overlap predicate in a pandas UDF —
-    the reference's only theta-join, compiled to equi-join + refine."""
+    """R6: candidate pairs via a cell-bucket equi-join on vertex cells,
+    refined by the exact heading/separation/overlap predicate in pure Spark
+    SQL (whole-stage codegen; the round-1 pandas-UDF refine looped per row,
+    VERDICT.md 'What's wrong' #4) — the reference's only theta-join,
+    compiled to equi-join + scalar refine.
+
+    Cover: the a-side explodes a (2*r_lat+1) x (2*r_lng+1) integer-offset
+    disk around each vertex's res-11 cell, covering ``dist_m`` in BOTH axes
+    (round 1 expanded latitude only and silently missed east-west-separated
+    pairs — ADVICE.md r1 high).  r_lng assumes |lat| <= 60 (lng cell edge
+    >= half the lat edge)."""
+    import math as _math
     res = 11
-    s = cells.cell_size_deg(res)
+    s = sqlfns.dlit(cells.cell_size_deg(res))
+    edge_m = cells.cell_size_deg(res) * geom.M_PER_DEG
+    r_lat = _math.ceil(dist_m / edge_m)
+    r_lng = _math.ceil(dist_m / (edge_m * 0.5))
+    jk = f"CAST(FLOOR((lats[k] + 90.0e0) / {s}) AS BIGINT)"
+    ik = f"CAST(FLOOR((lngs[k] + 180.0e0) / {s}) AS BIGINT)"
     covered = F.expr(
-        "ARRAY_DISTINCT(FLATTEN(TRANSFORM(SEQUENCE(0, SIZE(lats) - 1), k -> " +
-        "TRANSFORM(SEQUENCE(-1, 1), d -> " +
-        sqlfns.cell_sql(f"lats[k] + d * {s!r}", "lngs[k]", res) + "))))")
-    keyed = gw.select("way_id", "lats", "lngs", F.explode(covered).alias("cell"))
-    a = keyed.select(F.col("way_id").alias("way_a"), F.col("lats").alias("lats_a"),
-                     F.col("lngs").alias("lngs_a"), "cell")
-    b = gw.select(F.col("way_id").alias("way_b"), F.col("lats").alias("lats_b"),
-                  F.col("lngs").alias("lngs_b"),
-                  F.explode(F.expr("TRANSFORM(SEQUENCE(0, SIZE(lats) - 1), k -> " +
-                                   sqlfns.cell_sql("lats[k]", "lngs[k]", res) + ")")).alias("cell"))
+        "ARRAY_DISTINCT(FLATTEN(TRANSFORM(SEQUENCE(0, SIZE(lats) - 1), k -> "
+        f"FLATTEN(TRANSFORM(SEQUENCE(-{r_lat}, {r_lat}), di -> "
+        f"TRANSFORM(SEQUENCE(-{r_lng}, {r_lng}), dj -> "
+        f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
+        f"+ ({jk} + di) * {sqlfns.POW2_28} + ({ik} + dj)))))))")
+    exact = F.expr(
+        "ARRAY_DISTINCT(TRANSFORM(SEQUENCE(0, SIZE(lats) - 1), k -> "
+        f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
+        f"+ ({jk}) * {sqlfns.POW2_28} + ({ik})))")
+    a = gw.select(F.col("way_id").alias("way_a"), *_endpoint_cols("a"),
+                  F.explode(covered).alias("cell"))
+    b = gw.select(F.col("way_id").alias("way_b"), *_endpoint_cols("b"),
+                  F.col("lats").alias("lats_b"), F.col("lngs").alias("lngs_b"),
+                  F.explode(exact).alias("cell"))
     cand = (a.join(b, "cell").filter(F.col("way_a") < F.col("way_b"))
             .dropDuplicates(["way_a", "way_b"]))
 
-    def refine_batches(it):
-        for pdf in it:
-            yield refine(pdf)
+    # exact refine, all scalar SQL over the endpoint/midpoint columns:
+    M = sqlfns.M
+    pi = sqlfns.dlit(_math.pi)
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in pdf.itertuples():
-            la, ga = np.asarray(r.lats_a), np.asarray(r.lngs_a)
-            lb, gb = np.asarray(r.lats_b), np.asarray(r.lngs_b)
-            ba, bb = _mean_bearing(la, ga), _mean_bearing(lb, gb)
-            d = abs(ba - bb) % np.pi
-            d = min(d, np.pi - d)
-            if d > angle_rad:
-                continue
-            mid_a = len(la) // 2
-            sep = float(np.min(geom.point_segment_dist_m(
-                la[mid_a], ga[mid_a], lb[:-1], gb[:-1], lb[1:], gb[1:])))
-            if sep > dist_m or sep < 0.5:
-                continue
-            # overlap: project b endpoints onto a's chord
-            x, y = geom.equirect_xy(np.concatenate([la[[0, -1]], lb[[0, -1]]]),
-                                    np.concatenate([ga[[0, -1]], gb[[0, -1]]]), la[0], ga[0])
-            ax, ay, cx, cy = x[0], y[0], x[1] - x[0], y[1] - y[0]
-            L2 = cx * cx + cy * cy
-            t0 = ((x[2] - ax) * cx + (y[2] - ay) * cy) / L2
-            t1 = ((x[3] - ax) * cx + (y[3] - ay) * cy) / L2
-            lo, hi = min(t0, t1), max(t0, t1)
-            if min(hi, 1.0) - max(lo, 0.0) < 0.3:
-                continue
-            out.append({"way_a": int(r.way_a), "way_b": int(r.way_b), "sep_m": sep})
-        return pd.DataFrame(out, columns=["way_a", "way_b", "sep_m"])
+    def bearing(side: str) -> str:
+        c = sqlfns.coslat_sql(f"flat_{side}")
+        return (f"ATAN2((llat_{side} - flat_{side}) * {M}, "
+                f"(llng_{side} - flng_{side}) * {c} * {M})")
 
-    # mapInPandas: per-batch refine, no extra shuffle after the cell join
-    return cand.mapInPandas(refine_batches, _PAIR_SCHEMA)
+    # separation: min distance from a's middle vertex to b's segments
+    seg_d = sqlfns.seg_dist_sql("mlat_a", "mlng_a",
+                                "lats_b[q]", "lngs_b[q]",
+                                "lats_b[q + 1]", "lngs_b[q + 1]")
+    sep = (f"CASE WHEN SIZE(lats_b) >= 2 THEN "
+           f"ARRAY_MIN(TRANSFORM(SEQUENCE(0, SIZE(lats_b) - 2), q -> {seg_d})) "
+           f"ELSE CAST(NULL AS DOUBLE) END")
+    # overlap: b's endpoints projected onto a's chord (frame anchored at
+    # a's first vertex — same arithmetic the numpy kernel twin uses)
+    ca = sqlfns.coslat_sql("flat_a")
+    cx = f"((llng_a - flng_a) * {ca} * {M})"
+    cy = f"((llat_a - flat_a) * {M})"
+    x2 = f"((flng_b - flng_a) * {ca} * {M})"
+    y2 = f"((flat_b - flat_a) * {M})"
+    x3 = f"((llng_b - flng_a) * {ca} * {M})"
+    y3 = f"((llat_b - flat_a) * {M})"
+    L2 = f"({cx} * {cx} + {cy} * {cy})"
+    t0 = f"(({x2} * {cx} + {y2} * {cy}) / {L2})"
+    t1 = f"(({x3} * {cx} + {y3} * {cy}) / {L2})"
+    overlap = (f"(LEAST(GREATEST({t0}, {t1}), 1.0e0) "
+               f"- GREATEST(LEAST({t0}, {t1}), 0.0e0))")
+
+    scored = cand.select(
+        "way_a", "way_b",
+        F.expr(f"PMOD(ABS({bearing('a')} - {bearing('b')}), {pi})").alias("braw"),
+        F.expr(sep).alias("sep_m"),
+        F.expr(overlap).alias("ov"))
+    return (scored
+            .withColumn("bdiff", F.expr(f"LEAST(braw, {pi} - braw)"))
+            .filter(f"bdiff <= {sqlfns.dlit(angle_rad)} "
+                    f"AND sep_m <= {sqlfns.dlit(dist_m)} AND sep_m >= 0.5e0 "
+                    f"AND ov >= 0.3e0")
+            .select("way_a", "way_b", "sep_m"))
 
 
 def merge_parallel_pairs(gw: DataFrame, pairs: DataFrame) -> DataFrame:

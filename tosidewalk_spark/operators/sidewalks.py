@@ -56,6 +56,9 @@ def make_sidewalks(gw: DataFrame, offset_m: float = geom.SIDEWALK_OFFSET_M) -> D
             lg = np.asarray(r.lngs, dtype=np.float64)
             if la.size < 2:
                 continue
+            if la.size >= 10_000:  # node-id scheme capacity — fail loudly
+                raise ValueError(f"way {r.way_id}: {la.size} vertices "
+                                 "overflow the sidewalk node-id scheme")
             llat, llng, rlat, rlng = geom.offset_polyline(la, lg, offset_m)
             pid = int(r.way_id)
             for side, (slat, slng) in enumerate(((llat, llng), (rlat, rlng))):
@@ -241,3 +244,21 @@ def to_geojson_features(net: DataFrame, precision: int = 6) -> DataFrame:
             coords.alias("coordinates")).alias("geometry"),
     ))
     return net.select(F.col("way_id"), feature.alias("feature"))
+
+
+def to_geojson_canonical(net: DataFrame, precision: int = 6) -> DataFrame:
+    """R20 in oracle-checkable canonical form: the Feature JSON built with
+    explicit %.{p}f fixed-point floats (C-printf semantics in BOTH Spark's
+    format_string and DuckDB's printf) and fixed key order, so golden /
+    cross-engine comparisons are byte-exact.  to_geojson_features (to_json)
+    remains the production sink; this form freezes the float formatting
+    that the reference's export golden tests pin down."""
+    pt = (f"CONCAT('[', FORMAT_STRING('%.{precision}f', c.lngs), ',', "
+          f"FORMAT_STRING('%.{precision}f', c.lats), ']')")
+    coords = f"CONCAT_WS(',', TRANSFORM(ARRAYS_ZIP(lngs, lats), c -> {pt}))"
+    feature = F.expr(
+        "CONCAT('{\"type\":\"Feature\",\"properties\":{\"id\":', CAST(way_id AS STRING), "
+        "',\"kind\":\"', kind, '\",\"highway\":\"', highway, "
+        "'\"},\"geometry\":{\"type\":\"LineString\",\"coordinates\":[', "
+        + coords + ", ']}}')")
+    return net.select("way_id", feature.alias("feature"))

@@ -9,56 +9,50 @@ expansion, and per-cell raster coverage tiles.
 Scale design:
 - The spatial join is compiled to a cell equi-join (build side: polyfill
   of each buffer, exploded; probe side: the point's cell9) + an exact
-  vectorized ray-casting refine — Catalyst picks broadcast vs SMJ, AQE
-  handles skew coarsely, and dense-cell skew is handled explicitly by the
-  salted aggregation in G6/G7.
-- kNN is a driver-side ring-expansion fixpoint: each round is one
-  equi-join at Chebyshev ring r; a point finishes when its k-th candidate
-  distance is provably below the next ring's lower bound, so results are
-  EXACTLY the brute-force top-k (the DuckDB oracle checks this).
-- All per-row geometry is numpy over Arrow batches (mapInPandas), and the
-  only driver-side loop is the bounded ring expansion.
+  ray-casting refine — Catalyst picks broadcast vs SMJ, AQE handles skew
+  coarsely, and dense-cell skew is handled explicitly by the salted
+  aggregation in G6/G7.
+- kNN is a two-phase declarative plan: one disk-probe equi-join settles
+  nearly all points with a provable ring lower bound; only stragglers get
+  a wider second probe.  Results are EXACTLY the brute-force top-k (the
+  DuckDB oracle checks this).
+- EVERYTHING here is pure Spark SQL in whole-stage codegen — buffer
+  corners, cell covers, ray-cast containment and point-segment distance
+  are shared sqlfns templates with bit-identical numpy and DuckDB twins.
+  No python workers, no driver-side loops, no collect.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql import types as T
 
 from ..functions import sqlfns
 from ..kernel import cells, geom
 
-SEG_FACTOR = 1024  # segment_id = way_id * 1024 + edge index
+SEG_FACTOR = 4096  # segment_id = way_id * 4096 + edge index (asserted below)
 
 
 def street_segments(net: DataFrame) -> DataFrame:
     """Explode network polylines into single edges:
-    (way_id, segment_id, alat, alng, blat, blng).  Pure SQL (codegen)."""
+    (way_id, segment_id, alat, alng, blat, blng).  Pure SQL (codegen).
+    SIZE guard: SEQUENCE(0, -1) is descending, so a 1-vertex polyline would
+    emit two bogus edges (ADVICE.md r1) — degenerate rows emit zero edges;
+    ASSERT_TRUE fails loudly if a polyline overflows the id factor."""
     return net.select(
         "way_id",
         F.posexplode(F.expr(
-            "TRANSFORM(SEQUENCE(0, SIZE(lats) - 2), k -> "
-            "STRUCT(lats[k] AS alat, lngs[k] AS alng, lats[k + 1] AS blat, lngs[k + 1] AS blng))"
+            "CASE WHEN SIZE(lats) >= 2 THEN TRANSFORM(SEQUENCE(0, SIZE(lats) - 2), k -> "
+            "STRUCT(lats[k] AS alat, lngs[k] AS alng, lats[k + 1] AS blat, lngs[k + 1] AS blng)) "
+            "ELSE ARRAY() END"
         )).alias("edge_no", "e"),
     ).select(
         "way_id",
-        (F.col("way_id") * SEG_FACTOR + F.col("edge_no")).alias("segment_id"),
+        F.expr(f"way_id * {SEG_FACTOR} + edge_no + COALESCE(CAST(ASSERT_TRUE("
+               f"edge_no < {SEG_FACTOR}, 'edge_no overflows SEG_FACTOR') AS BIGINT), 0)"
+               ).alias("segment_id"),
         F.col("e.alat").alias("alat"), F.col("e.alng").alias("alng"),
         F.col("e.blat").alias("blat"), F.col("e.blng").alias("blng"),
     )
-
-
-_BUF_SCHEMA = T.StructType([
-    T.StructField("way_id", T.LongType()),
-    T.StructField("segment_id", T.LongType()),
-    T.StructField("alat", T.DoubleType()), T.StructField("alng", T.DoubleType()),
-    T.StructField("blat", T.DoubleType()), T.StructField("blng", T.DoubleType()),
-    T.StructField("poly_lats", T.ArrayType(T.DoubleType())),
-    T.StructField("poly_lngs", T.ArrayType(T.DoubleType())),
-    T.StructField("cells", T.ArrayType(T.LongType())),
-])
 
 
 PIP_COVER_RES = 11  # 38 m cells: tight cover for 12 m buffers, ~8x fewer
@@ -70,91 +64,81 @@ def street_buffers(segments: DataFrame,
                    res: int = cells.DEFAULT_RES) -> DataFrame:
     """Buffered rectangle polygon + conservative cell cover per segment —
     the build side of the PIP join (SURVEY.md §1.2 'street_buffers').
-    Vectorized numpy over Arrow batches.  ``res`` picks the cover
-    granularity: PIP_COVER_RES for the PIP join (tight cover, small
-    candidate fan-out), DEFAULT_RES (9) for the kNN ring index whose
-    distance bounds are calibrated to res-9 cell edges."""
 
-    def build(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            out = pdf[["way_id", "segment_id", "alat", "alng", "blat", "blng"]].copy()
-            plats, plngs, ccells = [], [], []
-            for r in pdf.itertuples():
-                bl, bg = geom.buffer_segment(r.alat, r.alng, r.blat, r.blng, half_width_m)
-                plats.append(bl.tolist())
-                plngs.append(bg.tolist())
-                ccells.append(cells.polyfill(bl, bg, res).tolist())
-            out["poly_lats"], out["poly_lngs"], out["cells"] = plats, plngs, ccells
-            yield out
-
-    return segments.mapInPandas(build, _BUF_SCHEMA)
-
-
-_PIP_SCHEMA = T.StructType([
-    T.StructField("url", T.StringType()),
-    T.StructField("entity", T.StringType()),
-    T.StructField("lat", T.DoubleType()),
-    T.StructField("lng", T.DoubleType()),
-    T.StructField("cell9", T.LongType()),
-    T.StructField("way_id", T.LongType()),
-    T.StructField("segment_id", T.LongType()),
-    T.StructField("dist_m", T.DoubleType()),
-])
+    Pure Spark SQL (whole-stage codegen): corner coordinates are
+    closed-form (sqlfns.buffer_corners_sql / kernel.geom.buffer_segment,
+    bit-identical twins) and the cell cover is the bbox lattice range —
+    round 1 looped per row in python inside mapInPandas (VERDICT.md
+    'What's wrong' #4).  Staged selects keep each intermediate (cm, mx, L,
+    nx) computed once per row.  ``res`` picks the cover granularity:
+    PIP_COVER_RES for the PIP join (tight cover, small candidate fan-out),
+    DEFAULT_RES (9) for the kNN ring index."""
+    M = sqlfns.M
+    hw = sqlfns.dlit(half_width_m)
+    s = sqlfns.dlit(cells.cell_size_deg(res))
+    st = (segments
+          .select("way_id", "segment_id", "alat", "alng", "blat", "blng",
+                  F.expr(f"({sqlfns.coslat_sql('alat')} * {M})").alias("cm"))
+          .select("*", F.expr("(blng - alng) * cm").alias("mx"),
+                  F.expr(f"(blat - alat) * {M}").alias("my"))
+          .select("*", F.expr(
+              "CASE WHEN SQRT(mx * mx + my * my) = 0.0e0 THEN 1.0e0 "
+              "ELSE SQRT(mx * mx + my * my) END").alias("L"))
+          .select("*", F.expr(f"-(my / L) * {hw}").alias("nx"),
+                  F.expr(f"(mx / L) * {hw}").alias("ny")))
+    poly = st.select(
+        "way_id", "segment_id", "alat", "alng", "blat", "blng",
+        F.expr(f"ARRAY(alat + ny / {M}, alat + (my + ny) / {M}, "
+               f"alat + (my - ny) / {M}, alat + (-ny) / {M})").alias("poly_lats"),
+        F.expr("ARRAY(alng + nx / cm, alng + (mx + nx) / cm, "
+               "alng + (mx - nx) / cm, alng + (-nx) / cm)").alias("poly_lngs"))
+    bounds = poly.select("*",
+        F.expr(f"CAST(FLOOR((ARRAY_MIN(poly_lats) + 90.0e0) / {s}) AS BIGINT)").alias("j0"),
+        F.expr(f"CAST(FLOOR((ARRAY_MAX(poly_lats) + 90.0e0) / {s}) AS BIGINT)").alias("j1"),
+        F.expr(f"CAST(FLOOR((ARRAY_MIN(poly_lngs) + 180.0e0) / {s}) AS BIGINT)").alias("i0"),
+        F.expr(f"CAST(FLOOR((ARRAY_MAX(poly_lngs) + 180.0e0) / {s}) AS BIGINT)").alias("i1"))
+    return bounds.select(
+        "way_id", "segment_id", "alat", "alng", "blat", "blng",
+        "poly_lats", "poly_lngs",
+        F.expr(f"FLATTEN(TRANSFORM(SEQUENCE(j0, j1), jj -> "
+               f"TRANSFORM(SEQUENCE(i0, i1), ii -> "
+               f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
+               f"+ jj * {sqlfns.POW2_28} + ii)))").alias("cells"))
 
 
 def pip_join(points: DataFrame, buffers: DataFrame,
              cover_res: int | None = None) -> DataFrame:
     """G4: point-in-polygon spatial join compiled to relational ops:
     explode(buffer cell cover) -> equi-join on the point's cell at the
-    cover resolution -> exact ray-casting refine (vectorized over the 4
-    rectangle edges across the whole Arrow batch — no per-row Python
-    loop).  The probe key is derived from lat/lng at the SAME resolution
-    the buffers were covered with (detected from the first cover cell if
-    not given), so candidate fan-out tracks the buffer size, not the
-    coarser res-9 tiling cells."""
+    cover resolution -> exact ray-casting refine.
+
+    The refine is pure Spark SQL (sqlfns.raycast_inside_sql +
+    seg_dist_sql, bit-identical twins of the numpy kernel): the whole join
+    stays in whole-stage codegen with NO python workers — which is also
+    what makes local[N] an honest N-core job for the scaling benchmark
+    (python UDF workers are not capped by local[N]).  The probe key is
+    derived from lat/lng at the SAME resolution the buffers were covered
+    with (detected from the first cover cell if not given — prefer passing
+    cover_res explicitly: the sniff is a driver-side action), so candidate
+    fan-out tracks the buffer size, not the coarser res-9 tiling cells."""
     if cover_res is None:
         first = buffers.select(F.expr(f"CAST(cells[0] / {sqlfns.POW2_56} AS INT)").alias("r")).first()
         cover_res = int(first.r) if first else cells.DEFAULT_RES
     build_side = buffers.select(
         "way_id", "segment_id", "alat", "alng", "blat", "blng",
-        "poly_lats", "poly_lngs", F.explode("cells").alias("cell"))
+        *[F.expr(f"poly_lats[{i}]").alias(f"pla{i}") for i in range(4)],
+        *[F.expr(f"poly_lngs[{i}]").alias(f"plg{i}") for i in range(4)],
+        F.explode("cells").alias("cell"))
     probe = points.select(
         "url", "entity", "lat", "lng", "cell9",
         F.expr(sqlfns.cell_sql("lat", "lng", cover_res)).alias("cell"))
     cand = probe.join(build_side, "cell")
-
-    def refine(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            plat = pdf["lat"].to_numpy()
-            plng = pdf["lng"].to_numpy()
-            vlat = np.stack(pdf["poly_lats"].to_numpy())  # (n, 4)
-            vlng = np.stack(pdf["poly_lngs"].to_numpy())
-            inside = np.zeros(len(pdf), dtype=bool)
-            jj = 3
-            for ii in range(4):
-                vy_i, vy_j = vlat[:, ii], vlat[:, jj]
-                vx_i, vx_j = vlng[:, ii], vlng[:, jj]
-                cond = (vy_i > plat) != (vy_j > plat)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    xint = (vx_j - vx_i) * (plat - vy_i) / (vy_j - vy_i) + vx_i
-                inside ^= cond & (plng < xint)
-                jj = ii
-            hit = pdf[inside]
-            if len(hit) == 0:
-                continue
-            d = geom.point_segment_dist_m(
-                hit["lat"].to_numpy(), hit["lng"].to_numpy(),
-                hit["alat"].to_numpy(), hit["alng"].to_numpy(),
-                hit["blat"].to_numpy(), hit["blng"].to_numpy())
-            out = hit[["url", "entity", "lat", "lng", "cell9", "way_id", "segment_id"]].copy()
-            out["dist_m"] = d
-            yield out
-
-    return cand.mapInPandas(refine, _PIP_SCHEMA)
+    inside = sqlfns.raycast_inside_sql(
+        "lat", "lng", [f"pla{i}" for i in range(4)], [f"plg{i}" for i in range(4)])
+    dist = sqlfns.seg_dist_sql("lat", "lng", "alat", "alng", "blat", "blng")
+    return (cand.filter(F.expr(inside))
+            .select("url", "entity", "lat", "lng", "cell9",
+                    "way_id", "segment_id", F.expr(dist).alias("dist_m")))
 
 
 # --- G5: kNN via cell-ring expansion -----------------------------------------

@@ -92,7 +92,7 @@ _EXTRACT_SCHEMA = T.StructType([
     T.StructField("text", T.StringType()),
 ])
 
-_TAG_RE = re.compile(rb"<[^>]+>")
+_TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
 EXTRACTOR_VERSION = 1  # frozen: changing this breaks the byte-identity gate
 
@@ -100,17 +100,25 @@ EXTRACTOR_VERSION = 1  # frozen: changing this breaks the byte-identity gate
 def extract_text(pages: DataFrame) -> DataFrame:
     """G2: deterministic HTML->text over the binary html column.  The
     per-row invariant is byte-identical text per url across runs and
-    parallelism levels [BASELINE.json:16]: strip tags, decode utf-8,
-    collapse whitespace, strip ends.  Vectorized over Arrow batches."""
+    parallelism levels [BASELINE.json:16]: decode utf-8 (replace), strip
+    tags, collapse whitespace, strip ends.
+
+    Vectorized pandas .str pipeline over each Arrow batch (the round-1
+    inner loop ran the regexes one row at a time — VERDICT.md r1 'What's
+    wrong' #4).  Decode-before-strip equals the byte-level strip for every
+    valid-UTF-8 page: '<' / '>' are ASCII and UTF-8 continuation bytes are
+    >= 0x80, so tag boundaries can never split a multibyte character;
+    invalid bytes are U+FFFD-replaced before tag stripping (deterministic
+    either way — EXTRACTOR_VERSION stays 1)."""
 
     def run(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            texts = []
-            for h in pdf["html"]:
-                raw = _TAG_RE.sub(b" ", bytes(h))
-                texts.append(_WS_RE.sub(" ", raw.decode("utf-8", "replace")).strip())
-            yield pd.DataFrame({"url": pdf["url"], "text": texts})
+            txt = (pdf["html"].map(bytes).str.decode("utf-8", "replace")
+                   .str.replace(_TAG_RE, " ", regex=True)
+                   .str.replace(_WS_RE, " ", regex=True)
+                   .str.strip())
+            yield pd.DataFrame({"url": pdf["url"], "text": txt})
 
     return pages.select("url", "html").mapInPandas(run, _EXTRACT_SCHEMA)

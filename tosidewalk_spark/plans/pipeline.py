@@ -1,15 +1,14 @@
 """End-to-end staged pipeline (SURVEY.md §3.2): street-network inference
-(reference preprocess order: filter -> join-ways -> split -> parallel-merge
--> simplify -> drop-short), sidewalk + crosswalk synthesis, then the graft
-spatial stages (geo-encode -> buffers -> PIP join -> kNN -> tiles).
+in the reference preprocess order (filter -> join-ways -> split ->
+parallel-merge -> node-merge -> simplify -> drop-short), sidewalk +
+crosswalk synthesis, then the graft spatial stages (geo-encode -> buffers
+-> PIP join -> kNN -> tiles).
 
-Deviation from the reference stage order, documented: the reference runs
-node-merge (R8) between parallel-merge and simplify; here R8 is a
-standalone tested operator (operators.network.merge_nodes) applied on the
-node/way form before geometry gathering — the gw-shaped pipeline keeps
-coordinates inline, and merged-node dedup on gw rows lands in a later
-round.  Output semantics for the graft tables are unaffected (buffers/
-join/kNN/tiles depend only on way geometry).
+Round-2 change: R8 node-merge now runs in the reference's position —
+between parallel-merge and simplify, on the gw form with coordinates
+inline (operators.network.merge_nodes_gw) — closing the round-1
+stage-order deviation (VERDICT.md r1 'What's missing' #5).  The node/way
+form operator (merge_nodes) remains the standalone R8 with its own oracle.
 """
 
 from __future__ import annotations
@@ -31,14 +30,14 @@ def build_network(nodes: DataFrame, ways: DataFrame,
     crosswalks) in the unified gw schema (way_id, kind, highway, node_ids,
     lats, lngs)."""
     streets = N.filter_streets(ways)
-    if merge_close_nodes:
-        nodes, streets = N.merge_nodes(nodes, streets)
     streets = N.join_segmented_ways(streets)
     inter = N.intersections(streets)
     segs = N.split_streets(streets, inter)
     gw = N.geom_ways(nodes, segs)
     pairs = N.find_parallel_pairs(gw)
     gw = N.merge_parallel_pairs(gw, pairs)
+    if merge_close_nodes:
+        gw = N.merge_nodes_gw(gw)  # R8 in the reference position
     gw = N.simplify_gw(gw)
     gw = N.drop_short_gw(gw)
     full_inter_gw = N.geom_ways(nodes, streets)  # arms from unsplit streets
@@ -95,14 +94,16 @@ def run_staged(spark: SparkSession, sf_dir: str, out_dir: str,
     net = build_network(nodes, ways)
     sidewalk_net = net.filter(F.col("kind") == "sidewalk")
     segs = SP.street_segments(sidewalk_net)
-    buffers = SP.street_buffers(segs)
+    buffers = SP.street_buffers(segs, res=SP.PIP_COVER_RES)
     buf = lineage.run_stage_with_resume(
         spark, out_dir, "buffers",
         buffers.withColumn("cell9", F.element_at("cells", 1)),
         lineage.partition_key("cell9", 32), ["segment_id"])
     counts["buffers"] = buf.count()
 
-    join_out = SP.pip_join(pts, buf)
+    # cover_res passed explicitly — the sniff fallback is a driver-side
+    # .first() action per query (VERDICT.md r1 'What's wrong' #5)
+    join_out = SP.pip_join(pts, buf, cover_res=SP.PIP_COVER_RES)
     jo = lineage.run_stage_with_resume(
         spark, out_dir, "join_out", join_out,
         lineage.partition_key("cell9", 32), ["url", "entity", "segment_id"])

@@ -342,7 +342,9 @@ def o_minhash_lsh() -> str:
         for bno in range(dedup.LSH_BANDS))
     return f"""
     WITH sigs AS (SELECT doc_id, {mins} FROM (SELECT doc_id, {th} AS th FROM documents)),
-    bands AS ({band_rows})
+    bands0 AS ({band_rows}),
+    bands AS (SELECT * FROM bands0
+              QUALIFY COUNT(*) OVER (PARTITION BY band_no, band_sig) <= {dedup.LSH_MAX_BUCKET})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
     FROM bands a JOIN bands b ON a.band_no = b.band_no AND a.band_sig = b.band_sig
     WHERE a.doc_id < b.doc_id GROUP BY 1, 2
@@ -372,30 +374,29 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_jaccard() -> str:
+    """Candidates from MinHash LSH (same banded plan as the engine,
+    VERDICT.md r1 'Next round' #4), exact Jaccard verify; BOTH sides filter
+    on the rounded value (ADVICE.md r1)."""
+    j = ("ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) "
+         "/ (a.nt + b.nt - len(list_intersect(a.t, b.t))), 6)")
     return f"""
-    WITH toks AS (
-      SELECT doc_id, lang, list_sort(list_distinct({_duck_tokens()})) AS t,
-             len(list_distinct({_duck_tokens()})) AS nt
-      FROM documents),
-    a AS (SELECT doc_id AS doc_a, lang, t AS ta, nt AS nta,
-                 CAST(FLOOR(log2(nt)) AS INT) AS band FROM toks),
-    b AS (SELECT doc_id AS doc_b, lang, t AS tb, nt AS ntb,
-                 CAST(UNNEST(range(CAST(FLOOR(log2(nt * 0.5e0)) AS BIGINT),
-                                   CAST(FLOOR(log2(nt / 0.5e0)) AS BIGINT) + 1)) AS INT) AS band
-          FROM toks)
-    SELECT doc_a, doc_b,
-           ROUND(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
-                 / (nta + ntb - len(list_intersect(ta, tb))), 6) AS jaccard
-    FROM a JOIN b USING (lang, band)
-    WHERE doc_a < doc_b
-      AND CAST(len(list_intersect(ta, tb)) AS DOUBLE)
-          / (nta + ntb - len(list_intersect(ta, tb))) >= 0.5
+    WITH cand AS (SELECT doc_a, doc_b FROM ({o_minhash_lsh()})),
+    toks AS (SELECT doc_id, list_sort(list_distinct({_duck_tokens()})) AS t,
+                    len(list_distinct({_duck_tokens()})) AS nt FROM documents)
+    SELECT doc_a, doc_b, {j} AS jaccard
+    FROM cand JOIN toks a ON cand.doc_a = a.doc_id
+              JOIN toks b ON cand.doc_b = b.doc_id
+    WHERE {j} >= 0.5e0
     """
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine at sf0.01 is ~0.513, within-bucket ~0.443), so the
+    round-1 threshold of 0.9 matched the oracle vacuously at 0 rows
+    (VERDICT.md r1 'What's wrong' #3) — 0.4 yields real pairs."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup.embedding_neardup_pairs(emb, cos_threshold=0.9)
+    return dedup.embedding_neardup_pairs(emb, cos_threshold=0.4)
 
 
 def _duck_dot(va: str, vb: str) -> str:
@@ -409,14 +410,30 @@ def _duck_norm(v: str) -> str:
     return f"SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (a, x) -> a + x))"
 
 
+def _duck_lsh_sig(v: str) -> str:
+    """Hyperplane-sign bucket in DuckDB — twin of
+    similarity.lsh_signature_expr (same integer coefficients)."""
+    from ..operators import similarity
+    terms = []
+    for p in range(similarity.N_PLANES):
+        coef = (f"list_transform(range(0, 64), j -> "
+                f"CAST((({p} * 1009 + j) * 2654435761) % 97 - 48 AS DOUBLE))")
+        prods = (f"list_transform(range(1, 65), i -> CAST({v}[i] AS DOUBLE) * ({coef})[i])")
+        dot = f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {prods}), (a, x) -> a + x)"
+        terms.append(f"CASE WHEN {dot} > 0 THEN CAST({2 ** p} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return "(" + " + ".join(terms) + ")"
+
+
 def o_embedding_neardup() -> str:
+    cos = (f"ROUND({_duck_dot('a.embedding', 'b.embedding')}"
+           f" / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6)")
     return f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           ROUND({_duck_dot('a.embedding', 'b.embedding')}
-                 / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND({_duck_dot('a.embedding', 'b.embedding')}
-                / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6) >= 0.9
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_duck_lsh_sig('a.embedding')} AS bucket, {cos} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON {_duck_lsh_sig('a.embedding')} = {_duck_lsh_sig('b.embedding')}
+     AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.4e0
     """
 
 
@@ -749,6 +766,235 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN extracted = text THEN 1 ELSE 0 END")).alias("n_byte_identical"))
 
 
+# --------------------------------------------------------------------------
+# round-2 oracle entries: the six pytest-only §2 operators (VERDICT.md r1
+# 'Next round' #3: R4, R6, R7, R8, R17, R20), the rotated-grid PIP oracle
+# (#8), and the 62-bit banded-Hamming simhash (#7).  Each runs the REAL
+# engine operator on an oracle-city whose geometry has a closed DuckDB form
+# (sources/synth.py 'oracle-city generators').
+# --------------------------------------------------------------------------
+
+_CSV = "CONCAT_WS(',', TRANSFORM(node_ids, x -> CAST(x AS STRING)))"
+
+
+def q_r4_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = synth.segmented_grid_ways(spark, g=G)
+    merged = N.join_segmented_ways(ways)
+    return merged.select(
+        "way_id", F.size("node_ids").cast("long").alias("n_vertices"),
+        F.expr(_CSV).alias("nodes_csv"))
+
+
+def o_r4_way_join() -> str:
+    # each row of G-1 fragments merges into one G-vertex way, id = min
+    # fragment id = j*(G-1), oriented from the smallest terminal node
+    return (f"SELECT j * {G - 1} AS way_id, CAST({G} AS BIGINT) AS n_vertices, "
+            f"array_to_string(list_transform(range(0, {G}), "
+            f"i -> CAST(j * {G} + i AS VARCHAR)), ',') AS nodes_csv "
+            f"FROM range(0, {G}) t(j)")
+
+
+def q_r6_parallel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gw = synth.parallel_city_gw(spark)
+    return N.find_parallel_pairs(gw).select(
+        "way_a", "way_b", F.round("sep_m", 4).alias("sep_r4"))
+
+
+def o_r6_parallel_pairs() -> str:
+    # pair p lanes are 5 + 2p meters apart in lng: detectable up to p=10
+    # (25 m); sep = min point-segment distance from lane a's middle vertex
+    # to lane b's two segments — the SAME seg_dist template the engine runs
+    dy = sqlfns.dlit(synth.PC_DY_DEG)
+    la = synth.parallel_city_lng_sql("p", "0")
+    lb = synth.parallel_city_lng_sql("p", "1")
+    m_lat = f"(47.6e0 + 1 * {dy})"
+    d0 = sqlfns.seg_dist_sql(m_lat, la, "47.6e0", lb, f"(47.6e0 + 1 * {dy})", lb)
+    d1 = sqlfns.seg_dist_sql(m_lat, la, f"(47.6e0 + 1 * {dy})", lb,
+                             f"(47.6e0 + 2 * {dy})", lb)
+    return (f"SELECT 2 * p AS way_a, 2 * p + 1 AS way_b, "
+            f"ROUND(LEAST({d0}, {d1}), 4) AS sep_r4 "
+            f"FROM range(0, {synth.PC_PAIRS}) t(p) WHERE 5 + 2 * p <= 25")
+
+
+def q_r7_parallel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gw = synth.parallel_city_gw(spark)
+    merged = N.merge_parallel_pairs(gw, N.find_parallel_pairs(gw))
+    return merged.select(
+        "way_id", F.size("node_ids").cast("long").alias("n_vertices"),
+        F.round(F.expr("lats[0]"), 9).alias("lat0"),
+        F.round(F.expr("lngs[0]"), 9).alias("lng0"),
+        F.round(F.expr("lngs[1]"), 9).alias("lng1"),
+        F.round(F.expr("ELEMENT_AT(lats, -1)"), 9).alias("lat_end"))
+
+
+def o_r7_parallel_merge() -> str:
+    # merged centerline = pointwise midpoint: lng = (lng_a + lng_b) / 2
+    # (equal-length aligned lanes resample to themselves exactly);
+    # the undetected pair p=11 keeps both original lanes
+    dy = sqlfns.dlit(synth.PC_DY_DEG)
+    la = synth.parallel_city_lng_sql("p", "0")
+    lb = synth.parallel_city_lng_sql("p", "1")
+    mid = f"ROUND(({la} + {lb}) / 2.0e0, 9)"
+    kept_lng = f"ROUND({synth.parallel_city_lng_sql('11', 's')}, 9)"
+    return f"""
+    SELECT 2 * p AS way_id, CAST(3 AS BIGINT) AS n_vertices,
+           ROUND(47.6e0, 9) AS lat0, {mid} AS lng0, {mid} AS lng1,
+           ROUND(47.6e0 + 2 * {dy}, 9) AS lat_end
+    FROM range(0, {synth.PC_PAIRS}) t(p) WHERE 5 + 2 * p <= 25
+    UNION ALL
+    SELECT 22 + s AS way_id, CAST(3 AS BIGINT), ROUND(47.6e0, 9),
+           {kept_lng}, {kept_lng}, ROUND(47.6e0 + 2 * {dy}, 9)
+    FROM (VALUES (0), (1)) v(s)
+    """
+
+
+def q_r8_node_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, ways = synth.twin_grid(spark, g=G)
+    n2, w2 = N.merge_nodes(nodes, ways)
+    ws = w2.select("way_id", F.size("node_ids").cast("long").alias("n_vertices"),
+                   F.expr(_CSV).alias("nodes_csv"))
+    summary = (n2.agg(F.count("*").alias("n_vertices"))
+               .select(F.lit(-1).cast("long").alias("way_id"), "n_vertices",
+                       F.lit("").alias("nodes_csv")))
+    return ws.unionByName(summary)
+
+
+def o_r8_node_merge() -> str:
+    # twins collapse into originals: horizontal ways unchanged, vertical
+    # ways rewritten to original ids; surviving node count = G*G (the -1 row)
+    return f"""
+    SELECT j AS way_id, CAST({G} AS BIGINT) AS n_vertices,
+           array_to_string(list_transform(range(0, {G}),
+             i -> CAST(j * {G} + i AS VARCHAR)), ',') AS nodes_csv
+    FROM range(0, {G}) t(j)
+    UNION ALL
+    SELECT {G} + i, CAST({G} AS BIGINT),
+           array_to_string(list_transform(range(0, {G}),
+             j -> CAST(j * {G} + i AS VARCHAR)), ',')
+    FROM range(0, {G}) t(i)
+    UNION ALL
+    SELECT -1, CAST({G * G} AS BIGINT), ''
+    """
+
+
+def q_r17_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, ways = synth.zigzag_city(spark)
+    slim = N.simplify_ways(nodes, ways, tol_m=geom.DP_TOLERANCE_M)
+    return slim.select(
+        "way_id", F.size("node_ids").cast("long").alias("n_vertices"),
+        F.expr(_CSV).alias("nodes_csv"))
+
+
+def o_r17_simplify() -> str:
+    # every wiggle is ~7.5e-5 m << the 0.5 m tolerance: only endpoints stay
+    return (f"SELECT w AS way_id, CAST(2 AS BIGINT) AS n_vertices, "
+            f"CAST(w * {synth.ZZ_M} AS VARCHAR) || ',' || "
+            f"CAST(w * {synth.ZZ_M} + {synth.ZZ_M - 1} AS VARCHAR) AS nodes_csv "
+            f"FROM range(0, {synth.ZZ_WAYS}) t(w)")
+
+
+def q_r20_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    gw = N.geom_ways(nodes, N.filter_streets(ways)).withColumn("kind", F.lit("street"))
+    return SW.to_geojson_canonical(gw).select("way_id", "feature")
+
+
+def o_r20_geojson() -> str:
+    # canonical Feature JSON with %.6f fixed-point floats — printf in
+    # DuckDB == format_string in Spark (C-printf semantics on both)
+    lat_h = f"47.6e0 + j * {sqlfns.dlit(LAT_STEP)}"
+    lng_h = f"-122.33e0 + k * {sqlfns.dlit(LNG_STEP)}"
+    lat_v = f"47.6e0 + k * {sqlfns.dlit(LAT_STEP)}"
+    lng_v = f"-122.33e0 + j * {sqlfns.dlit(LNG_STEP)}"
+    hw = ("CASE j % 4 WHEN 0 THEN 'residential' WHEN 1 THEN 'primary' "
+          "WHEN 2 THEN 'secondary' ELSE 'tertiary' END")
+
+    def coords(lat: str, lng: str) -> str:
+        return (f"array_to_string(list_transform(range(0, {G}), k -> "
+                f"'[' || printf('%.6f', {lng}) || ',' || printf('%.6f', {lat}) || ']'), ',')")
+
+    def feature(way_id: str, cs: str) -> str:
+        return (f"'{{\"type\":\"Feature\",\"properties\":{{\"id\":' || CAST({way_id} AS VARCHAR) || "
+                f"',\"kind\":\"street\",\"highway\":\"' || {hw} || "
+                f"'\"}},\"geometry\":{{\"type\":\"LineString\",\"coordinates\":[' || {cs} || ']}}}}'")
+
+    return f"""
+    SELECT j AS way_id, {feature('j', coords(lat_h, lng_h))} AS feature
+    FROM range(0, {G}) t(j)
+    UNION ALL
+    SELECT j + {G} AS way_id, {feature(f'j + {G}', coords(lat_v, lng_v))} AS feature
+    FROM range(0, {G}) t(j)
+    """
+
+
+def q_simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
+
+
+def o_simhash64_neardup() -> str:
+    th = _duck_token_hashes()
+    th2 = (f"list_transform(list_distinct({_duck_tokens()}), t -> "
+           + sqlfns.polyhash_duckdb("CONCAT(t, '#')") + ")")
+
+    def fp(col: str, lo: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 31), b -> "
+            f"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform({col}, h -> "
+            f"CASE WHEN CAST(FLOOR(h / POWER(2, b)) AS BIGINT) % 2 = 1 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, x) -> a + x) > 0 "
+            f"THEN CAST(POWER(2, b + {lo}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+            f"(a, x) -> a + x)")
+
+    return f"""
+    WITH s AS (SELECT doc_id, ({fp('th', 0)}) + ({fp('th2', 31)}) AS sh FROM
+               (SELECT doc_id, {th} AS th, {th2} AS th2 FROM documents)),
+    bands AS (SELECT doc_id, sh, q AS band_no, (sh >> (q * 16)) % 65536 AS band_val
+              FROM s, range(0, 4) r(q)),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sh AS sa, b.sh AS sb
+             FROM bands a JOIN bands b USING (band_no, band_val)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
+def q_g4_pip_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-axis-aligned PIP oracle: diagonal streets make the buffers
+    rotated rectangles, so ray-casting is exercised on edges where a bbox
+    test would NOT be equivalent (VERDICT.md r1 'What's wrong' #7)."""
+    pts = _points(spark, sf_dir, bbox=True)
+    gw = synth.diag_city_gw(spark)
+    bufs = SP.street_buffers(SP.street_segments(gw), half_width_m=HW,
+                             res=SP.PIP_COVER_RES)
+    out = SP.pip_join(pts, bufs, cover_res=SP.PIP_COVER_RES)
+    mids = bufs.select(
+        "segment_id",
+        F.round((F.col("alat") + F.col("blat")) / 2, 6).alias("seg_mid_lat"),
+        F.round((F.col("alng") + F.col("blng")) / 2, 6).alias("seg_mid_lng"))
+    return (out.join(mids, "segment_id")
+            .select("url", "entity", "cell9", F.round("dist_m", 4).alias("dist_r4"),
+                    "seg_mid_lat", "seg_mid_lng"))
+
+
+def o_g4_pip_rot() -> str:
+    lng0 = f"({synth.DIAG_LNG0} + w * {sqlfns.dlit(synth.DIAG_STEP_LNG_DEG)})"
+    alat, alng = "47.5995e0", lng0
+    blat = f"(47.5995e0 + {sqlfns.dlit(synth.DIAG_LEN_DEG)})"
+    blng = f"({lng0} + {sqlfns.dlit(synth.DIAG_LEN_LNG_DEG)})"
+    lat4, lng4 = sqlfns.buffer_corners_sql(alat, alng, blat, blng, HW)
+    inside = sqlfns.raycast_inside_sql("p.lat", "p.lng", lat4, lng4)
+    dist = sqlfns.seg_dist_sql("p.lat", "p.lng", alat, alng, blat, blng)
+    return f"""
+    SELECT p.url, p.entity, p.cell9, ROUND({dist}, 4) AS dist_r4,
+           ROUND(({alat} + {blat}) / 2, 6) AS seg_mid_lat,
+           ROUND(({alng} + {blng}) / 2, 6) AS seg_mid_lng
+    FROM ({_duck_points(bbox=True)}) p, range(0, {synth.DIAG_WAYS}) t(w)
+    WHERE {inside}
+    """
+
+
 QUERIES.update({
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "simhash_pairs": (q_simhash_pairs, o_simhash_pairs),
@@ -756,4 +1002,12 @@ QUERIES.update({
     "r18_way_lengths": (q_r18_way_lengths, o_r18_way_lengths),
     "multimodal_features": (q_multimodal_features, None),
     "extract_text_identity": (q_extract_text, None),
+    "r4_way_join": (q_r4_way_join, o_r4_way_join),
+    "r6_parallel_pairs": (q_r6_parallel_pairs, o_r6_parallel_pairs),
+    "r7_parallel_merge": (q_r7_parallel_merge, o_r7_parallel_merge),
+    "r8_node_merge": (q_r8_node_merge, o_r8_node_merge),
+    "r17_simplify": (q_r17_simplify, o_r17_simplify),
+    "r20_geojson": (q_r20_geojson, o_r20_geojson),
+    "simhash64_neardup": (q_simhash64_neardup, o_simhash64_neardup),
+    "g4_pip_join_rot": (q_g4_pip_rot, o_g4_pip_rot),
 })

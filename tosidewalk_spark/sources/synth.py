@@ -161,6 +161,140 @@ def osm_grid(spark: SparkSession, g: int = 8, with_noise_ways: bool = True
     return nodes, ways
 
 
+# --------------------------------------------------------------------------
+# Oracle-city generators: Spark-native synthetic networks whose geometry has
+# a closed DuckDB form (every coordinate is the SAME literal arithmetic in
+# both engines, so driver value-hash comparisons are bit-exact).  These back
+# the R4/R6/R7/R8/R17/R20 CORRECTNESS entries (VERDICT.md r1 'Next round' #3).
+# --------------------------------------------------------------------------
+
+PC_PAIRS = 12
+PC_PITCH_DEG = 150.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))  # pair spacing
+PC_SEP_BASE_DEG = 5.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))  # sep(p) = 5 + 2p m
+PC_SEP_STEP_DEG = 2.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))
+PC_DY_DEG = 100.0 / 111111.0  # vertex spacing along each lane
+
+
+def parallel_city_lng_sql(p: str, side: str) -> str:
+    """Longitude of lane (pair p, side 0/1) — shared Spark/DuckDB template."""
+    from ..functions import sqlfns as S
+    return (f"(-122.33e0 + ({p}) * {S.dlit(PC_PITCH_DEG)} + ({side}) * "
+            f"({S.dlit(PC_SEP_BASE_DEG)} + ({p}) * {S.dlit(PC_SEP_STEP_DEG)}))")
+
+
+def parallel_city_gw(spark: SparkSession) -> DataFrame:
+    """R6/R7 oracle city: PC_PAIRS pairs of 3-vertex N-S lanes; pair p's
+    lanes (way ids 2p, 2p+1) are separated 5 + 2p meters in longitude, so
+    pairs up to p=10 (25 m) are parallel-detectable and p=11 (27 m) is not.
+    Pairs sit 150 m apart — far beyond the detection threshold."""
+    dy = sqlfns.dlit(PC_DY_DEG)
+    lng = parallel_city_lng_sql("id DIV 2", "id % 2")
+    return spark.range(2 * PC_PAIRS).select(
+        F.col("id").alias("way_id"),
+        F.expr("TRANSFORM(SEQUENCE(0, 2), k -> id * 10 + k)").alias("node_ids"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, 2), k -> 47.6e0 + k * {dy})").alias("lats"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, 2), k -> {lng})").alias("lngs"),
+        F.lit("primary").alias("highway"),
+    )
+
+
+def segmented_grid_ways(spark: SparkSession, g: int = 8) -> DataFrame:
+    """R4 oracle city: every horizontal grid row arrives as g-1 two-vertex
+    fragments (way j*(g-1)+k spans nodes j*g+k .. j*g+k+1); no vertical
+    ways, so every interior endpoint joins exactly two same-class fragments
+    and R4 must merge each row back into one g-vertex way (id = min
+    fragment id, oriented from the smallest terminal node)."""
+    return spark.range(g * (g - 1)).select(
+        F.col("id").alias("way_id"),
+        F.expr(f"ARRAY((id DIV {g - 1}) * {g} + id % {g - 1}, "
+               f"(id DIV {g - 1}) * {g} + id % {g - 1} + 1)").alias("node_ids"),
+        F.lit("residential").alias("highway"),
+        F.create_map(F.lit("src"), F.lit("segmented_grid")).alias("tags"),
+    )
+
+
+def twin_grid(spark: SparkSession, g: int = 8,
+              offset_m: float = 3.0) -> tuple[DataFrame, DataFrame]:
+    """R8 oracle city: the g x g grid nodes plus a twin of each node
+    offset_m north (id + 100000); horizontal ways reference originals,
+    vertical ways reference twins.  merge_nodes must collapse each twin
+    into its original (min id) and rewrite the vertical ways."""
+    d = sqlfns.dlit(offset_m / 111111.0)
+    base = spark.range(g * g).select(
+        F.col("id").alias("node_id"),
+        (F.lit(CITY_LAT) + (F.col("id") / g).cast("bigint") * F.lit(LAT_STEP)).alias("lat"),
+        (F.lit(CITY_LNG) + (F.col("id") % g) * F.lit(LNG_STEP)).alias("lng"),
+        F.create_map(F.lit("src"), F.lit("twin_grid")).alias("tags"))
+    twins = base.select(
+        (F.col("node_id") + 100_000).alias("node_id"),
+        F.expr(f"lat + {d}").alias("lat"), "lng", "tags")
+    nodes = base.unionByName(twins)
+    horiz = spark.range(g).select(
+        F.col("id").alias("way_id"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, {g - 1}), i -> id * {g} + i)").alias("node_ids"),
+        F.lit("residential").alias("highway"),
+        F.create_map(F.lit("src"), F.lit("twin_grid")).alias("tags"))
+    vert = spark.range(g).select(
+        (F.col("id") + g).alias("way_id"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, {g - 1}), j -> j * {g} + id + 100000)").alias("node_ids"),
+        F.lit("residential").alias("highway"),
+        F.create_map(F.lit("src"), F.lit("twin_grid")).alias("tags"))
+    return nodes, horiz.unionByName(vert)
+
+
+ZZ_WAYS = 8
+ZZ_M = 9           # vertices per way
+ZZ_DY_DEG = 10.0 / 111111.0
+ZZ_WIGGLE_DEG = 1e-9  # ~7.5e-5 m — far below the 0.5 m DP tolerance
+
+
+def zigzag_city(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """R17 oracle city: ZZ_WAYS vertical ways of ZZ_M near-collinear
+    vertices (alternate vertices wiggle 1e-9 deg east); Douglas-Peucker at
+    0.5 m must keep exactly the two endpoints of every way."""
+    dy = sqlfns.dlit(ZZ_DY_DEG)
+    wig = sqlfns.dlit(ZZ_WIGGLE_DEG)
+    nodes = spark.range(ZZ_WAYS * ZZ_M).select(
+        F.col("id").alias("node_id"),
+        F.expr(f"47.6e0 + (id % {ZZ_M}) * {dy}").alias("lat"),
+        F.expr(f"-122.33e0 + (id DIV {ZZ_M}) * {sqlfns.dlit(LNG_STEP)} "
+               f"+ (id % 2) * {wig}").alias("lng"),
+        F.create_map(F.lit("src"), F.lit("zigzag_city")).alias("tags"))
+    ways = spark.range(ZZ_WAYS).select(
+        F.col("id").alias("way_id"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, {ZZ_M - 1}), k -> id * {ZZ_M} + k)").alias("node_ids"),
+        F.lit("residential").alias("highway"),
+        F.create_map(F.lit("src"), F.lit("zigzag_city")).alias("tags"))
+    return nodes, ways
+
+
+DIAG_WAYS = 48
+DIAG_LEN_DEG = 700.0 / 111111.0       # diagonal extent (lat); same meters in lng
+DIAG_LEN_LNG_DEG = 700.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))
+# strips every 30 m in lng => perpendicular pitch ~21 m < the 24 m buffer
+# width, so the strips tile the whole bbox and every oracle point is inside
+# at least one rotated rectangle (non-vacuous check)
+DIAG_STEP_LNG_DEG = 30.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))
+DIAG_LNG0 = "-122.3398e0"  # west enough that the NE-running strips still
+                           # cover the bbox's west edge at its top latitude
+
+
+def diag_city_gw(spark: SparkSession) -> DataFrame:
+    """Rotated-street city for the non-axis-aligned PIP oracle
+    (g4_pip_join_rot, VERDICT.md r1 'What's wrong' #7): DIAG_WAYS 2-vertex
+    ways at ~45 deg crossing the oracle points bbox — their buffers are
+    rotated rectangles, so the engine's ray-cast refine is exercised on
+    genuinely diagonal edges."""
+    lng0 = f"({DIAG_LNG0} + id * {sqlfns.dlit(DIAG_STEP_LNG_DEG)})"
+    return spark.range(DIAG_WAYS).select(
+        F.col("id").alias("way_id"),
+        F.expr("ARRAY(id * 10, id * 10 + 1)").alias("node_ids"),
+        F.expr(f"ARRAY(47.5995e0, 47.5995e0 + {sqlfns.dlit(DIAG_LEN_DEG)})").alias("lats"),
+        F.expr(f"ARRAY({lng0}, {lng0} + {sqlfns.dlit(DIAG_LEN_LNG_DEG)})").alias("lngs"),
+        F.lit("primary").alias("highway"),
+    )
+
+
 def micro_fixture(spark: SparkSession, name: str) -> tuple[DataFrame, DataFrame]:
     """Tiny hand-built networks mirroring the reference test families
     (FIXTURES.md §2).  Test-only — driver-side literals are fine here."""
@@ -202,6 +336,18 @@ def micro_fixture(spark: SparkSession, name: str) -> tuple[DataFrame, DataFrame]
         off = 18.0 / (111111.0 * math.cos(math.radians(lat0)))
         return mk([(1, lat0, lng0), (2, lat0 + dy, lng0), (3, lat0 + 2 * dy, lng0),
                    (4, lat0, lng0 + off), (5, lat0 + dy, lng0 + off), (6, lat0 + 2 * dy, lng0 + off)],
+                  [(1, [1, 2, 3], "primary"), (2, [4, 5, 6], "primary")])
+    if name == "parallel_lanes_ns":
+        # two N-S lanes ~24 m apart in LONGITUDE, deliberately straddling a
+        # res-11 cell column boundary — the round-1 candidate cover expanded
+        # only latitude and silently missed these (ADVICE.md r1 high)
+        s11 = 360.0 / 2 ** 20
+        off = 24.0 / (111111.0 * math.cos(math.radians(lat0)))
+        col_edge = (math.floor((lng0 + 180.0) / s11) + 1) * s11 - 180.0
+        g0 = col_edge - 0.4 * off
+        g1 = g0 + off
+        return mk([(1, lat0, g0), (2, lat0 + dy, g0), (3, lat0 + 2 * dy, g0),
+                   (4, lat0, g1), (5, lat0 + dy, g1), (6, lat0 + 2 * dy, g1)],
                   [(1, [1, 2, 3], "primary"), (2, [4, 5, 6], "primary")])
     if name == "near_nodes":
         eps = 3.0 / 111111.0
