@@ -130,6 +130,53 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         assert batch_rows[k] == v
 
 
+def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
+    import shutil
+    src_dir = tmp_path / "ev_src"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "p.parquet")
+    src = str(src_dir)
+    ev_schema = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, value double, props string"
+    stream = jobs.stream_events(spark, src, ev_schema)
+    sess = jobs.sessionize_stateful(stream, gap_minutes=30)
+    jobs.run_available_now(sess, "sessions_out", str(tmp_path / "ck"))
+    got = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.total_cents)
+           for r in spark.sql("SELECT * FROM sessions_out").collect()}
+    assert len(got) > 0
+    # batch twin (gaps-and-islands).  A user's LAST session is emitted by
+    # the stream only if its event-time timeout fired under the FINAL
+    # watermark (availableNow runs a closing no-data batch): i.e. iff
+    # session_end + gap < max(ts) - watermark_delay; later ones stay open.
+    spark.read.parquet(src).createOrReplaceTempView("ev_raw")
+    batch = spark.sql("""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM ev_raw),
+        m AS (SELECT *, CASE WHEN unix_micros(ts) - LAG(unix_micros(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts) > 1800000000
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   THEN 1 ELSE 0 END AS is_start FROM e),
+        s AS (SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events, SUM(cents) AS total_cents
+        FROM s GROUP BY user_id, sid
+    """).collect()
+    last_per_user = {}
+    for r in batch:
+        k = last_per_user.get(r.user_id)
+        if k is None or r.session_start > k:
+            last_per_user[r.user_id] = r.session_start
+    import datetime
+    max_ts = max(r.session_end for r in batch)
+    final_watermark = max_ts - datetime.timedelta(hours=2)
+    gap = datetime.timedelta(minutes=30)
+    want = {(r.user_id, r.session_start, r.session_end): (r.n_events, r.total_cents)
+            for r in batch
+            if r.session_start != last_per_user[r.user_id]
+            or r.session_end + gap < final_watermark}
+    assert got == want
+
+
 def test_run_staged_and_resume(spark, tmp_path):
     from tosidewalk_spark.plans import pipeline
     out = str(tmp_path / "staged")

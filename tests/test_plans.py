@@ -44,6 +44,22 @@ def test_pip_join_broadcasts_buffer_side(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
 
 
+def test_pip_join_path_has_no_python(spark):
+    """r2: buffers + ray-cast refine are pure SQL — the whole PIP path must
+    execute without python workers (this is also what makes local[N] an
+    honest N-core scaling job: python UDF workers are not capped by it)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = synth.geo_entities_from_documents(docs)
+    nodes, ways = synth.osm_grid(spark, g=6)
+    gw = N.geom_ways(nodes, N.split_streets(N.filter_streets(ways)))
+    bufs = SP.street_buffers(SP.street_segments(gw), res=SP.PIP_COVER_RES)
+    jo = SP.pip_join(pts, bufs, cover_res=SP.PIP_COVER_RES)
+    plan = _executed_plan(jo)
+    for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                   "BatchEvalPython"):
+        assert marker not in plan, f"python stage {marker} in PIP path"
+
+
 def test_tiles_two_phase_aggregation(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     pts = synth.geo_entities_from_documents(docs)

@@ -109,8 +109,10 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_dup_pairs(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """Documents with IDENTICAL simhash fingerprints (bucket join on the
-    fingerprint — the scalable degenerate case of hamming-radius search)."""
+    """Documents with IDENTICAL 16-bit simhash fingerprints — kept as the
+    bit-identity oracle variant; the SCALE path is simhash_neardup_pairs
+    below (62-bit print + banded Hamming blocking): at 10^9+ docs the 2^16
+    bucket space collapses and exact-equality pairs go quadratic."""
     s = simhash(docs, bits)
     a = s.select(F.col("doc_id").alias("doc_a"), "simhash")
     b = s.select(F.col("doc_id").alias("doc_b"), "simhash")

@@ -58,6 +58,36 @@ def lsh_signature_expr(v: str, n_planes: int = N_PLANES, dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def lsh_topk_multiprobe(emb: DataFrame, queries: DataFrame, k: int = 5,
+                        dim: int = 64) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS the
+    n_planes Hamming-1-adjacent buckets (one hyperplane sign flipped) —
+    recovering most of the recall single-probe LSH loses for vectors near
+    a hyperplane, at ~(P+1)x probe cost but still ~2^P below brute force
+    (VERDICT.md r1 flagged single-probe recall risk).  A corpus vector
+    lives in exactly one bucket and the P+1 probe buckets are distinct,
+    so no pair dedup is needed."""
+    sig = lsh_signature_expr("cv", dim=dim)
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("label"),
+                   F.expr(_as_double()).alias("cv"))
+    c = c.withColumn("cn", F.expr(_norm("cv"))).withColumn("bucket", F.expr(sig))
+    qsig = lsh_signature_expr("qv", dim=dim)
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.expr(_as_double()).alias("qv"))
+    q = q.withColumn("qn", F.expr(_norm("qv"))).withColumn("qsig", F.expr(qsig))
+    probes = F.array(F.col("qsig"),
+                     *[F.expr(f"qsig ^ {2 ** p}") for p in range(N_PLANES)])
+    q = q.withColumn("bucket", F.explode(probes))
+    dot = F.expr("AGGREGATE(ZIP_WITH(qv, cv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    scored = (q.join(c, "bucket")
+              .filter(F.col("query_id") != F.col("corpus_id"))
+              .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "label", "cosine", "rank"))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              dim: int = 64) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by the hyperplane-sign

@@ -107,35 +107,62 @@ def street_buffers(segments: DataFrame,
 
 
 def pip_join(points: DataFrame, buffers: DataFrame,
-             cover_res: int | None = None) -> DataFrame:
+             cover_res: int | None = None,
+             half_width_m: float = geom.BUFFER_HALF_WIDTH_M) -> DataFrame:
     """G4: point-in-polygon spatial join compiled to relational ops:
     explode(buffer cell cover) -> equi-join on the point's cell at the
-    cover resolution -> exact ray-casting refine.
+    cover resolution -> exact containment refine.
 
-    The refine is pure Spark SQL (sqlfns.raycast_inside_sql +
-    seg_dist_sql, bit-identical twins of the numpy kernel): the whole join
-    stays in whole-stage codegen with NO python workers — which is also
-    what makes local[N] an honest N-core job for the scaling benchmark
-    (python UDF workers are not capped by local[N]).  The probe key is
-    derived from lat/lng at the SAME resolution the buffers were covered
-    with (detected from the first cover cell if not given — prefer passing
-    cover_res explicitly: the sniff is a driver-side action), so candidate
-    fan-out tracks the buffer size, not the coarser res-9 tiling cells."""
+    The refine is pure Spark SQL (sqlfns.rect_inside_sql + seg_dist_sql,
+    bit-identical twins across engines): the whole join stays in
+    whole-stage codegen with NO python workers — which is also what makes
+    local[N] an honest N-core job for the scaling benchmark (python UDF
+    workers are not capped by local[N]).  ``half_width_m`` must equal the
+    value the buffers were built with (the rectangle test is closed-form
+    in the segment endpoints, so corners need not travel through the
+    join).  The probe key is derived from lat/lng at the SAME resolution
+    the buffers were covered with (detected from the first cover cell if
+    not given — prefer passing cover_res explicitly: the sniff is a
+    driver-side action).
+
+    Join-side discipline: the buffer side is the fixed-size city network
+    (does not grow with pages) and is EXPLICITLY broadcast — left to size
+    estimates, Catalyst picked BuildLeft here and broadcast millions of
+    geocoded points (measured 10x wall regression at 6M pages)."""
     if cover_res is None:
         first = buffers.select(F.expr(f"CAST(cells[0] / {sqlfns.POW2_56} AS INT)").alias("r")).first()
         cover_res = int(first.r) if first else cells.DEFAULT_RES
-    build_side = buffers.select(
+    # the per-SEGMENT frame (cm, mx, my, s2) is precomputed on the tiny
+    # build side, so the per-candidate refine is a ~50-node expression.
+    # Inlining the full rect/dist templates into the join condition
+    # generates a Java method beyond HotSpot's huge-method JIT limit and
+    # the whole condition runs in the bytecode interpreter — measured
+    # 19 us/candidate vs <0.3 us staged (a 13.5 s/6M-page swing).
+    # Arithmetic and op order are IDENTICAL to rect_inside_sql /
+    # seg_dist_sql, so the DuckDB oracle twins stay bit-exact.
+    M = sqlfns.M
+    build_side = (buffers.select(
         "way_id", "segment_id", "alat", "alng", "blat", "blng",
-        *[F.expr(f"poly_lats[{i}]").alias(f"pla{i}") for i in range(4)],
-        *[F.expr(f"poly_lngs[{i}]").alias(f"plg{i}") for i in range(4)],
         F.explode("cells").alias("cell"))
+        .withColumn("cm", F.expr(f"({sqlfns.coslat_sql('alat')} * {M})"))
+        .withColumn("mx", F.expr("(blng - alng) * cm"))
+        .withColumn("my", F.expr(f"(blat - alat) * {M}"))
+        .withColumn("s2", F.expr("mx * mx + my * my + 1e-300")))
     probe = points.select(
         "url", "entity", "lat", "lng", "cell9",
         F.expr(sqlfns.cell_sql("lat", "lng", cover_res)).alias("cell"))
-    cand = probe.join(build_side, "cell")
-    inside = sqlfns.raycast_inside_sql(
-        "lat", "lng", [f"pla{i}" for i in range(4)], [f"plg{i}" for i in range(4)])
-    dist = sqlfns.seg_dist_sql("lat", "lng", "alat", "alng", "blat", "blng")
+    cand = probe.join(F.broadcast(build_side), "cell")
+    hw = sqlfns.dlit(half_width_m)
+    px = "((lng - alng) * cm)"
+    py = f"((lat - alat) * {M})"
+    t_u = f"(({px} * mx + {py} * my) / s2)"
+    ex = f"({px} - {t_u} * mx)"
+    ey = f"({py} - {t_u} * my)"
+    inside = (f"({t_u}) > 0.0e0 AND ({t_u}) < 1.0e0 "
+              f"AND ({ex} * {ex} + {ey} * {ey}) < ({hw} * {hw})")
+    t_c = f"LEAST(GREATEST(({px} * mx + {py} * my) / s2, 0.0e0), 1.0e0)"
+    dist = (f"SQRT(POWER({px} - ({t_c}) * mx, 2) "
+            f"+ POWER({py} - ({t_c}) * my, 2))")
     return (cand.filter(F.expr(inside))
             .select("url", "entity", "lat", "lng", "cell9",
                     "way_id", "segment_id", F.expr(dist).alias("dist_m")))
@@ -193,15 +220,29 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
     # conservative meters-per-cell lower bound (lng edge at |lat|<=60)
     edge_min_m = s * geom.M_PER_DEG * 0.5
     pts = points.select("url", "entity", "lat", "lng", "cell9")
-    dist_expr = F.expr(sqlfns.seg_dist_sql("lat", "lng", "alat", "alng", "blat", "blng"))
+    # per-segment frame staged on the tiny build side (same JIT-limit
+    # rationale and bit-identical arithmetic as pip_join)
+    M = sqlfns.M
+    sc = (seg_cells
+          .withColumn("cm", F.expr(f"({sqlfns.coslat_sql('alat')} * {M})"))
+          .withColumn("mx", F.expr("(blng - alng) * cm"))
+          .withColumn("my", F.expr(f"(blat - alat) * {M}"))
+          .withColumn("s2", F.expr("mx * mx + my * my + 1e-300")))
+    px = "((lng - alng) * cm)"
+    py = f"((lat - alat) * {M})"
+    t_c = f"LEAST(GREATEST(({px} * mx + {py} * my) / s2, 0.0e0), 1.0e0)"
+    dist_expr = F.expr(f"SQRT(POWER({px} - ({t_c}) * mx, 2) "
+                       f"+ POWER({py} - ({t_c}) * my, 2))")
     wd = Window.partitionBy("url", "entity").orderBy("segment_id")
     wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
     cols = ["url", "entity", "lat", "lng", "cell9",
             "way_id", "segment_id", "dist_m", "knn_rank"]
 
     def topk(src: DataFrame, r_hi: int) -> DataFrame:
+        # broadcast the segment-cover side: the fixed-size city network —
+        # the points side is the data-scaled one and must stream
         cand = (src.withColumn("cell", F.explode(_probe_cells_expr(res, r_hi)))
-                .join(seg_cells, "cell")
+                .join(F.broadcast(sc), "cell")
                 .select("url", "entity", "lat", "lng", "cell9",
                         "way_id", "segment_id", dist_expr.alias("dist_m")))
         # ONE shuffle on (url, entity) serves both the per-segment dedup (a

@@ -123,10 +123,11 @@ def _duck_sidewalk_segments() -> str:
 
 
 def _duck_pip_pairs() -> str:
-    """Points x sidewalk buffers, exact bbox containment (axis-aligned
-    rectangles with flat caps == engine ray-cast on the same corners)."""
-    dlat = f"({sqlfns.dlit(HW)} / 111111.0)"
-    dlng = f"({sqlfns.dlit(HW)} / (111111.0 * {sqlfns.coslat_sql('s.alat')}))"
+    """Points x sidewalk buffers: the SAME rect-containment template the
+    engine evaluates (sqlfns.rect_inside_sql) over the closed-form segment
+    endpoints — bit-identical booleans by construction."""
+    inside = sqlfns.rect_inside_sql("p.lat", "p.lng", "s.alat", "s.alng",
+                                    "s.blat", "s.blng", HW)
     dist = sqlfns.seg_dist_sql("p.lat", "p.lng", "s.alat", "s.alng", "s.blat", "s.blng")
     return f"""
     SELECT p.url, p.entity, p.cell9,
@@ -134,11 +135,7 @@ def _duck_pip_pairs() -> str:
            ROUND((s.alat + s.blat) / 2, 6) AS seg_mid_lat,
            ROUND((s.alng + s.blng) / 2, 6) AS seg_mid_lng
     FROM ({_duck_points(bbox=True)}) p, ({_duck_sidewalk_segments()}) s
-    WHERE (CASE WHEN s.alat = s.blat
-           THEN p.lat > s.alat - {dlat} AND p.lat < s.alat + {dlat}
-                AND p.lng > LEAST(s.alng, s.blng) AND p.lng < GREATEST(s.alng, s.blng)
-           ELSE p.lng > s.alng - {dlng} AND p.lng < s.alng + {dlng}
-                AND p.lat > LEAST(s.alat, s.blat) AND p.lat < GREATEST(s.alat, s.blat) END)
+    WHERE {inside}
     """
 
 
@@ -960,6 +957,33 @@ def o_simhash64_neardup() -> str:
     """
 
 
+def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk_multiprobe(emb, emb.filter("vec_id % 25 = 0"), k=3)
+
+
+def o_lsh_topk_multiprobe() -> str:
+    from ..operators import similarity
+    dot = _duck_dot("q.embedding", "c.embedding")
+    nq, nc = _duck_norm("q.embedding"), _duck_norm("c.embedding")
+    sq, sc = _duck_lsh_sig("q.embedding"), _duck_lsh_sig("c.embedding")
+    probe = (f"(CASE WHEN p = 0 THEN {sq} "
+             f"ELSE xor({sq}, CAST(POWER(2, p - 1) AS BIGINT)) END)")
+    return f"""
+    SELECT query_id, corpus_id, label, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label,
+             ROUND({dot} / ({nq} * {nc}), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND({dot} / ({nq} * {nc}), 6) DESC, c.vec_id) AS rank
+      FROM embeddings q
+      CROSS JOIN range(0, {similarity.N_PLANES + 1}) t(p)
+      JOIN embeddings c ON {probe} = {sc} AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 25 = 0
+    ) WHERE rank <= 3
+    """
+
+
 def q_g4_pip_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-axis-aligned PIP oracle: diagonal streets make the buffers
     rotated rectangles, so ray-casting is exercised on edges where a bbox
@@ -983,8 +1007,7 @@ def o_g4_pip_rot() -> str:
     alat, alng = "47.5995e0", lng0
     blat = f"(47.5995e0 + {sqlfns.dlit(synth.DIAG_LEN_DEG)})"
     blng = f"({lng0} + {sqlfns.dlit(synth.DIAG_LEN_LNG_DEG)})"
-    lat4, lng4 = sqlfns.buffer_corners_sql(alat, alng, blat, blng, HW)
-    inside = sqlfns.raycast_inside_sql("p.lat", "p.lng", lat4, lng4)
+    inside = sqlfns.rect_inside_sql("p.lat", "p.lng", alat, alng, blat, blng, HW)
     dist = sqlfns.seg_dist_sql("p.lat", "p.lng", alat, alng, blat, blng)
     return f"""
     SELECT p.url, p.entity, p.cell9, ROUND({dist}, 4) AS dist_r4,
@@ -1010,4 +1033,5 @@ QUERIES.update({
     "r20_geojson": (q_r20_geojson, o_r20_geojson),
     "simhash64_neardup": (q_simhash64_neardup, o_simhash64_neardup),
     "g4_pip_join_rot": (q_g4_pip_rot, o_g4_pip_rot),
+    "lsh_topk_multiprobe": (q_lsh_topk_multiprobe, o_lsh_topk_multiprobe),
 })

@@ -34,13 +34,29 @@ CW_WAY_BASE = 2_000_000_000
 CW_NODE_BASE = 2_000_000_000_000
 
 
-def pages(spark: SparkSession, n: int, filler_repeats: int = 60) -> DataFrame:
+_FILLER_REPEATS = 60
+# the 97 distinct ~1.5 KB fillers as LITERALS: building them per row with
+# REPEAT+CONCAT+RTRIM costs ~4 large allocations per page, which is the
+# single worst scaler on a shared-memory box (allocation-rate bound at 32
+# threads); a constant array costs one lookup + one final concat per row.
+# Byte-identical to the r1 expression (RTRIM(REPEAT(CONCAT(...), 60)))
+_FILLERS = [
+    ("".join(f"filler segment {k} of page text corpus " for _ in range(_FILLER_REPEATS))).rstrip()
+    for k in range(97)
+]
+
+
+def pages(spark: SparkSession, n: int, filler_repeats: int = _FILLER_REPEATS) -> DataFrame:
     """Common-Crawl-style pages table (FIXTURES.md §1 'pages').  The body
     carries ~1.5 KB of deterministic filler so per-page work (extraction,
     tokenization) is representative of real web pages, not 60-byte stubs."""
     ent = f"CONCAT('poi_', CAST((id * 7) % {N_ENTITIES} AS STRING))"
-    filler = (f"RTRIM(REPEAT(CONCAT('filler segment ', CAST(id % 97 AS STRING), "
-              f"' of page text corpus '), {filler_repeats}))")
+    if filler_repeats == _FILLER_REPEATS:
+        filler_arr = "ARRAY(" + ",".join("'" + f + "'" for f in _FILLERS) + ")"
+        filler = f"ELEMENT_AT({filler_arr}, CAST(id % 97 AS INT) + 1)"
+    else:
+        filler = (f"RTRIM(REPEAT(CONCAT('filler segment ', CAST(id % 97 AS STRING), "
+                  f"' of page text corpus '), {filler_repeats}))")
     text = (f"CONCAT('visit ', {ent}, ' near block ', CAST(id % 1000 AS STRING), "
             f"' in sector ', CAST(id % 37 AS STRING), ' ', {filler})")
     return spark.range(n).select(
@@ -75,11 +91,18 @@ def _geocode_from_entity(df: DataFrame) -> DataFrame:
     expensive polynomial hash is computed ONCE per row in its own Project
     (Catalyst keeps non-cheap expressions un-inlined across projects);
     inlining the full templates into one select re-evaluates the hash 4x —
-    measured 10x slower.  Values are identical to the inline DuckDB twin."""
+    measured 10x slower.  The lambda fold beats a CASE-unrolled variant
+    2.7x (sqlfns.polyhash_unrolled docstring), so the HOF stays; consumers
+    that need codegen-heavy stages downstream should materialize this
+    output (bench persists it).  Values identical to the DuckDB twin."""
     h = df.select(
         "url", "entity",
-        F.expr(sqlfns.polyhash_spark("entity")).alias("h1"),
-        F.expr(sqlfns.polyhash_spark("CONCAT(entity, 'x')")).alias("h2"))
+        F.expr(sqlfns.polyhash_spark("entity")).alias("h1"))
+    # h2 = poly(entity || 'x') derived ALGEBRAICALLY from h1: the fold is
+    # linear, hash(s || c) = (hash(s)*31 + ord(c)) % P — bit-identical to
+    # re-hashing and halves the dominant per-row cost (the HOF hash is both
+    # the most expensive and the worst-scaling expression in the chain)
+    h = h.withColumn("h2", F.expr(f"(h1 * 31 + 120) % {sqlfns.HASH_P}"))
     lat = "(47.60e0 + ((h1 % 20000) - 10000) * 1e-6)"
     lng = "(-122.33e0 + ((h2 % 20000) - 10000) * 1e-6)"
     return h.selectExpr(

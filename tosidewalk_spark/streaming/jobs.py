@@ -38,6 +38,72 @@ def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
                     "event_type", "n_events", "total_cents"))
 
 
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    gap-based sessionization — the canonical case the built-in windowed
+    aggregates can't express (session boundaries depend on the previous
+    event's time, not a fixed grid).
+
+    State per user = (open-session start, last event ts, count, cents);
+    an event later than ``gap_minutes`` after the last one closes the open
+    session and emits it; the event-time timeout (watermark-driven) closes
+    and emits a session when the stream goes quiet.  Emitted rows are
+    append-mode final — the batch twin (registry events_sessionized
+    semantics, same 1800 s gap) must agree on every closed session."""
+    import pandas as pd  # local: only the python workers need it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = ("user_id bigint, session_start timestamp, session_end timestamp, "
+                  "n_events bigint, total_cents bigint")
+    state_schema = "start_us bigint, last_us bigint, n bigint, cents bigint"
+
+    def fn(key, pdf_iter, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [uid],
+                                "session_start": [pd.Timestamp(start_us, unit="us")],
+                                "session_end": [pd.Timestamp(last_us, unit="us")],
+                                "n_events": [n], "total_cents": [cents]})
+            return
+        rows = []
+        cur = state.get if state.exists else None
+        chunks = list(pdf_iter)  # a group may span Arrow batches: sort ONCE
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts", kind="stable")
+            for ts, cents in zip(pdf["ts"], pdf["cents"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if cur is None:
+                    cur = (us, us, 1, int(cents))
+                elif us - cur[1] > gap_us:
+                    rows.append(cur)
+                    cur = (us, us, 1, int(cents))
+                else:
+                    cur = (cur[0], us, cur[2] + 1, cur[3] + int(cents))
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+        if rows:
+            yield pd.DataFrame({
+                "user_id": [uid] * len(rows),
+                "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
+                "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "n_events": [r[2] for r in rows],
+                "total_cents": [r[3] for r in rows]})
+
+    prepared = (events
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withColumn("cents", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+                .withWatermark("ts", watermark)
+                .select("user_id", "ts", "cents"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
     """Drain everything currently available and stop — the deterministic
     test/batch-replay mode; production runs the same query continuously."""
