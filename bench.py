@@ -195,6 +195,9 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("embedding_neardup", lambda: dedup.embedding_neardup_pairs(emb, 0.9))
     bench("ann_topk", lambda: similarity.brute_force_topk(emb, emb.filter("vec_id % 25 = 0"), k=5))
     bench("lsh_topk", lambda: similarity.lsh_topk(emb, emb.filter("vec_id % 25 = 0"), k=5))
+    bench("simhash64_neardup", lambda: dedup.simhash_neardup_pairs(docs))
+    bench("lsh_topk_multiprobe",
+          lambda: similarity.lsh_topk_multiprobe(emb, emb.filter("vec_id % 25 = 0"), k=5))
     bench("quality_score", lambda: text.quality_score(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     pts.unpersist()

@@ -957,6 +957,39 @@ def o_simhash64_neardup() -> str:
     """
 
 
+def q_r19_union_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19 over the FULL inference pipeline (filter -> R4 join -> R5 split
+    -> R6/R7 -> R8 -> R17 -> R18 -> R12/13 sidewalks -> R14/15/16
+    crosswalks -> union): per-kind way and vertex-ref counts on the G=8
+    grid city."""
+    from . import pipeline
+    nodes, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    net = pipeline.build_network(nodes, ways)
+    return (net.groupBy("kind")
+            .agg(F.count("*").alias("n_ways"),
+                 F.sum(F.size("node_ids")).cast("long").alias("n_vertex_refs")))
+
+
+def o_r19_union_kinds() -> str:
+    """Closed-form counts, derived not observed: R4 merges exactly two
+    same-highway corner pairs (H0+V0 at node 0, H7+V7 at node 63 — the
+    only corner nodes where both incident ways share a highway class),
+    producing two 15-vertex L-ways.  Each L-way's corner vertex is no
+    longer an intersection (one distinct way), so R5 splits it into 12
+    two-vertex segments + one 3-vertex corner segment: streets = 6*7 + 6*7
+    + 2*13 = 110 ways, refs = 84 + 84 + 2*27 = 222.  Sidewalks double
+    that (two per street).  Crosswalks: 36 interior intersections keep 4
+    arms, 24 border non-corner nodes keep 3 (corner nodes drop to 2 after
+    the merges and are ineligible): 36*4 + 24*3 = 216 two-vertex rings."""
+    return """
+    SELECT * FROM (VALUES
+      ('street',    CAST(110 AS BIGINT), CAST(222 AS BIGINT)),
+      ('sidewalk',  CAST(220 AS BIGINT), CAST(444 AS BIGINT)),
+      ('crosswalk', CAST(216 AS BIGINT), CAST(432 AS BIGINT))
+    ) t(kind, n_ways, n_vertex_refs)
+    """
+
+
 def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1034,4 +1067,5 @@ QUERIES.update({
     "simhash64_neardup": (q_simhash64_neardup, o_simhash64_neardup),
     "g4_pip_join_rot": (q_g4_pip_rot, o_g4_pip_rot),
     "lsh_topk_multiprobe": (q_lsh_topk_multiprobe, o_lsh_topk_multiprobe),
+    "r19_union_kinds": (q_r19_union_kinds, o_r19_union_kinds),
 })
