@@ -990,6 +990,62 @@ def o_r19_union_kinds() -> str:
     """
 
 
+def q_r1_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: highway-tag whitelist filter — per-class way counts after the
+    filter (the grid's footway/service noise ways must vanish)."""
+    _, ways = synth.osm_grid(spark, g=G, with_noise_ways=True)
+    return (N.filter_streets(ways)
+            .groupBy("highway").agg(F.count("*").alias("n_ways")))
+
+
+def o_r1_whitelist() -> str:
+    # 8 H + 8 V ways, class = HIGHWAYS[id % 4] with id 0..7 on each axis
+    # => 4 ways per class; the 8 footway/service noise ways are dropped
+    return """
+    SELECT * FROM (VALUES
+      ('residential', CAST(4 AS BIGINT)), ('primary', CAST(4 AS BIGINT)),
+      ('secondary', CAST(4 AS BIGINT)), ('tertiary', CAST(4 AS BIGINT))
+    ) t(highway, n_ways)
+    """
+
+
+def q_r15_crosswalk_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 (CCW angular sort) + R15 (bisector corner placement) + R16a
+    (ring construction) on the single 4-way cross_city intersection."""
+    gw = synth.cross_city_gw(spark)
+    cw = SW.make_crosswalks(gw, None)
+    return cw.select(
+        "way_id", "intersection_node_id",
+        F.round(F.expr("lats[0]"), 9).alias("lat_a"),
+        F.round(F.expr("lngs[0]"), 9).alias("lng_a"),
+        F.round(F.expr("lats[1]"), 9).alias("lat_b"),
+        F.round(F.expr("lngs[1]"), 9).alias("lng_b"))
+
+
+def o_r15_crosswalk_corners() -> str:
+    """Closed form: exactly-axis-aligned arms give EXACT unit vectors, so
+    corner k (CCW from the SE quadrant — argsort of atan2 angles
+    -pi/2, 0, pi/2, pi puts S,E,N,W in that order) sits at
+    center + (sx, sy) * ((1/sqrt(2)) * 5.657) meters, with the same
+    divide-then-multiply op order the numpy kernel uses.  Way k connects
+    corner k to corner (k+1) % 4."""
+    s = "((1.0e0 / SQRT(2.0e0)) * 5.657e0)"
+    cs = sqlfns.coslat_sql("47.6e0")
+    lat = f"ROUND(47.6e0 + (sy * {s}) / 111111.0e0, 9)"
+    lng = f"ROUND(-122.33e0 + (sx * {s}) / (111111.0e0 * {cs}), 9)"
+    lat2 = lat.replace("sy", "sy2")
+    lng2 = lng.replace("sx", "sx2")
+    return f"""
+    WITH c(k, sx, sy) AS (VALUES (0, 1.0e0, -1.0e0), (1, 1.0e0, 1.0e0),
+                                 (2, -1.0e0, 1.0e0), (3, -1.0e0, -1.0e0)),
+    n AS (SELECT k, sx AS sx2, sy AS sy2 FROM c)
+    SELECT CAST(2000000000 + 100 + c.k AS BIGINT) AS way_id,
+           CAST(1 AS BIGINT) AS intersection_node_id,
+           {lat} AS lat_a, {lng} AS lng_a, {lat2} AS lat_b, {lng2} AS lng_b
+    FROM c JOIN n ON n.k = (c.k + 1) % 4
+    """
+
+
 def q_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1068,4 +1124,6 @@ QUERIES.update({
     "g4_pip_join_rot": (q_g4_pip_rot, o_g4_pip_rot),
     "lsh_topk_multiprobe": (q_lsh_topk_multiprobe, o_lsh_topk_multiprobe),
     "r19_union_kinds": (q_r19_union_kinds, o_r19_union_kinds),
+    "r15_crosswalk_corners": (q_r15_crosswalk_corners, o_r15_crosswalk_corners),
+    "r1_whitelist": (q_r1_whitelist, o_r1_whitelist),
 })

@@ -291,6 +291,33 @@ def zigzag_city(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return nodes, ways
 
 
+CROSS_DLAT = 90.0 / 111111.0
+CROSS_DLNG = 90.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))
+
+
+def cross_city_gw(spark: SparkSession) -> DataFrame:
+    """R14/R15/R16 oracle city: ONE 4-way intersection — two 3-vertex ways
+    crossing at the center node (id 1).  The four arms are exactly axis-
+    aligned, so the arm unit vectors are EXACT (+-1, 0)/(0, +-1) doubles
+    and the crosswalk corner coordinates have a closed form:
+    center +- ((1/sqrt(2)) * CROSSWALK_OFFSET) in each axis."""
+    dlat = sqlfns.dlit(CROSS_DLAT)
+    dlng = sqlfns.dlit(CROSS_DLNG)
+    h = spark.range(1).select(
+        F.lit(0).cast("long").alias("way_id"),
+        F.expr("ARRAY(CAST(10 AS BIGINT), CAST(1 AS BIGINT), CAST(11 AS BIGINT))").alias("node_ids"),
+        F.expr("ARRAY(47.6e0, 47.6e0, 47.6e0)").alias("lats"),
+        F.expr(f"ARRAY(-122.33e0 - {dlng}, -122.33e0, -122.33e0 + {dlng})").alias("lngs"),
+        F.lit("residential").alias("highway"))
+    v = spark.range(1).select(
+        F.lit(1).cast("long").alias("way_id"),
+        F.expr("ARRAY(CAST(12 AS BIGINT), CAST(1 AS BIGINT), CAST(13 AS BIGINT))").alias("node_ids"),
+        F.expr(f"ARRAY(47.6e0 - {dlat}, 47.6e0, 47.6e0 + {dlat})").alias("lats"),
+        F.expr("ARRAY(-122.33e0, -122.33e0, -122.33e0)").alias("lngs"),
+        F.lit("residential").alias("highway"))
+    return h.unionByName(v)
+
+
 DIAG_WAYS = 48
 DIAG_LEN_DEG = 700.0 / 111111.0       # diagonal extent (lat); same meters in lng
 DIAG_LEN_LNG_DEG = 700.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))
