@@ -44,6 +44,39 @@ def test_join_ways_no_merge_at_intersection(spark):
     assert merged.count() == 3
 
 
+def test_connected_components_long_chain(spark):
+    # diameter 199 >> MAX_CC_ROUNDS: the pointer-jumping rounds must
+    # converge (plain min-propagation needed diameter rounds and silently
+    # returned partial components — VERDICT.md r2 'What's wrong' #1)
+    from pyspark.sql import functions as F
+    edges = spark.range(199).selectExpr("id AS src", "id + 1 AS dst")
+    comp = N.connected_components(edges)
+    agg = comp.agg(F.countDistinct("component").alias("n"),
+                   F.count("*").alias("c")).collect()[0]
+    assert agg.n == 1 and agg.c == 200
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    edges = spark.range(60).selectExpr("id AS src", "id + 1 AS dst")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        N.connected_components(edges, max_rounds=1)
+
+
+def test_join_ways_long_fragment_chain(spark):
+    # 39-fragment rows (chain diameter 38, beyond the legacy 30-round
+    # propagation budget) must merge back completely — VERDICT.md r2
+    # 'Next round' #2
+    ways = synth.segmented_grid_ways(spark, g=40)
+    merged = N.join_segmented_ways(ways)
+    rows = merged.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert len(r.node_ids) == 40
+        j = r.way_id // 39
+        assert r.way_id == j * 39
+        assert list(r.node_ids) == [j * 40 + i for i in range(40)]
+
+
 def test_split_street(spark):
     _, ways = synth.micro_fixture(spark, "split_street")
     segs = N.split_streets(ways).orderBy("way_id")

@@ -17,8 +17,9 @@ pair (nodes, ways):
 
 Scale notes (100 TB design): way_nodes explode + hash aggregations and
 equi-joins shuffle on node_id/way_id — uniformly distributed ids, no skew;
-fixpoint loops (R4/R8 connected components) run log-diameter rounds of
-min-label propagation with localCheckpoint per round to cut lineage;
+fixpoint loops (R4/R8 connected components) run genuinely log-diameter
+rounds (min-label propagation alternated with pointer jumping) with
+localCheckpoint per round to cut lineage, and raise on non-convergence;
 candidate generation for spatial self-joins (R6, R8) is cell-bucketed so
 the join is an equi-join, never a cross.
 """
@@ -96,27 +97,51 @@ def intersections(ways: DataFrame) -> DataFrame:
 # --- connected-components fixpoint (shared by R4 and R8) ----------------------
 
 def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> DataFrame:
-    """Min-label propagation over an undirected edge list (src, dst) ->
-    (id, component).  Driver-side fixpoint loop (SURVEY.md §3.2): each round
-    is one shuffle; localCheckpoint cuts lineage.  Converges in graph-
-    diameter rounds — fine for way-chains and node-merge clusters whose
-    diameter is tiny; a large-star/small-star variant would replace this
-    for planet-scale general graphs."""
-    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    """Connected components over an undirected edge list (src, dst) ->
+    (id, component), component = min node id in the component.
+
+    Each round alternates (a) one hop of min-label propagation with (b) a
+    pointer-jumping step (component <- component's component — path
+    doubling), so label chains contract geometrically and the loop
+    converges in O(log diameter) rounds — NOT diameter rounds.  Plain
+    min-propagation (round 1/2 of this engine) needed diameter rounds, and
+    a real OSM road of >MAX_CC_ROUNDS chained fragments (common on long
+    rural ways) would silently return PARTIALLY merged components
+    (VERDICT.md r2 'What's wrong' #1).  With doubling, 30 rounds cover
+    diameters beyond 2^30; if the fixpoint still hasn't converged the
+    function raises instead of returning wrong labels.
+
+    Invariant used by the jump join: every label value is itself a node id
+    present in ``labels`` (labels start as ids and min-propagation only
+    moves existing labels around), so the self-join always finds the
+    parent row.  Driver-side fixpoint loop (SURVEY.md §3.2); each round is
+    two shuffles; localCheckpoint cuts lineage per round."""
+    sym = (edges.selectExpr("src", "dst")
+           .union(edges.selectExpr("dst AS src", "src AS dst"))
+           .localCheckpoint(eager=True))  # reused every round — scan once
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("id", "dst")
                      .withColumnRenamed("component", "nbr_component"), "dst")
             .groupBy("src").agg(F.min("nbr_component").alias("nbr_component"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
             .select("id", F.least("component", F.coalesce("nbr_component", "component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer jump: L(v) <- L(L(v)) — halves every label chain
+        jump_map = stepped.select(F.col("id").alias("component"),
+                                  F.col("component").alias("jmp"))
+        new_labels = (
+            stepped.join(jump_map, "component", "left")
+            .select("id", F.coalesce("jmp", F.col("component")).alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -126,6 +151,11 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} rounds "
+            f"(graph diameter beyond 2^{max_rounds}?) — refusing to return "
+            f"partially merged components")
     return labels
 
 
