@@ -44,7 +44,8 @@ def test_buffers_cover_and_contain(spark):
 def test_pip_join_inside_outside(spark):
     nodes, ways = synth.micro_fixture(spark, "straight3")
     gw = N.geom_ways(nodes, ways)
-    bufs = SP.street_buffers(SP.street_segments(gw), half_width_m=12.0)
+    bufs = SP.street_buffers(SP.street_segments(gw), half_width_m=12.0,
+                             res=SP.PIP_COVER_RES)
     near = geom.latlng_offset(47.6004, -122.330, 5.0, 0.0)
     far = geom.latlng_offset(47.6004, -122.330, 50.0, 0.0)
     pts = _points(spark, [

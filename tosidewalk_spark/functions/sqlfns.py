@@ -165,18 +165,23 @@ def rect_inside_sql(plat: str, plng: str, alat: str, alng: str,
             f"AND ({ex} * {ex} + {ey} * {ey}) < ({hw} * {hw}))")
 
 
-def polyhash_spark(s: str) -> str:
+def polyhash_spark(s: str, mult: int = 31) -> str:
     """Polynomial string hash, Spark flavor — mirror of kernel.cells.hash63.
-    CASE guards LENGTH=0 because Spark's SEQUENCE(1, 0) is descending."""
+    CASE guards LENGTH=0 because Spark's SEQUENCE(1, 0) is descending.
+    ``mult`` picks the polynomial base: a second hash with a DIFFERENT base
+    (e.g. 37) is genuinely independent of the base-31 one — unlike a
+    suffix-salted variant of the same base, which is an affine function of
+    it (ADVICE.md r2: any two tokens colliding on base-31 collided on the
+    salted variant too)."""
     return (
         f"(CASE WHEN {s} IS NULL OR LENGTH({s}) = 0 THEN CAST(0 AS BIGINT) "
         f"ELSE AGGREGATE(TRANSFORM(SEQUENCE(1, LENGTH({s})), "
         f"k -> CAST(ASCII(SUBSTRING({s}, k, 1)) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % {HASH_P}) END)"
+        f"CAST(0 AS BIGINT), (a, x) -> (a * {mult} + x) % {HASH_P}) END)"
     )
 
 
-def polyhash_duckdb(s: str) -> str:
+def polyhash_duckdb(s: str, mult: int = 31) -> str:
     """Polynomial string hash, DuckDB flavor — same fold as polyhash_spark
     (list_prepend(0, ...) + list_reduce == aggregate with 0 init)."""
     return (
@@ -184,7 +189,7 @@ def polyhash_duckdb(s: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(range(1, length({s}) + 1), "
         f"k -> CAST(ascii(substr({s}, k, 1)) AS BIGINT))), "
-        f"(a, x) -> (a * 31 + x) % {HASH_P}) END)"
+        f"(a, x) -> (a * {mult} + x) % {HASH_P}) END)"
     )
 
 

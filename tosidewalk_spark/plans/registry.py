@@ -798,9 +798,10 @@ def q_r6_parallel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_r6_parallel_pairs() -> str:
-    # pair p lanes are 5 + 2p meters apart in lng: detectable up to p=10
-    # (25 m); sep = min point-segment distance from lane a's middle vertex
-    # to lane b's two segments — the SAME seg_dist template the engine runs
+    # pair p lanes are 4.5 + 2p meters apart in lng: detectable up to p=10
+    # (24.5 m, a 0.5 m margin inside the 25 m threshold — ADVICE.md r2);
+    # sep = min point-segment distance from lane a's middle vertex to lane
+    # b's two segments — the SAME seg_dist template the engine runs
     dy = sqlfns.dlit(synth.PC_DY_DEG)
     la = synth.parallel_city_lng_sql("p", "0")
     lb = synth.parallel_city_lng_sql("p", "1")
@@ -810,7 +811,7 @@ def o_r6_parallel_pairs() -> str:
                              f"(47.6e0 + 2 * {dy})", lb)
     return (f"SELECT 2 * p AS way_a, 2 * p + 1 AS way_b, "
             f"ROUND(LEAST({d0}, {d1}), 4) AS sep_r4 "
-            f"FROM range(0, {synth.PC_PAIRS}) t(p) WHERE 5 + 2 * p <= 25")
+            f"FROM range(0, {synth.PC_PAIRS}) t(p) WHERE 4.5 + 2 * p <= 25")
 
 
 def q_r7_parallel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,7 +838,7 @@ def o_r7_parallel_merge() -> str:
     SELECT 2 * p AS way_id, CAST(3 AS BIGINT) AS n_vertices,
            ROUND(47.6e0, 9) AS lat0, {mid} AS lng0, {mid} AS lng1,
            ROUND(47.6e0 + 2 * {dy}, 9) AS lat_end
-    FROM range(0, {synth.PC_PAIRS}) t(p) WHERE 5 + 2 * p <= 25
+    FROM range(0, {synth.PC_PAIRS}) t(p) WHERE 4.5 + 2 * p <= 25
     UNION ALL
     SELECT 22 + s AS way_id, CAST(3 AS BIGINT), ROUND(47.6e0, 9),
            {kept_lng}, {kept_lng}, ROUND(47.6e0 + 2 * {dy}, 9)
@@ -932,7 +933,7 @@ def q_simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_simhash64_neardup() -> str:
     th = _duck_token_hashes()
     th2 = (f"list_transform(list_distinct({_duck_tokens()}), t -> "
-           + sqlfns.polyhash_duckdb("CONCAT(t, '#')") + ")")
+           + sqlfns.polyhash_duckdb("t", mult=37) + ")")
 
     def fp(col: str, lo: int) -> str:
         return (
@@ -946,8 +947,10 @@ def o_simhash64_neardup() -> str:
     return f"""
     WITH s AS (SELECT doc_id, ({fp('th', 0)}) + ({fp('th2', 31)}) AS sh FROM
                (SELECT doc_id, {th} AS th, {th2} AS th2 FROM documents)),
-    bands AS (SELECT doc_id, sh, q AS band_no, (sh >> (q * 16)) % 65536 AS band_val
-              FROM s, range(0, 4) r(q)),
+    bands0 AS (SELECT doc_id, sh, q AS band_no, (sh >> (q * 16)) % 65536 AS band_val
+               FROM s, range(0, 4) r(q)),
+    bands AS (SELECT * FROM bands0
+              QUALIFY COUNT(*) OVER (PARTITION BY band_no, band_val) <= {dedup.LSH_MAX_BUCKET}),
     cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.sh AS sa, b.sh AS sb
              FROM bands a JOIN bands b USING (band_no, band_val)

@@ -193,7 +193,11 @@ def osm_grid(spark: SparkSession, g: int = 8, with_noise_ways: bool = True
 
 PC_PAIRS = 12
 PC_PITCH_DEG = 150.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))  # pair spacing
-PC_SEP_BASE_DEG = 5.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))  # sep(p) = 5 + 2p m
+# sep(p) = 4.5 + 2p m: the top DETECTABLE pair (p=10) sits at 24.5 m —
+# 0.5 m inside the 25 m threshold — and the first undetectable (p=11) at
+# 26.5 m.  The round-2 base of 5.0 put p=10 at a nominal 25.0 m, where
+# sub-mm poly-cos float effects decided oracle membership (ADVICE.md r2).
+PC_SEP_BASE_DEG = 4.5 / (111111.0 * math.cos(math.radians(CITY_LAT)))
 PC_SEP_STEP_DEG = 2.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))
 PC_DY_DEG = 100.0 / 111111.0  # vertex spacing along each lane
 
@@ -207,9 +211,10 @@ def parallel_city_lng_sql(p: str, side: str) -> str:
 
 def parallel_city_gw(spark: SparkSession) -> DataFrame:
     """R6/R7 oracle city: PC_PAIRS pairs of 3-vertex N-S lanes; pair p's
-    lanes (way ids 2p, 2p+1) are separated 5 + 2p meters in longitude, so
-    pairs up to p=10 (25 m) are parallel-detectable and p=11 (27 m) is not.
-    Pairs sit 150 m apart — far beyond the detection threshold."""
+    lanes (way ids 2p, 2p+1) are separated 4.5 + 2p meters in longitude, so
+    pairs up to p=10 (24.5 m) are parallel-detectable with a 0.5 m margin
+    and p=11 (26.5 m) is not, with a 1.5 m margin.  Pairs sit 150 m apart —
+    far beyond the detection threshold."""
     dy = sqlfns.dlit(PC_DY_DEG)
     lng = parallel_city_lng_sql("id DIV 2", "id % 2")
     return spark.range(2 * PC_PAIRS).select(
