@@ -350,6 +350,65 @@ def diag_city_gw(spark: SparkSession) -> DataFrame:
     )
 
 
+RW_WAYS = 24
+RW_DY_DEG = 40.0 / 111111.0   # sidewalk vertex spacing (3 vertices, going N)
+RW_DX_DEG = 30.0 / (111111.0 * math.cos(math.radians(CITY_LAT)))  # way pitch
+
+
+def rewire_city_lng_sql(w: str) -> str:
+    """Longitude of rewire-city way ``w`` — shared Spark/DuckDB template."""
+    return f"(-122.33e0 + ({w}) * {sqlfns.dlit(RW_DX_DEG)})"
+
+
+def rewire_city_start_corner_lat_sql(w: str) -> str:
+    """Latitude of the corner placed south of way ``w``'s START endpoint:
+    2..6 m away (snaps, unique nearest — the next corner is a full 30 m
+    pitch away) except every third way, whose corner sits 9.5 m away —
+    beyond the 8 m snap radius, so that endpoint must NOT rewire."""
+    d = f"(CASE WHEN ({w}) % 3 = 2 THEN 9.5e0 ELSE 2.0e0 + (({w}) % 5) END)"
+    return f"(47.6e0 - {d} / 111111.0e0)"
+
+
+def rewire_city_end_corner_lat_sql(w: str) -> str:
+    """Latitude of the corner placed 1..4 m north of way ``w``'s END
+    endpoint (only even ways get one — odd ways exercise the no-corner
+    left-join path)."""
+    return (f"(47.6e0 + 2.0e0 * {sqlfns.dlit(RW_DY_DEG)} "
+            f"+ (1.0e0 + (({w}) % 4)) / 111111.0e0)")
+
+
+def rewire_city_sidewalks(spark: SparkSession) -> DataFrame:
+    """R16b oracle city (sidewalk side): RW_WAYS 3-vertex N-S sidewalk-
+    shaped ways, 30 m apart in longitude, node ids w*10+k.  Feeds
+    operators.sidewalks.rewire_sidewalk_endpoints directly, isolating the
+    endpoint-splice operator from the corner-placement geometry (whose
+    atan2-based bisectors have no bit-exact SQL twin on general arms)."""
+    lng = rewire_city_lng_sql("id")
+    return spark.range(RW_WAYS).select(
+        F.col("id").alias("way_id"),
+        F.col("id").alias("parent_way_id"),
+        F.lit(0).alias("side"),
+        F.expr("TRANSFORM(SEQUENCE(0, 2), k -> id * 10 + k)").alias("node_ids"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, 2), k -> 47.6e0 + k * {sqlfns.dlit(RW_DY_DEG)})").alias("lats"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, 2), k -> {lng})").alias("lngs"),
+        F.lit("residential").alias("highway"))
+
+
+def rewire_city_corners(spark: SparkSession) -> DataFrame:
+    """R16b oracle city (corner side): one start corner per way (id
+    5000+w; 9.5 m away — unsnappable — for w%3==2) and one end corner for
+    even ways (id 6000+w)."""
+    start = spark.range(RW_WAYS).select(
+        (F.col("id") + 5000).alias("corner_id"),
+        F.expr(rewire_city_start_corner_lat_sql("id")).alias("corner_lat"),
+        F.expr(rewire_city_lng_sql("id")).alias("corner_lng"))
+    end = spark.range(RW_WAYS).filter("id % 2 = 0").select(
+        (F.col("id") + 6000).alias("corner_id"),
+        F.expr(rewire_city_end_corner_lat_sql("id")).alias("corner_lat"),
+        F.expr(rewire_city_lng_sql("id")).alias("corner_lng"))
+    return start.unionByName(end)
+
+
 def micro_fixture(spark: SparkSession, name: str) -> tuple[DataFrame, DataFrame]:
     """Tiny hand-built networks mirroring the reference test families
     (FIXTURES.md §2).  Test-only — driver-side literals are fine here."""
