@@ -113,7 +113,16 @@ def pages_throughput_job(spark, buffers, n_pages: int) -> None:
         points.unpersist()
 
 
-def measured_session(cpus: int, n_pages: int) -> float:
+def _parse_cores(spec: str) -> list[int]:
+    """Core spec: "8" = cores 0..7; "8-15" = that explicit range (used for
+    the disjoint-core evidence legs, ADVICE.md r2)."""
+    if "-" in spec:
+        a, b = spec.split("-")
+        return list(range(int(a), int(b) + 1))
+    return list(range(int(spec)))
+
+
+def measured_session(core_spec: str, n_pages: int) -> float:
     """One scaling leg.  MUST run in a fresh process: sched_setaffinity is
     applied before the JVM starts so the Spark driver, executors and every
     spawned python UDF worker inherit the mask.  Spark's local[N] caps JVM
@@ -122,11 +131,13 @@ def measured_session(cpus: int, n_pages: int) -> float:
     inflates the small leg and deflates measured N->4N efficiency (round-1
     driver run: 0.594 unpinned vs 0.861 pinned on the same plan).  The
     affinity syscall needs no taskset binary and works under any harness."""
+    cores = _parse_cores(core_spec)
     try:
-        os.sched_setaffinity(0, set(range(cpus)))
+        os.sched_setaffinity(0, set(cores))
     except (AttributeError, OSError):
         pass
-    spark = get_spark(f"bench{cpus}", cpus=cpus, shuffle_partitions=2 * cpus)
+    n = len(cores)
+    spark = get_spark(f"bench{core_spec}", cpus=n, shuffle_partitions=2 * n)
     buffers = build_buffers(spark)
     pages_throughput_job(spark, buffers, 200_000)  # warmup: JIT + codegen
     secs = min(_timed(lambda: pages_throughput_job(spark, buffers, n_pages))[1]
@@ -135,13 +146,33 @@ def measured_session(cpus: int, n_pages: int) -> float:
     return secs
 
 
-def measured_session_pinned(cpus: int, n_pages: int) -> float:
+def measured_session_pinned(core_spec, n_pages: int) -> float:
     """Run one scaling leg in a subprocess (fresh JVM + fresh affinity)."""
     import subprocess
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--scaling-leg", str(cpus), "--pages", str(n_pages)]
+           "--scaling-leg", str(core_spec), "--pages", str(n_pages)]
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return float(out.stdout.strip().splitlines()[-1])
+
+
+def scaling_pair(small_spec, big_spec, n_pages: int, rounds: int = 1) -> dict:
+    """Interleaved pinned legs -> min per leg -> N->4N efficiency record."""
+    t_small, t_big = [], []
+    for _ in range(rounds):
+        t_small.append(measured_session_pinned(small_spec, n_pages))
+        t_big.append(measured_session_pinned(big_spec, n_pages))
+    sec_s, sec_b = min(t_small), min(t_big)
+    n_s = len(_parse_cores(str(small_spec)))
+    n_b = len(_parse_cores(str(big_spec)))
+    return {"pages": n_pages,
+            "cores_small": str(small_spec), "cores_big": str(big_spec),
+            "n_small": n_s, "n_big": n_b,
+            "small_sec": sec_s, "big_sec": sec_b,
+            "pages_per_sec_small": round(n_pages / sec_s, 1),
+            "pages_per_sec_big": round(n_pages / sec_b, 1),
+            "speedup": round(sec_s / sec_b, 3),
+            "efficiency": round(sec_s / ((n_b / n_s) * sec_b), 3),
+            "samples_small": t_small, "samples_big": t_big}
 
 
 def parquet_scan_leg(spark, buffers, n_pages: int) -> dict:
@@ -176,7 +207,13 @@ def run_queries(spark, buffers) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def bench(name, df_fn):
-        _, secs = _timed(lambda: df_fn().write.mode("overwrite").format("noop").save())
+        # one untimed warmup (codegen JIT, broadcast build, Arrow init) +
+        # min-of-2 timed runs: round 2 timed a single cold run and recorded
+        # a 2.3x phantom regression on extract_text that was host noise
+        # (VERDICT.md r2 perf section / 'Next round' #5)
+        df_fn().write.mode("overwrite").format("noop").save()
+        secs = min(_timed(lambda: df_fn().write.mode("overwrite").format("noop").save())[1]
+                   for _ in range(2))
         timings[name] = secs
 
     pts = synth.geo_entities_from_documents(docs).persist()
@@ -187,7 +224,12 @@ def run_queries(spark, buffers) -> dict[str, float]:
         SP.street_buffers(SP.street_segments(SW.make_sidewalks(gw24)))).persist()
     seg_cells.count()
     bench("g4_pip_join", lambda: SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES))
-    bench("g5_knn", lambda: SP.knn_join(pts, seg_cells, k=1, max_ring=4))
+    # first_radius=1: the points cloud extends ~1 km beyond the city, so
+    # phase 2 re-probes the outside points regardless — a 9-cell phase-1
+    # disk (vs 25) wastes less on them while still settling every in-city
+    # point (76 m bound > the 64 m worst-case nearest-sidewalk distance)
+    bench("g5_knn", lambda: SP.knn_join(pts, seg_cells, k=1, max_ring=4,
+                                        first_radius=1))
     bench("g6_tiles", lambda: SP.coverage_tiles(pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)))
     bench("minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs))
     bench("jaccard_pairs", lambda: dedup.jaccard_pairs(docs, 0.8))
@@ -208,10 +250,10 @@ def run_queries(spark, buffers) -> dict[str, float]:
 def main() -> None:
     if "--scaling-leg" in sys.argv:  # subprocess mode: print one float
         i = sys.argv.index("--scaling-leg")
-        cpus = int(sys.argv[i + 1])
+        spec = sys.argv[i + 1]
         j = sys.argv.index("--pages")
         n = int(sys.argv[j + 1])
-        print(measured_session(cpus, n))
+        print(measured_session(spec, n))
         return
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=2 * CPUS)
     buffers = build_buffers(spark)
@@ -222,21 +264,24 @@ def main() -> None:
     queries = run_queries(spark, buffers)
     spark.stop()
 
-    scaling = None
+    scaling = curve = disjoint = None
     if RUN_SCALING:
         small, big = SCALING_CORES
-        t_small, t_big = [], []
-        for _ in range(SCALING_ROUNDS):  # interleaved legs: host-noise
-            t_small.append(measured_session_pinned(small, SCALING_PAGES))
-            t_big.append(measured_session_pinned(big, SCALING_PAGES))
-        sec_s, sec_b = min(t_small), min(t_big)
-        scaling = {"pages": SCALING_PAGES, "cores_small": small, "cores_big": big,
-                   "small_sec": sec_s, "big_sec": sec_b,
-                   "pages_per_sec_small": round(SCALING_PAGES / sec_s, 1),
-                   "pages_per_sec_big": round(SCALING_PAGES / sec_b, 1),
-                   "speedup": round(sec_s / sec_b, 3),
-                   "efficiency": round(sec_s / (4.0 * sec_b), 3),
-                   "samples_small": t_small, "samples_big": t_big}
+        # official pair: interleaved rounds, min per leg
+        scaling = scaling_pair(small, big, SCALING_PAGES, rounds=SCALING_ROUNDS)
+        # full N->4N curve at increasing box share (2->8, 4->16, 8->32), one
+        # round each: the monotone-decline-in-box-share evidence behind
+        # reporting 2->8 as the cluster-representative pair (ADVICE.md r2:
+        # report the 8->32 pair in the official JSON too) — on one box the
+        # large legs share a memory controller that N separate cluster
+        # nodes would not
+        curve = [scaling_pair(s, b, SCALING_PAGES, rounds=1)
+                 for s, b in ((4, 16), (8, 32))]
+        # disjoint-core legs (ADVICE.md r2): small leg on cores 24-25, big
+        # on 8-15 — no core overlap with each other, same efficiency as the
+        # overlapping official pair => the pairing, not core identity or
+        # cache residue, is what's measured
+        disjoint = scaling_pair("24-25", "8-15", SCALING_PAGES, rounds=1)
 
     out = {
         "metric": "spatial_join_tiling_wall_sec",
@@ -250,6 +295,8 @@ def main() -> None:
     }
     if scaling:
         out["scaling"] = scaling
+        out["scaling_curve"] = curve
+        out["scaling_disjoint"] = disjoint
     print(json.dumps(out))
 
 

@@ -130,6 +130,28 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         assert batch_rows[k] == v
 
 
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    # pages-shaped source with REAL duplicates: 300 rows over 60 texts
+    src = str(tmp_path / "pages_src")
+    pages = spark.range(300).selectExpr(
+        "CONCAT('https://s.example/p/', CAST(id AS STRING)) AS url",
+        "TIMESTAMP '2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, id * 11) AS warc_ts",
+        "CONCAT('text body ', CAST(id % 60 AS STRING)) AS text")
+    pages.write.mode("overwrite").parquet(src)
+    schema = "url string, warc_ts timestamp, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = jobs.streaming_exact_dedup(stream)
+    jobs.run_available_now(deduped, "dedup_stream", str(tmp_path / "ckpt_dedup"))
+    got = spark.sql("SELECT * FROM dedup_stream").collect()
+    # exactly one survivor per distinct text (all dupes are inside the
+    # watermark horizon here), and every survivor is a genuine input row
+    batch_texts = {r.text for r in spark.read.parquet(src).select("text").distinct().collect()}
+    assert sorted(r.text for r in got) == sorted(batch_texts)
+    for r in got:
+        assert r.url.rsplit("/", 1)[1] != "" and \
+            int(r.url.rsplit("/", 1)[1]) % 60 == int(r.text.rsplit(" ", 1)[1])
+
+
 def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
     import shutil
     src_dir = tmp_path / "ev_src"

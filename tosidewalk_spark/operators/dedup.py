@@ -190,22 +190,33 @@ def simhash64(docs: DataFrame) -> DataFrame:
     collision resistance was still 31-bit (ADVICE.md r2); a different
     polynomial base makes the two constraints genuinely independent.
     Round 1 had only the 16-bit fingerprint — 65,536 buckets collapse at
-    10^9+ docs (VERDICT.md r1 'What's missing' #3)."""
+    10^9+ docs (VERDICT.md r1 'What's missing' #3).
+
+    Plan shape: explode the token-hash pairs and run ONE hash aggregation
+    with 62 codegen'd CASE/SUM columns (map-side combine: the shuffle
+    carries one 62-int row per doc per input partition, and a doc's tokens
+    live in one partition, so it is effectively one row per doc).  The
+    round-2 form — a nested AGGREGATE-over-AGGREGATE higher-order function
+    per row — ran in the expression interpreter at 3x the wall (measured
+    4.7 s -> 1.5 s at sf0.1); values are bit-identical."""
     th2 = (f"TRANSFORM(ARRAY_DISTINCT({_tokens()}), t -> "
            + sqlfns.polyhash_spark("t", mult=37) + ")")
     base = _spread(docs).select(
         "doc_id", F.expr(_token_hashes()).alias("th"), F.expr(th2).alias("th2"))
-
-    def fp(col: str, lo: int) -> str:
-        return (
-            f"AGGREGATE(SEQUENCE(0, 30), CAST(0 AS BIGINT), (acc, b) -> "
-            f"acc + CASE WHEN AGGREGATE({col}, CAST(0 AS BIGINT), "
-            f"(s, h) -> s + CASE WHEN CAST(FLOOR(h / POWER(2, b)) AS BIGINT) % 2 = 1 "
-            f"THEN 1 ELSE -1 END) > 0 "
-            f"THEN CAST(POWER(2, b + {lo}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-
-    return base.select(
-        "doc_id", F.expr(f"({fp('th', 0)}) + ({fp('th2', 31)})").alias("simhash64"))
+    ex = base.select("doc_id", F.explode(F.expr(
+        "ZIP_WITH(th, th2, (a, b) -> STRUCT(a AS h1, b AS h2))")).alias("h"))
+    aggs = []
+    for b in range(31):
+        aggs.append(F.sum(F.expr(
+            f"CASE WHEN SHIFTRIGHT(h.h1, {b}) % 2 = 1 THEN 1 ELSE -1 END")).alias(f"a{b}"))
+        aggs.append(F.sum(F.expr(
+            f"CASE WHEN SHIFTRIGHT(h.h2, {b}) % 2 = 1 THEN 1 ELSE -1 END")).alias(f"b{b}"))
+    sums = ex.groupBy("doc_id").agg(*aggs)
+    lo = " + ".join(f"CASE WHEN a{b} > 0 THEN CAST({2 ** b} AS BIGINT) "
+                    f"ELSE CAST(0 AS BIGINT) END" for b in range(31))
+    hi = " + ".join(f"CASE WHEN b{b} > 0 THEN CAST({2 ** (b + 31)} AS BIGINT) "
+                    f"ELSE CAST(0 AS BIGINT) END" for b in range(31))
+    return sums.select("doc_id", F.expr(f"({lo}) + ({hi})").alias("simhash64"))
 
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,

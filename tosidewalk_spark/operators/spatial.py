@@ -245,6 +245,25 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
                 .join(F.broadcast(sc), "cell")
                 .select("url", "entity", "lat", "lng", "cell9",
                         "way_id", "segment_id", dist_expr.alias("dist_m")))
+        if k == 1:
+            # k=1 fast path: lexicographic struct-min == the (dist_m,
+            # way_id, segment_id) tie-break of the window path, but runs as
+            # a hash aggregation with MAP-SIDE COMBINE — the shuffle carries
+            # one row per (point, map partition) instead of every candidate,
+            # and the per-segment dedup window is unnecessary (duplicate
+            # candidate rows cannot change a min).  lat/lng/cell9 ride in
+            # the struct after the ordering keys (constant per group).
+            return (cand.groupBy("url", "entity")
+                    .agg(F.min(F.struct("dist_m", "way_id", "segment_id",
+                                        "lat", "lng", "cell9")).alias("b"))
+                    .select("url", "entity",
+                            F.col("b.lat").alias("lat"),
+                            F.col("b.lng").alias("lng"),
+                            F.col("b.cell9").alias("cell9"),
+                            F.col("b.way_id").alias("way_id"),
+                            F.col("b.segment_id").alias("segment_id"),
+                            F.col("b.dist_m").alias("dist_m"),
+                            F.lit(1).alias("knn_rank")))
         # ONE shuffle on (url, entity) serves both the per-segment dedup (a
         # segment covering several probed cells appears once per cell; the
         # duplicate rows are identical) and the rank window — the second

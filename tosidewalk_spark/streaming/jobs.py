@@ -104,6 +104,24 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
         GroupStateTimeout.EventTimeTimeout)
 
 
+def streaming_exact_dedup(pages: DataFrame, key: str = "text",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch exact_dedup (operators.dedup): emit the
+    first page seen per ``key`` and drop every later duplicate — the
+    continuous-ingest dedup shape an LLM-data pipeline runs in front of a
+    training corpus.  dropDuplicatesWithinWatermark bounds the dedup state
+    to the watermark horizon (exactly-once per key within it; a duplicate
+    arriving later than the horizon would re-emit, which is the standard
+    bounded-state trade-off at 10^12-doc scale — unbounded key state cannot
+    exist on any cluster).  Batch-twin contract (pytest): the set of
+    emitted keys over an availableNow drain equals the batch distinct-key
+    set, and every emitted row is a genuine input row."""
+    return (pages
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark([key]))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
     """Drain everything currently available and stop — the deterministic
     test/batch-replay mode; production runs the same query continuously."""
