@@ -240,6 +240,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("simhash64_neardup", lambda: dedup.simhash_neardup_pairs(docs))
     bench("lsh_topk_multiprobe",
           lambda: similarity.lsh_topk_multiprobe(emb, emb.filter("vec_id % 25 = 0"), k=5))
+    bench("ivf_topk", lambda: similarity.ivf_topk(emb, emb.filter("vec_id % 17 = 0"), k=5))
+    bench("shingle_jaccard", lambda: dedup.shingle_jaccard_pairs(docs, 0.5))
     bench("quality_score", lambda: text.quality_score(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     pts.unpersist()

@@ -48,6 +48,21 @@ def _token_hashes(col: str = "text") -> str:
             + sqlfns.polyhash_spark("t") + ")")
 
 
+def _shingles(col: str = "text", w: int = 3) -> str:
+    """Word w-gram shingles (space-joined).  Documents shorter than w
+    tokens fall back to their plain tokens so they still participate."""
+    t = _tokens(col)
+    return (f"CASE WHEN SIZE({t}) >= {w} THEN "
+            f"TRANSFORM(SEQUENCE(0, SIZE({t}) - {w}), "
+            f"i -> CONCAT_WS(' ', SLICE({t}, i + 1, {w}))) ELSE {t} END")
+
+
+def _shingle_hashes(col: str = "text", w: int = 3) -> str:
+    """array<bigint> of per-shingle polynomial hashes (distinct shingles)."""
+    return (f"TRANSFORM(ARRAY_DISTINCT({_shingles(col, w)}), t -> "
+            + sqlfns.polyhash_spark("t") + ")")
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups: hash-groupBy on full text; returns one row
     per text with the canonical (min) doc_id and the duplicate count."""
@@ -57,12 +72,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
             .select("canonical_doc_id", "n_dupes"))
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, hashes_sql: str | None = None) -> DataFrame:
     """16-permutation minhash signature per document over distinct-token
     hashes — array<bigint> column 'sig'.  The token-hash array is
     materialized ONCE as a column before the 16 permutation mins (inlining
-    it would make Catalyst evaluate the per-char hash fold 16x)."""
-    th_col = _spread(docs).select("doc_id", F.expr(_token_hashes()).alias("th"))
+    it would make Catalyst evaluate the per-char hash fold 16x).
+    ``hashes_sql`` swaps the shingling unit (default: word unigrams;
+    _shingle_hashes for word n-grams)."""
+    th_col = _spread(docs).select(
+        "doc_id", F.expr(hashes_sql or _token_hashes()).alias("th"))
     sig = F.array(*[F.expr(sqlfns.minhash_spark("th", a, b)) for a, b in MINHASH_PERMS])
     return th_col.select("doc_id", sig.alias("sig"))
 
@@ -71,7 +89,8 @@ LSH_MAX_BUCKET = 1024  # band buckets above this are dropped (see below)
 
 
 def minhash_lsh_pairs(docs: DataFrame,
-                      max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+                      max_bucket: int = LSH_MAX_BUCKET,
+                      hashes_sql: str | None = None) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs: band the signature
     (4 bands x 4 rows), bucket-join on (band_no, band signature), emit
     doc pairs sharing >= 1 band.  Returns (doc_a, doc_b, n_bands).
@@ -81,7 +100,7 @@ def minhash_lsh_pairs(docs: DataFrame,
     than ``max_bucket`` are dropped before the self-join — the size
     aggregation is map-side combinable, so the cap costs one cheap agg +
     semi-join and bounds the worst bucket at any scale."""
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs, hashes_sql)
     r = len(MINHASH_PERMS) // LSH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -144,6 +163,33 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                     F.col("toks").alias("toks_a"), F.col("nt").alias("nt_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"),
                     F.col("toks").alias("toks_b"), F.col("nt").alias("nt_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.col("nt_a") + F.col("nt_b") - F.col("inter")
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("inter", inter)
+            .withColumn("jaccard", F.round(F.col("inter") / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def shingle_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                          w: int = 3) -> DataFrame:
+    """Word n-gram (default 3-gram) Jaccard near-dup pairs — the stricter
+    order-sensitive sibling of token-level jaccard_pairs: shingles encode
+    local word ORDER, so documents sharing vocabulary but not phrasing
+    stop matching.  Same scale shape: MinHash-LSH candidates over shingle
+    hashes (banded, bucket-capped), exact shingle-set Jaccard verify on
+    candidates only, rounded on both engines."""
+    cand = minhash_lsh_pairs(docs, hashes_sql=_shingle_hashes(w=w)) \
+        .select("doc_a", "doc_b")
+    sh = _spread(docs).select(
+        "doc_id",
+        F.expr(f"ARRAY_SORT(ARRAY_DISTINCT({_shingles('text', w)}))").alias("toks"))
+    sh = sh.withColumn("nt", F.size("toks"))
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("toks").alias("toks_a"), F.col("nt").alias("nt_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("toks").alias("toks_b"), F.col("nt").alias("nt_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.col("nt_a") + F.col("nt_b") - F.col("inter")
     return (cand.join(a, "doc_a").join(b, "doc_b")

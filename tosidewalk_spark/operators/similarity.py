@@ -88,6 +88,64 @@ def lsh_topk_multiprobe(emb: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "corpus_id", "label", "cosine", "rank"))
 
 
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_stride: int = 25, nprobe: int = 3) -> DataFrame:
+    """IVF (inverted-file) ANN — the partition-pruned scale path
+    complementing the hyperplane LSH variants: the corpus is clustered
+    into inverted lists by nearest centroid, and a query scans only its
+    ``nprobe`` nearest lists (~nprobe/n_centroids of the corpus).
+
+    Centroids are a deterministic corpus subset (vec_id % stride == 0 —
+    a k-means refinement would drop in without changing the plan shape).
+    Build side: every corpus vector against the BROADCAST centroid table,
+    assignment = struct-max aggregation (rounded cosine desc, centroid id
+    asc — map-side combinable, no window sort over the corpus).  Probe
+    side: per-query centroid ranking is a window over |queries| x
+    n_centroids rows (tiny), then an equi-join on centroid_id against the
+    inverted lists and an exact top-k among candidates.  All dot products
+    JVM-side; rounded cosines keep the DuckDB twin bit-exact."""
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("label"),
+                   F.expr(_as_double()).alias("cv"))
+    c = c.withColumn("cn", F.expr(_norm("cv")))
+    cent = emb.filter(f"vec_id % {centroid_stride} = 0").select(
+        F.col("vec_id").alias("centroid_id"), F.expr(_as_double()).alias("mv"))
+    cent = cent.withColumn("mn", F.expr(_norm("mv")))
+    assigned = (
+        c.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.round(
+            F.expr("AGGREGATE(ZIP_WITH(cv, mv, (x, y) -> x * y), "
+                   "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+            / (F.col("cn") * F.col("mn")), 6))
+        .groupBy("corpus_id")
+        .agg(F.max(F.struct(
+            F.col("ccos"), (-F.col("centroid_id")).alias("ncid"),
+            F.col("label"), F.col("cv"), F.col("cn"))).alias("b"))
+        .select("corpus_id", F.col("b.label").alias("label"),
+                F.col("b.cv").alias("cv"), F.col("b.cn").alias("cn"),
+                (-F.col("b.ncid")).alias("centroid_id")))
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.expr(_as_double()).alias("qv"))
+    q = q.withColumn("qn", F.expr(_norm("qv")))
+    qc = (q.crossJoin(F.broadcast(cent))
+          .withColumn("qcos", F.round(
+              F.expr("AGGREGATE(ZIP_WITH(qv, mv, (x, y) -> x * y), "
+                     "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+              / (F.col("qn") * F.col("mn")), 6)))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), "centroid_id")
+    probes = (qc.withColumn("pr", F.row_number().over(wp))
+              .filter(F.col("pr") <= nprobe)
+              .select("query_id", "qv", "qn", "centroid_id"))
+    dot = F.expr("AGGREGATE(ZIP_WITH(qv, cv, (x, y) -> x * y), "
+                 "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    scored = (probes.join(assigned, "centroid_id")
+              .filter(F.col("query_id") != F.col("corpus_id"))
+              .withColumn("cosine", F.round(dot / (F.col("qn") * F.col("cn")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "label", "centroid_id", "cosine", "rank"))
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              dim: int = 64) -> DataFrame:
     """Approximate top-k: bucket corpus and queries by the hyperplane-sign

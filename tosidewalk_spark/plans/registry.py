@@ -326,8 +326,8 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs)
 
 
-def o_minhash_lsh() -> str:
-    th = _duck_token_hashes()
+def o_minhash_lsh(th: str | None = None) -> str:
+    th = th or _duck_token_hashes()
     r = len(dedup.MINHASH_PERMS) // dedup.LSH_BANDS
     mins = ", ".join(
         f"{sqlfns.minhash_duckdb('th', a, b)} AS m{k}"
@@ -1255,6 +1255,78 @@ def o_g1_manifest() -> str:
     """
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, emb.filter("vec_id % 17 = 0"), k=5)
+
+
+def o_ivf_topk() -> str:
+    dot_cm = _duck_dot("c.embedding", "m.embedding")
+    dot_qm = _duck_dot("q.embedding", "m.embedding")
+    dot_qc = _duck_dot("q.embedding", "c.embedding")
+    nc, nm = _duck_norm("c.embedding"), _duck_norm("m.embedding")
+    nq = _duck_norm("q.embedding")
+    return f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+                  WHERE vec_id % 25 = 0),
+    assigned AS (
+      SELECT corpus_id, label, centroid_id FROM (
+        SELECT c.vec_id AS corpus_id, c.label, m.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 ROUND({dot_cm} / ({nc} * {nm}), 6) DESC, m.centroid_id) AS rn
+        FROM embeddings c CROSS JOIN cent m) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, m.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 ROUND({dot_qm} / ({nq} * {nm}), 6) DESC, m.centroid_id) AS rn
+        FROM embeddings q CROSS JOIN cent m WHERE q.vec_id % 17 = 0) WHERE rn <= 3)
+    SELECT query_id, corpus_id, label, centroid_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT p.query_id, a.corpus_id, a.label, a.centroid_id,
+             ROUND({dot_qc} / ({nq} * {nc}), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+               ROUND({dot_qc} / ({nq} * {nc}), 6) DESC, a.corpus_id) AS rank
+      FROM probes p JOIN assigned a USING (centroid_id)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings c ON c.vec_id = a.corpus_id
+      WHERE p.query_id != a.corpus_id) WHERE rank <= 5
+    """
+
+
+def _duck_shingles(col: str = "text", w: int = 3) -> str:
+    """DuckDB twin of dedup._shingles (list_slice bounds are 1-based
+    INCLUSIVE: i+1 .. i+w = w elements starting at 0-based index i, exactly
+    Spark's SLICE(t, i+1, w))."""
+    t = _duck_tokens(col)
+    return (f"CASE WHEN len({t}) >= {w} THEN "
+            f"list_transform(range(0, len({t}) - {w} + 1), "
+            f"i -> array_to_string(list_slice({t}, i + 1, i + {w}), ' ')) "
+            f"ELSE {t} END")
+
+
+def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.shingle_jaccard_pairs(docs, threshold=0.5)
+
+
+def o_shingle_jaccard() -> str:
+    sh = _duck_shingles()
+    th = (f"list_transform(list_distinct({sh}), t -> "
+          + sqlfns.polyhash_duckdb("t") + ")")
+    j = ("ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) "
+         "/ (a.nt + b.nt - len(list_intersect(a.t, b.t))), 6)")
+    return f"""
+    WITH cand AS (SELECT doc_a, doc_b FROM ({o_minhash_lsh(th)})),
+    toks AS (SELECT doc_id, list_sort(list_distinct({sh})) AS t,
+                    len(list_distinct({sh})) AS nt FROM documents)
+    SELECT doc_a, doc_b, {j} AS jaccard
+    FROM cand JOIN toks a ON cand.doc_a = a.doc_id
+              JOIN toks b ON cand.doc_b = b.doc_id
+    WHERE {j} >= 0.5e0
+    """
+
+
 QUERIES.update({
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "simhash_pairs": (q_simhash_pairs, o_simhash_pairs),
@@ -1278,4 +1350,6 @@ QUERIES.update({
     "g7_lineage": (q_g7_lineage, o_g7_lineage),
     "r21_staged_resume": (q_r21_staged_resume, o_r21_staged_resume),
     "g1_manifest": (q_g1_manifest, o_g1_manifest),
+    "ivf_topk": (q_ivf_topk, o_ivf_topk),
+    "shingle_jaccard_pairs": (q_shingle_jaccard, o_shingle_jaccard),
 })
