@@ -101,3 +101,46 @@ def test_broadcast_star_join_plan(spark):
     q = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).groupBy("c_nationkey").count()
     plan = _executed_plan(q)
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_topk_plan_shape(spark):
+    """r3: the IVF build/probe sides must broadcast the centroid table and
+    stay fully JVM-side; the final candidate scan is an equi-join on
+    centroid_id, never a cartesian against the corpus."""
+    from tosidewalk_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.ivf_topk(emb, emb.filter("vec_id % 17 = 0"), k=3)
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # the candidate scan joins on centroid_id (hash join), not a cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash64_is_codegen_aggregate(spark):
+    """r3: the 62-bit fingerprint runs as a hash aggregation with map-side
+    combine (partial_), not as a nested interpreted HOF fold."""
+    from tosidewalk_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed_plan(dedup.simhash64(docs))
+    assert "HashAggregate" in plan and "partial_" in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_knn_k1_fast_path_is_aggregation(spark):
+    """r3: k=1 kNN must plan as struct-min hash aggregation (map-side
+    combine), with no per-point window sort in the phase-1 path."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = synth.geo_entities_from_documents(docs)
+    nodes, ways = synth.osm_grid(spark, g=6)
+    gw = N.geom_ways(nodes, N.split_streets(N.filter_streets(ways)))
+    seg_cells = SP.segments_by_cell(SP.street_buffers(SP.street_segments(SW.make_sidewalks(gw))))
+    out = SP.knn_join(pts, seg_cells, k=1, max_ring=4, first_radius=1)
+    plan = _executed_plan(out)
+    assert "HashAggregate" in plan and "partial_" in plan
+    # no per-point rank window (the R5 running-sum window in the build-side
+    # street split is fine — it partitions by way_id, not by point)
+    assert "windowspecdefinition(url" not in plan, \
+        "k=1 path must not sort per point"
