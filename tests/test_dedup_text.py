@@ -153,5 +153,13 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(media).collect()
     vids = media.filter("media_type = 'video'").count()
     assert (len(frames) > 0) == (vids > 0)
+    resized = multimodal.resize_images(media, out_w=8, out_h=6).collect()
+    n_imgs = media.filter("media_type = 'image'").count()
+    assert len(resized) == n_imgs
+    assert all(len(r.raster) == 48 for r in resized)
+    assert all(0.0 <= v <= 1.0 for r in resized for v in r.raster)
+    # deterministic: same input -> same raster
+    again = {r.url: r.raster for r in multimodal.resize_images(media, 8, 6).collect()}
+    assert all(again[r.url] == r.raster for r in resized)
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"x", "image")

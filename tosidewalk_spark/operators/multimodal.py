@@ -72,6 +72,48 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("url", "media_type", "payload").mapInPandas(run, _FEAT_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("out_w", T.IntegerType()),
+    T.StructField("out_h", T.IntegerType()),
+    T.StructField("raster", T.ArrayType(T.DoubleType())),
+])
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """Nearest-neighbor image resize over image rows.  The DECODE step is
+    the documented sandbox fake (payload bytes tiled row-major to the
+    declared width x height grayscale raster — decode_real is where a
+    Pillow decode slots in); the RESIZE math — target-pixel -> source-pixel
+    index mapping via floor(i * src / dst), then a fancy-indexed gather —
+    is real numpy and applies unchanged to a real decoded array.  Output
+    raster is the row-major flattened out_h x out_w array, /255."""
+
+    def run(it):
+        for pdf in it:
+            imgs = pdf[pdf["media_type"] == "image"]
+            if len(imgs) == 0:
+                continue
+            urls, rasters = [], []
+            for r in imgs.itertuples():
+                data = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                need = int(r.width) * int(r.height)
+                reps = -(-need // max(data.size, 1))
+                img = np.tile(data, reps)[:need].reshape(int(r.height), int(r.width))
+                rows = (np.arange(out_h) * img.shape[0]) // out_h
+                cols = (np.arange(out_w) * img.shape[1]) // out_w
+                small = img[rows][:, cols].astype(np.float64) / 255.0
+                urls.append(r.url)
+                rasters.append(np.round(small.ravel(), 6).tolist())
+            yield pd.DataFrame({
+                "url": urls,
+                "out_w": pd.array([out_w] * len(urls), dtype="int32"),
+                "out_h": pd.array([out_h] * len(urls), dtype="int32"),
+                "raster": rasters})
+
+    return media.mapInPandas(run, _RESIZE_SCHEMA)
+
+
 _FRAME_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("frame_no", T.IntegerType()),
