@@ -163,3 +163,15 @@ def test_multimodal_plumbing(spark):
     assert all(again[r.url] == r.raster for r in resized)
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"x", "image")
+
+
+def test_resize_rounding_bit_identical_cross_engine():
+    """np.round(k/255, 6) must repr-match DuckDB ROUND(k/255.0, 6) for all
+    256 byte values — the contract behind the multimodal_resize oracle
+    (registry.q_multimodal_resize)."""
+    import duckdb
+    import numpy as np
+    rows = duckdb.sql(
+        "SELECT k, ROUND(k/255.0, 6) FROM generate_series(0, 255) t(k)").fetchall()
+    for k, d in rows:
+        assert repr(float(np.round(np.float64(k) / 255.0, 6))) == repr(d), k

@@ -1327,8 +1327,51 @@ def o_shingle_jaccard() -> str:
     """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize with a REAL SQL oracle: the sandbox fake decode
+    (payload = utf-8 bytes of REPEAT(first-8-chars, 16), tiled row-major
+    over the declared 64x48 grid) is SQL-derivable, so the numpy
+    nearest-neighbor gather has the closed form
+        pixel(pos) = ascii(s[((pos DIV 8)*8*64 + (pos % 8)*8) % len(s)])
+    for a 6x8 output (source row i*8, source col j*8).  The /255 rounding
+    is bit-identical cross-engine for all 256 byte values (verified in
+    tests/test_dedup_text.py).  ASCII-only guard: rows where the 8-char
+    prefix has multi-byte chars are excluded in BOTH engines (LENGTH vs
+    OCTET_LENGTH would desync the byte-index math)."""
+    from ..operators import multimodal
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id % 5 = 0 AND n_chars >= 8")
+            .filter("OCTET_LENGTH(SUBSTRING(text, 1, 8)) = 8"))
+    media = docs.select(
+        F.expr("CONCAT('doc://', CAST(doc_id AS STRING))").alias("url"),
+        F.lit("image").alias("media_type"),
+        F.expr("CAST(REPEAT(SUBSTRING(text, 1, 8), 16) AS BINARY)").alias("payload"),
+        F.lit(64).alias("width"), F.lit(48).alias("height"),
+        F.lit(1).alias("n_frames"))
+    resized = multimodal.resize_images(media, out_w=8, out_h=6)
+    return resized.select("url", F.posexplode("raster").alias("pos", "val"))
+
+
+def o_multimodal_resize() -> str:
+    src = "((pos // 8) * 8 * 64 + (pos % 8) * 8)"
+    return f"""
+    WITH m AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+             SUBSTRING(text, 1, 8) AS s
+      FROM documents
+      WHERE doc_id % 5 = 0 AND n_chars >= 8
+        AND strlen(SUBSTRING(text, 1, 8)) = 8  -- strlen = byte length
+    )
+    SELECT url, CAST(pos AS INT) AS pos,
+           ROUND(ascii(SUBSTRING(s, CAST({src} % length(s) AS INT) + 1, 1))
+                 / 255.0, 6) AS val
+    FROM m CROSS JOIN (SELECT UNNEST(generate_series(0, 47)) AS pos) p
+    """
+
+
 QUERIES.update({
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
+    "multimodal_resize": (q_multimodal_resize, o_multimodal_resize),
     "simhash_pairs": (q_simhash_pairs, o_simhash_pairs),
     "lsh_topk": (q_lsh_topk, o_lsh_topk),
     "r18_way_lengths": (q_r18_way_lengths, o_r18_way_lengths),
