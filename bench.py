@@ -57,7 +57,7 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # window cannot bias one leg (min per leg over all rounds).
 SCALING_CORES = (int(os.environ.get("SPARK_GRAFT_SCALING_SMALL", "2")),
                  int(os.environ.get("SPARK_GRAFT_SCALING_BIG", "8")))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+# official-pair samples: 4 rounds, spread across the scaling phase (see main)
 # large enough that per-job fixed overhead (stage scheduling, broadcast
 # build) is <10% of the big leg — the Amdahl term that deflates efficiency
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "10000000"))
@@ -155,12 +155,9 @@ def measured_session_pinned(core_spec, n_pages: int) -> float:
     return float(out.stdout.strip().splitlines()[-1])
 
 
-def scaling_pair(small_spec, big_spec, n_pages: int, rounds: int = 1) -> dict:
-    """Interleaved pinned legs -> min per leg -> N->4N efficiency record."""
-    t_small, t_big = [], []
-    for _ in range(rounds):
-        t_small.append(measured_session_pinned(small_spec, n_pages))
-        t_big.append(measured_session_pinned(big_spec, n_pages))
+def pair_record(small_spec, big_spec, n_pages: int,
+                t_small: list[float], t_big: list[float]) -> dict:
+    """min per leg over all samples -> N->4N efficiency record."""
     sec_s, sec_b = min(t_small), min(t_big)
     n_s = len(_parse_cores(str(small_spec)))
     n_b = len(_parse_cores(str(big_spec)))
@@ -173,6 +170,15 @@ def scaling_pair(small_spec, big_spec, n_pages: int, rounds: int = 1) -> dict:
             "speedup": round(sec_s / sec_b, 3),
             "efficiency": round(sec_s / ((n_b / n_s) * sec_b), 3),
             "samples_small": t_small, "samples_big": t_big}
+
+
+def scaling_pair(small_spec, big_spec, n_pages: int, rounds: int = 1) -> dict:
+    """Interleaved pinned legs -> min per leg -> N->4N efficiency record."""
+    t_small, t_big = [], []
+    for _ in range(rounds):
+        t_small.append(measured_session_pinned(small_spec, n_pages))
+        t_big.append(measured_session_pinned(big_spec, n_pages))
+    return pair_record(small_spec, big_spec, n_pages, t_small, t_big)
 
 
 def parquet_scan_leg(spark, buffers, n_pages: int) -> dict:
@@ -242,8 +248,23 @@ def run_queries(spark, buffers) -> dict[str, float]:
           lambda: similarity.lsh_topk_multiprobe(emb, emb.filter("vec_id % 25 = 0"), k=5))
     bench("ivf_topk", lambda: similarity.ivf_topk(emb, emb.filter("vec_id % 17 = 0"), k=5))
     bench("shingle_jaccard", lambda: dedup.shingle_jaccard_pairs(docs, 0.5))
+    bench("gemm_topk", lambda: similarity.gemm_topk(emb, emb.filter("vec_id % 25 = 0"), k=5))
     bench("quality_score", lambda: text.quality_score(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
+    tiles_df = SP.coverage_tiles(
+        pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()
+    tiles_df.count()
+    bench("vectorize_tiles", lambda: SP.vectorize_tiles(tiles_df, threshold=2.0))
+    tiles_df.unpersist()
+    import shutil
+    import tempfile
+    from tosidewalk_spark.sources import warc
+    wdir = tempfile.mkdtemp(prefix="bench_warc_")
+    try:  # shard write is untimed setup; the timed leg is the scan path
+        warc.write_warc(synth.pages(spark, 100_000), wdir, shards=32).collect()
+        bench("warc_scan_100k", lambda: warc.scan_warc(spark, wdir))
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
     pts.unpersist()
     seg_cells.unpersist()
     return timings
@@ -269,21 +290,36 @@ def main() -> None:
     scaling = curve = disjoint = None
     if RUN_SCALING:
         small, big = SCALING_CORES
-        # official pair: interleaved rounds, min per leg
-        scaling = scaling_pair(small, big, SCALING_PAGES, rounds=SCALING_ROUNDS)
-        # full N->4N curve at increasing box share (2->8, 4->16, 8->32), one
-        # round each: the monotone-decline-in-box-share evidence behind
-        # reporting 2->8 as the cluster-representative pair (ADVICE.md r2:
-        # report the 8->32 pair in the official JSON too) — on one box the
-        # large legs share a memory controller that N separate cluster
-        # nodes would not
-        curve = [scaling_pair(s, b, SCALING_PAGES, rounds=1)
-                 for s, b in ((4, 16), (8, 32))]
+        # Official pair sampled in rounds SPREAD ACROSS the whole scaling
+        # phase, interleaved with the curve/disjoint legs: this host's
+        # noise arrives in multi-minute windows (observed: the same
+        # 8-core/10M leg measuring 14.9 s and 8.6 s a few minutes apart),
+        # and back-to-back rounds can land every sample of a leg inside
+        # one window — min-per-leg only rejects noise if the samples are
+        # time-separated.  Curve legs double as the spacers.
+        t_small, t_big = [], []
+
+        def official_round():
+            t_small.append(measured_session_pinned(small, SCALING_PAGES))
+            t_big.append(measured_session_pinned(big, SCALING_PAGES))
+
+        official_round()
+        # full N->4N curve at increasing box share (2->8, 4->16, 8->32):
+        # the monotone-decline-in-box-share evidence behind reporting 2->8
+        # as the cluster-representative pair (ADVICE.md r2: the 8->32 pair
+        # is in the official JSON too) — on one box the large legs share a
+        # memory controller that N separate cluster nodes would not
+        curve = [scaling_pair(4, 16, SCALING_PAGES, rounds=1)]
+        official_round()
+        curve.append(scaling_pair(8, 32, SCALING_PAGES, rounds=1))
+        official_round()
         # disjoint-core legs (ADVICE.md r2): small leg on cores 24-25, big
         # on 8-15 — no core overlap with each other, same efficiency as the
         # overlapping official pair => the pairing, not core identity or
         # cache residue, is what's measured
         disjoint = scaling_pair("24-25", "8-15", SCALING_PAGES, rounds=1)
+        official_round()
+        scaling = pair_record(small, big, SCALING_PAGES, t_small, t_big)
 
     out = {
         "metric": "spatial_join_tiling_wall_sec",

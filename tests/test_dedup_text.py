@@ -175,3 +175,12 @@ def test_resize_rounding_bit_identical_cross_engine():
         "SELECT k, ROUND(k/255.0, 6) FROM generate_series(0, 255) t(k)").fetchall()
     for k, d in rows:
         assert repr(float(np.round(np.float64(k) / 255.0, 6))) == repr(d), k
+
+
+def test_gemm_topk_equals_brute_force(spark):
+    from tosidewalk_spark.operators import similarity
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id % 25 = 0")
+    want = sorted(map(tuple, similarity.brute_force_topk(emb, queries, k=5).collect()))
+    got = sorted(map(tuple, similarity.gemm_topk(emb, queries, k=5).collect()))
+    assert got == want

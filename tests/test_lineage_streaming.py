@@ -214,3 +214,18 @@ def test_run_staged_and_resume(spark, tmp_path):
         spark.createDataFrame(lin, lineage.LINEAGE_SCHEMA).write.parquet(lineage.lineage_path(out))
     c2 = pipeline.run_staged(spark, "/root/testdata/sf0.001", out, grid=6)
     assert c2 == c1
+
+
+def test_catalog_append_and_time_travel(spark, tmp_path):
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("p"))
+    m0 = c.write("t", df.filter("id < 60"), partition_by=["p"])
+    m1 = c.write("t", df.filter("id >= 60"), partition_by=["p"], mode="append")
+    assert (m0["snapshot_id"], m1["snapshot_id"], m1["parent_id"]) == (0, 1, 0)
+    assert c.load("t").count() == 100
+    assert {r.id for r in c.load("t", snapshot_id=0).collect()} == set(range(60))
+    assert len(c.snapshots("t")) == 2
+    # overwrite starts a fresh lineage; prior snapshots stay readable
+    c.write("t", df.filter("id < 10"), partition_by=["p"])
+    assert c.load("t").count() == 10
+    assert c.load("t", snapshot_id=1).count() == 100

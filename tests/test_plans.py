@@ -144,3 +144,23 @@ def test_knn_k1_fast_path_is_aggregation(spark):
     # street split is fine — it partitions by way_id, not by point)
     assert "windowspecdefinition(url" not in plan, \
         "k=1 path must not sort per point"
+
+
+def test_pyfiles_zip_imports_standalone(tmp_path):
+    """The --py-files archive must be importable with NO repo on sys.path —
+    what every executor python worker does on a real cluster."""
+    import subprocess
+    import sys
+
+    from tosidewalk_spark.submit import build_pyfiles_zip
+    z = build_pyfiles_zip(str(tmp_path / "engine.zip"))
+    prog = ("import sys; sys.path.insert(0, sys.argv[1]); "
+            "from tosidewalk_spark.kernel import geom, cells; "
+            "print(cells.cell(47.6, -122.33, 9))")
+    out = subprocess.run([sys.executable, "-c", prog, z], capture_output=True,
+                         text=True, cwd=str(tmp_path), check=True)
+    from tosidewalk_spark.kernel import cells
+    assert out.stdout.strip() == str(cells.cell(47.6, -122.33, 9))
+    # deterministic archive bytes
+    z2 = build_pyfiles_zip(str(tmp_path / "engine2.zip"))
+    assert open(z, "rb").read() == open(z2, "rb").read()

@@ -135,3 +135,24 @@ def test_flagship_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["cell9", "n_pages", "n_matched", "coverage", "raster"]
+
+
+def test_vectorize_tiles_runs_and_merges_runs(spark):
+    raster = [0.0, 2.0, 2.0, 0.0,
+              0.0, 0.0, 0.0, 3.0,
+              1.0, 1.0, 1.0, 1.0,
+              0.0, 0.0, 0.0, 0.0]
+    tiles = spark.createDataFrame(
+        [(1, 10, 5, 0.5, raster)],
+        "cell9 long, n_pages long, n_matched long, coverage double, raster array<double>")
+    got = {(r.r, r.c0, r.c1): r.mass
+           for r in SP.vectorize_tiles(tiles, threshold=1.0).collect()}
+    assert got == {(0, 1, 2): 4.0, (1, 3, 3): 3.0, (2, 0, 3): 4.0}
+
+
+def test_vectorize_tiles_plan_is_pure_sql(spark):
+    tiles = spark.createDataFrame(
+        [(1, 1, 1, 1.0, [1.0] * 16)],
+        "cell9 long, n_pages long, n_matched long, coverage double, raster array<double>")
+    plan = SP.vectorize_tiles(tiles)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEvalPython" not in plan

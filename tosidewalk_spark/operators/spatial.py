@@ -348,3 +348,34 @@ def coverage_tiles(points: DataFrame, matches: DataFrame,
         "cell9", "n_pages", "n_matched",
         F.round(F.col("n_matched") / F.col("n_pages"), 6).alias("coverage"),
         raster.alias("raster"))
+
+
+def vectorize_tiles(tiles: DataFrame, threshold: float = 1.0,
+                    n_sub: int = 4) -> DataFrame:
+    """Raster -> vector (the inverse of G6's vector -> raster): extract
+    above-threshold sub-cells from each cell's row-major raster and merge
+    horizontally contiguous runs into vector spans — run-length
+    vectorization, the 1-D core of marching-squares contouring.
+
+    Output: (cell9, r, c0, c1, mass) — one row per maximal horizontal run
+    of sub-cells with raster value >= threshold; mass = sum of the run's
+    raster values (rounded 6, values are integral counts so rounding is
+    exact).
+
+    Scale: pure declarative plan — posexplode -> filter -> gap-and-island
+    window -> hash agg.  The window partitions on (cell9, r): cardinality
+    = cells x n_sub with at most n_sub rows per partition, so the sort is
+    trivially bounded and the single shuffle is evenly spread (no skew —
+    every cell contributes the same n_sub x n_sub grid)."""
+    px = (tiles.select("cell9", F.posexplode("raster").alias("pos", "v"))
+          .filter(F.col("v") >= threshold)
+          .select("cell9",
+                  F.expr(f"CAST(pos DIV {n_sub} AS INT)").alias("r"),
+                  F.expr(f"CAST(pos % {n_sub} AS INT)").alias("c"),
+                  "v"))
+    w = Window.partitionBy("cell9", "r").orderBy("c")
+    return (px.withColumn("island", F.col("c") - F.row_number().over(w))
+            .groupBy("cell9", "r", "island")
+            .agg(F.min("c").alias("c0"), F.max("c").alias("c1"),
+                 F.round(F.sum("v"), 6).alias("mass"))
+            .select("cell9", "r", "c0", "c1", "mass"))

@@ -291,6 +291,36 @@ def o_g6_tiles() -> str:
     """
 
 
+def q_g6_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6b raster -> vector: run-length vectorization of the coverage
+    rasters (operators/spatial.py::vectorize_tiles) — maximal horizontal
+    runs of sub-cells with page count >= threshold."""
+    pts = _points(spark, sf_dir, bbox=True)
+    matches = SP.pip_join(pts, _grid_buffers(spark))
+    tiles = SP.coverage_tiles(pts, matches)
+    return SP.vectorize_tiles(tiles, threshold=2.0)
+
+
+def o_g6_vectorize() -> str:
+    s_sub = sqlfns.dlit(360.0 / float(2 ** (11 + 9)))
+    sub_idx = (f"(CAST(FLOOR((lat + 90.0) / {s_sub}) AS BIGINT) % 4) * 4 "
+               f"+ (CAST(FLOOR((lng + 180.0) / {s_sub}) AS BIGINT) % 4)")
+    return f"""
+    WITH pts AS (SELECT * FROM ({_duck_points(bbox=True)})),
+    per_sub AS (SELECT cell9, {sub_idx} AS sub_idx, COUNT(*) AS n
+                FROM pts GROUP BY 1, 2),
+    f AS (SELECT cell9, CAST(sub_idx // 4 AS INT) AS r,
+                 CAST(sub_idx % 4 AS INT) AS c, CAST(n AS DOUBLE) AS v
+          FROM per_sub WHERE n >= 2),
+    i AS (SELECT *, c - CAST(ROW_NUMBER() OVER
+                 (PARTITION BY cell9, r ORDER BY c) AS INT) AS island
+          FROM f)
+    SELECT cell9, r, CAST(MIN(c) AS INT) AS c0, CAST(MAX(c) AS INT) AS c1,
+           ROUND(SUM(v), 6) AS mass
+    FROM i GROUP BY cell9, r, island
+    """
+
+
 # --- dedup / text / similarity ------------------------------------------------
 
 def _duck_tokens(col: str = "text") -> str:
@@ -454,6 +484,15 @@ def o_ann_topk() -> str:
       WHERE q.vec_id % 25 = 0
     ) WHERE rank <= 5
     """
+
+
+def q_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched BLAS exact top-k (similarity.gemm_topk) — must equal
+    the brute-force SQL-fold oracle exactly (same rounded cosines)."""
+    from ..operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id % 25 = 0")
+    return similarity.gemm_topk(emb, queries, k=5)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,6 +1294,43 @@ def o_g1_manifest() -> str:
     """
 
 
+def q_g1_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1c: snapshot append + time travel — write the even docs as snapshot
+    0, append the odd docs as snapshot 1, then read BOTH snapshots back;
+    the oracle recomputes each snapshot's row and file counts (one file
+    per lang per snapshot: coalesce(1) + partitionBy(lang)) from
+    `documents` in closed form."""
+    import tempfile
+
+    from ..sources.catalog import Catalog
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_tt_"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat.write("docs", docs.filter("doc_id % 2 = 0").coalesce(1),
+              partition_by=["lang"])
+    cat.write("docs", docs.filter("doc_id % 2 = 1").coalesce(1),
+              partition_by=["lang"], mode="append")
+    rows = [
+        (0, int(cat.load("docs", snapshot_id=0).count()),
+         len(cat.manifest("docs", snapshot_id=0)["files"])),
+        (1, int(cat.load("docs").count()), len(cat.manifest("docs")["files"])),
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot_id int, n_rows bigint, n_files bigint")
+
+
+def o_g1_time_travel() -> str:
+    return """
+    SELECT CAST(0 AS INT) AS snapshot_id,
+           (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_rows,
+           (SELECT COUNT(DISTINCT lang) FROM documents WHERE doc_id % 2 = 0) AS n_files
+    UNION ALL
+    SELECT CAST(1 AS INT),
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(DISTINCT lang) FROM documents WHERE doc_id % 2 = 0)
+           + (SELECT COUNT(DISTINCT lang) FROM documents WHERE doc_id % 2 = 1)
+    """
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1369,9 +1445,62 @@ def o_multimodal_resize() -> str:
     """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1b: WARC container round-trip with a closed-form oracle — pages
+    derived from `documents` are written through the distributed WARC sink
+    (sources/warc.py), scanned back via the length-prefixed shredder, and
+    re-extracted with the G2 byte-identity extractor.  The oracle
+    recomputes every output column from `documents` in pure SQL: url and
+    timestamp are id-derived, n_bytes = strlen(text) + 33 (the fixed
+    `<html><body><p>`/`</p></body></html>` wrapper), and the extracted
+    text must equal the original text byte-for-byte (documents text is
+    single-spaced ASCII with no markup; guarded identically in both
+    engines)."""
+    import tempfile
+
+    from ..operators import text as TX
+    from ..sources import warc
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(_ROUNDTRIP_SAFE_SPARK))
+    pages = docs.select(
+        F.expr("CONCAT('doc://', CAST(doc_id AS STRING))").alias("url"),
+        F.expr("TIMESTAMP '2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").alias("warc_ts"),
+        F.expr("CAST(CONCAT('<html><body><p>', text, '</p></body></html>') AS BINARY)").alias("html"))
+    d = tempfile.mkdtemp(prefix="warc_rt_")
+    warc.write_warc(pages, d, shards=4).collect()  # materialize the sink manifest
+    got = warc.scan_warc(spark, d)
+    ext = TX.extract_text(got)
+    return (got.join(ext, "url")
+            .select("url", "warc_ts",
+                    F.expr("CAST(OCTET_LENGTH(html) AS BIGINT)").alias("n_bytes"),
+                    "text"))
+
+
+_ROUNDTRIP_SAFE_SPARK = ("doc_id % 5 = 0 AND text NOT LIKE '%  %' AND "
+                         "text NOT LIKE '%<%' AND text NOT LIKE '% ' AND "
+                         "text NOT LIKE ' %' AND OCTET_LENGTH(text) = LENGTH(text)")
+_ROUNDTRIP_SAFE_DUCK = ("doc_id % 5 = 0 AND text NOT LIKE '%  %' AND "
+                        "text NOT LIKE '%<%' AND text NOT LIKE '% ' AND "
+                        "text NOT LIKE ' %' AND strlen(text) = length(text)")
+
+
+def o_warc_roundtrip() -> str:
+    return f"""
+    SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+           TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+           CAST(strlen(text) + 33 AS BIGINT) AS n_bytes,
+           text
+    FROM documents WHERE {_ROUNDTRIP_SAFE_DUCK}
+    """
+
+
 QUERIES.update({
     "minhash_signatures": (q_minhash_signatures, o_minhash_signatures),
     "multimodal_resize": (q_multimodal_resize, o_multimodal_resize),
+    "warc_roundtrip": (q_warc_roundtrip, o_warc_roundtrip),
+    "g6_vectorize": (q_g6_vectorize, o_g6_vectorize),
+    "gemm_topk": (q_gemm_topk, o_ann_topk),  # exact op, same oracle as brute force
+    "g1_time_travel": (q_g1_time_travel, o_g1_time_travel),
     "simhash_pairs": (q_simhash_pairs, o_simhash_pairs),
     "lsh_topk": (q_lsh_topk, o_lsh_topk),
     "r18_way_lengths": (q_r18_way_lengths, o_r18_way_lengths),

@@ -3,13 +3,20 @@
 Production target is an Iceberg catalog (`spark.read.format('iceberg')`)
 per BASELINE.json:16; this sandbox has no Iceberg jar and no network
 (SURVEY.md §1.2), so the same interface is backed by partitioned Parquet
-plus a JSON manifest capturing the snapshot's schema, partition spec and
+plus JSON manifests capturing each snapshot's schema, partition spec and
 file listing — the pieces of the Iceberg metadata model the engine relies
-on (snapshot isolation at the manifest level, partition pruning keys).
+on: immutable data files, snapshot isolation at the manifest level,
+APPEND as a new snapshot referencing prior files, and TIME TRAVEL by
+reading an older manifest.
 
-Swap in production: replace PartitionedParquetTable with a thin
-`spark.read.format('iceberg').load(name)` — every caller goes through
-``Catalog.load`` and is agnostic to the backend.
+Layout per table:
+    <root>/<name>/snap-<n>/...parquet      immutable data of snapshot n
+    <root>/<name>/_manifest-<n>.json       manifest of snapshot n
+    <root>/<name>/_manifest.json           current-pointer (copy of latest)
+
+Swap in production: replace this class with thin
+`spark.read.format('iceberg').option('snapshot-id', ...)` calls — every
+caller goes through ``Catalog.load`` and is agnostic to the backend.
 """
 
 from __future__ import annotations
@@ -22,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class Catalog:
-    """Minimal table catalog: name -> path, manifest-tracked snapshots."""
+    """Minimal table catalog: name -> path, manifest-tracked snapshots,
+    append + time travel."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -32,36 +40,85 @@ class Catalog:
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _manifest(self, name: str) -> str:
-        return os.path.join(self._dir(name), "_manifest.json")
+    def _manifest(self, name: str, snapshot_id: int | None = None) -> str:
+        fn = "_manifest.json" if snapshot_id is None else f"_manifest-{snapshot_id}.json"
+        return os.path.join(self._dir(name), fn)
+
+    def _snap_files(self, name: str, snap: str) -> list[str]:
+        path = self._dir(name)
+        out = []
+        for dirpath, _, fnames in os.walk(os.path.join(path, snap)):
+            out.extend(os.path.relpath(os.path.join(dirpath, f), path)
+                       for f in fnames if f.endswith(".parquet"))
+        return sorted(out)
 
     def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None,
-              mode: str = "overwrite") -> None:
+              mode: str = "overwrite") -> dict:
+        """Write a new snapshot.  `overwrite` starts a fresh file lineage;
+        `append` adds a snap dir and carries the parent's dirs forward —
+        the parent snapshot stays readable (immutable files, Iceberg-style).
+        Returns the new manifest."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        parent = None
+        if os.path.exists(self._manifest(name)):
+            parent = self.manifest(name)
+        snap_id = 0 if parent is None else parent["snapshot_id"] + 1
+        snap = f"snap-{snap_id}"
         path = self._dir(name)
-        w = df.write.mode(mode)
+        w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        files = []
-        for dirpath, _, fnames in os.walk(path):
-            files.extend(os.path.relpath(os.path.join(dirpath, f), path)
-                         for f in fnames if f.endswith(".parquet"))
+        w.parquet(os.path.join(path, snap))
+        dirs = [snap]
+        if mode == "append" and parent is not None:
+            if (partition_by or []) != parent["partition_spec"]:
+                raise ValueError("append must keep the parent partition spec")
+            dirs = parent["snap_dirs"] + [snap]
         manifest = {
             "table": name,
+            "snapshot_id": snap_id,
+            "parent_id": None if parent is None or mode == "overwrite"
+                         else parent["snapshot_id"],
             "snapshot_ts": time.time(),
             "schema": df.schema.jsonValue(),
             "partition_spec": partition_by or [],
-            "files": sorted(files),
+            "snap_dirs": dirs,
+            "files": sorted(f for d in dirs for f in self._snap_files(name, d)),
         }
-        with open(self._manifest(name), "w") as fh:
+        tmp = self._manifest(name, snap_id) + ".inprogress"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh)
+        os.replace(tmp, self._manifest(name, snap_id))
+        with open(self._manifest(name) + ".inprogress", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(self._manifest(name) + ".inprogress", self._manifest(name))
+        return manifest
 
-    def load(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._dir(name))
+    def load(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read the current snapshot, or TIME-TRAVEL to `snapshot_id`.
+        Each snap dir is a self-contained partitioned dataset, so partition
+        columns and pruning survive; multi-dir snapshots union by name."""
+        man = self.manifest(name, snapshot_id)
+        path = self._dir(name)
+        dfs = [self.spark.read.parquet(os.path.join(path, d))
+               for d in man["snap_dirs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
-    def manifest(self, name: str) -> dict:
-        with open(self._manifest(name)) as fh:
+    def manifest(self, name: str, snapshot_id: int | None = None) -> dict:
+        with open(self._manifest(name, snapshot_id)) as fh:
             return json.load(fh)
+
+    def snapshots(self, name: str) -> list[dict]:
+        """All manifests of a table, snapshot_id ascending."""
+        path = self._dir(name)
+        ids = sorted(int(f[len("_manifest-"):-len(".json")])
+                     for f in os.listdir(path)
+                     if f.startswith("_manifest-") and f.endswith(".json"))
+        return [self.manifest(name, i) for i in ids]
 
     def tables(self) -> list[str]:
         return sorted(
