@@ -184,3 +184,32 @@ def test_gemm_topk_equals_brute_force(spark):
     want = sorted(map(tuple, similarity.brute_force_topk(emb, queries, k=5).collect()))
     got = sorted(map(tuple, similarity.gemm_topk(emb, queries, k=5).collect()))
     assert got == want
+
+
+def test_incremental_dedup(spark):
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = mk([(1, "seen doc"), (2, "other seen")])
+    new = mk([(10, "seen doc"), (11, "fresh"), (12, "fresh"), (13, "novel")])
+    out = {r.doc_id: r.n_batch_dupes
+           for r in dedup.incremental_dedup(new, corpus).collect()}
+    assert out == {11: 2, 13: 1}
+
+
+def test_deterministic_sample(spark, docs):
+    quotas = {"en": 250, "de": 1000}
+    s1 = text.deterministic_sample(docs, quotas)
+    rows = s1.collect()
+    ids2 = {r.doc_id for r in
+            text.deterministic_sample(docs.repartition(7), quotas).collect()}
+    assert {r.doc_id for r in rows} == ids2  # parallelism-invariant membership
+    assert {r.lang for r in rows} <= {"en", "de"}  # default permille 0
+    assert s1.filter("lang = 'de'").count() == docs.filter("lang = 'de'").count()
+    assert 0 < s1.filter("lang = 'en'").count() < docs.filter("lang = 'en'").count()
+
+
+def test_token_histogram(spark):
+    d = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "a"), (3, "de", "")],
+        "doc_id long, lang string, text string")
+    out = {(r.lang, r.bucket): r.n_docs for r in text.token_histogram(d).collect()}
+    assert out == {("en", 1): 1, ("en", 0): 1, ("de", -1): 1}

@@ -306,3 +306,28 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
     return (pairs.withColumn("hamming", F.expr("CAST(BIT_COUNT(sh_a ^ sh_b) AS INT)"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Incremental corpus extension — the shape a production training-data
+    pipeline actually runs (dedupe each NEW crawl batch against the
+    historical corpus, not the corpus against itself):
+
+      1. fingerprint both sides (63-bit polynomial content hash — tiny
+         fixed-width join keys instead of shuffling full document text);
+      2. LEFT ANTI join the batch against the distinct corpus fingerprints
+         (Catalyst broadcasts the smaller side; at 100 TB the corpus
+         fingerprint table is the thing you keep bucketed on disk so this
+         join is shuffle-free);
+      3. collapse within-batch duplicates: min doc_id per fingerprint wins
+         (map-side-combinable hash agg, same scheme as exact_dedup).
+
+    Output: (doc_id, fp, n_batch_dupes) — the surviving new docs."""
+    fp = sqlfns.polyhash_spark("text")
+    new_fp = new_docs.select("doc_id", F.expr(fp).alias("fp"))
+    seen = corpus.select(F.expr(fp).alias("fp")).distinct()
+    return (new_fp.join(seen, "fp", "left_anti")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_batch_dupes"))
+            .select("doc_id", "fp", "n_batch_dupes"))

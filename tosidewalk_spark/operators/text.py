@@ -122,3 +122,36 @@ def extract_text(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame({"url": pdf["url"], "text": txt})
 
     return pages.select("url", "html").mapInPandas(run, _EXTRACT_SCHEMA)
+
+
+def deterministic_sample(docs: DataFrame,
+                         permille_by_lang: dict[str, int],
+                         default_permille: int = 0) -> DataFrame:
+    """Stratified corpus sampling with DETERMINISTIC membership — the
+    corpus-mixing primitive of a training-data pipeline (e.g. keep 100%
+    of fr, 25% of en boilerplate).  Membership is a pure function of
+    doc_id (pmod of the 63-bit polynomial hash of the id string, compared
+    to the per-lang permille quota), so the sample is reproducible across
+    runs, engines and parallelism — no RNG, no sampleBy seed drift — and
+    the filter runs in codegen right above the scan (predicate pushdown
+    keeps untouched strata unread when the table is partitioned by lang)."""
+    h = sqlfns.polyhash_spark("CAST(doc_id AS STRING)")
+    quota = ("CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {int(pm)}"
+        for lg, pm in sorted(permille_by_lang.items()))
+        + f" ELSE {int(default_permille)} END")
+    return docs.filter(F.expr(f"PMOD({h}, 1000) < {quota}"))
+
+
+def token_histogram(docs: DataFrame) -> DataFrame:
+    """Per-lang log2-bucketed token-count histogram — the corpus-shape
+    summary every dataset card reports.  Two-level hash agg, fully
+    map-side-combinable; bucket = floor(log2(n_tokens)) with empty docs
+    in bucket -1."""
+    n = f"SIZE({_tokens()})"
+    bucket = (f"CASE WHEN {n} = 0 THEN -1 "
+              f"ELSE CAST(FLOOR(LOG2(CAST({n} AS DOUBLE))) AS INT) END")
+    return (docs.select("lang", F.expr(bucket).alias("bucket"))
+            .groupBy("lang", "bucket")
+            .agg(F.count("*").alias("n_docs"))
+            .select("lang", "bucket", "n_docs"))

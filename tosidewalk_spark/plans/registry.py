@@ -495,6 +495,58 @@ def q_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.gemm_topk(emb, queries, k=5)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup (dedup.incremental_dedup): docs
+    with doc_id % 7 = 3 play the new crawl batch, the rest the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.incremental_dedup(
+        docs.filter("doc_id % 7 = 3"), docs.filter("doc_id % 7 != 3"))
+
+
+def o_incremental_dedup() -> str:
+    fp = sqlfns.polyhash_duckdb("text")
+    return f"""
+    WITH fp AS (SELECT doc_id, {fp} AS fp FROM documents),
+    newb AS (SELECT * FROM fp WHERE doc_id % 7 = 3),
+    seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 7 <> 3)
+    SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS n_batch_dupes
+    FROM newb WHERE fp NOT IN (SELECT fp FROM seen)
+    GROUP BY fp
+    """
+
+
+_SAMPLE_QUOTAS = {"en": 250, "de": 1000, "fr": 500}
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.deterministic_sample(docs, _SAMPLE_QUOTAS)
+
+
+def o_deterministic_sample() -> str:
+    h = sqlfns.polyhash_duckdb("CAST(doc_id AS VARCHAR)")
+    quota = ("CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {pm}"
+        for lg, pm in sorted(_SAMPLE_QUOTAS.items())) + " ELSE 0 END")
+    return f"SELECT * FROM documents WHERE ({h}) % 1000 < {quota}"
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.token_histogram(docs)
+
+
+def o_token_histogram() -> str:
+    n = f"len({_duck_tokens()})"
+    return f"""
+    SELECT lang,
+           CASE WHEN {n} = 0 THEN -1
+                ELSE CAST(FLOOR(LOG2(CAST({n} AS DOUBLE))) AS INT) END AS bucket,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.token_stats(docs)
@@ -1501,6 +1553,9 @@ QUERIES.update({
     "g6_vectorize": (q_g6_vectorize, o_g6_vectorize),
     "gemm_topk": (q_gemm_topk, o_ann_topk),  # exact op, same oracle as brute force
     "g1_time_travel": (q_g1_time_travel, o_g1_time_travel),
+    "incremental_dedup": (q_incremental_dedup, o_incremental_dedup),
+    "deterministic_sample": (q_deterministic_sample, o_deterministic_sample),
+    "token_histogram": (q_token_histogram, o_token_histogram),
     "simhash_pairs": (q_simhash_pairs, o_simhash_pairs),
     "lsh_topk": (q_lsh_topk, o_lsh_topk),
     "r18_way_lengths": (q_r18_way_lengths, o_r18_way_lengths),
