@@ -110,7 +110,8 @@ def street_buffers(segments: DataFrame,
 
 def pip_join(points: DataFrame, buffers: DataFrame,
              cover_res: int = PIP_COVER_RES,
-             half_width_m: float = geom.BUFFER_HALF_WIDTH_M) -> DataFrame:
+             half_width_m: float = geom.BUFFER_HALF_WIDTH_M,
+             passthrough: tuple[str, ...] = ()) -> DataFrame:
     """G4: point-in-polygon spatial join compiled to relational ops:
     explode(buffer cell cover) -> equi-join on the point's cell at the
     cover resolution -> exact containment refine.
@@ -148,8 +149,11 @@ def pip_join(points: DataFrame, buffers: DataFrame,
         .withColumn("mx", F.expr("(blng - alng) * cm"))
         .withColumn("my", F.expr(f"(blat - alat) * {M}"))
         .withColumn("s2", F.expr("mx * mx + my * my + 1e-300")))
+    # ``passthrough``: extra point columns carried through the join
+    # untouched (e.g. an event-time ts for the stream-static twin in
+    # streaming/jobs.py) — () leaves every existing plan byte-identical.
     probe = points.select(
-        "url", "entity", "lat", "lng", "cell9",
+        "url", "entity", "lat", "lng", "cell9", *passthrough,
         F.expr(sqlfns.cell_sql("lat", "lng", cover_res)).alias("cell"))
     cand = probe.join(F.broadcast(build_side), "cell")
     hw = sqlfns.dlit(half_width_m)
@@ -164,7 +168,7 @@ def pip_join(points: DataFrame, buffers: DataFrame,
     dist = (f"SQRT(POWER({px} - ({t_c}) * mx, 2) "
             f"+ POWER({py} - ({t_c}) * my, 2))")
     return (cand.filter(F.expr(inside))
-            .select("url", "entity", "lat", "lng", "cell9",
+            .select("url", "entity", "lat", "lng", "cell9", *passthrough,
                     "way_id", "segment_id", F.expr(dist).alias("dist_m")))
 
 

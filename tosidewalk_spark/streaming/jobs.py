@@ -134,3 +134,26 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
          .start())
     q.awaitTermination()
     return q
+
+
+def streaming_pip_tiles(points: DataFrame, buffers: DataFrame,
+                        window: str = "10 minutes",
+                        watermark: str = "30 minutes") -> DataFrame:
+    """Stream-static spatial join + windowed tile counts: geocoded entity
+    points arrive as a stream (url, entity, lat, lng, cell9, ts) while
+    the street-buffer build side is STATIC (the city network does not
+    grow with traffic).  The G4 PIP join is stateless — explode cover,
+    equi-join on cell, codegen containment refine (operators/spatial.py)
+    — so the exact batch operator runs unchanged on the stream; only the
+    downstream per-(window, cell9) count is stateful, bounded by the
+    watermark.  Append mode => closed windows only, deterministic and
+    equal to the batch twin over the same input."""
+    from ..operators import spatial as SP
+    matches = SP.pip_join(points.withWatermark("ts", watermark), buffers,
+                          passthrough=("ts",))
+    return (matches
+            .groupBy(F.window("ts", window).alias("w"), F.col("cell9"))
+            .agg(F.count("*").alias("n_matches"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "cell9", "n_matches"))
