@@ -281,11 +281,19 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
 
     phase1 = topk(pts, first_radius).persist()
     bound = first_radius * edge_min_m
-    settled = (phase1.groupBy("url", "entity")
-               .agg(F.max("dist_m").alias("kth"), F.count("*").alias("n"))
-               .filter((F.col("n") == k) & (F.col("kth") <= bound))
-               .select("url", "entity"))
-    done = phase1.join(settled, ["url", "entity"], "left_semi")
+    if k == 1:
+        # struct-min phase 1 emits EXACTLY one row per point that had any
+        # candidate, so "k candidates and k-th dist <= bound" degenerates
+        # to a row filter — the settled aggregation and the semi-join
+        # (two shuffles on (url, entity)) are provably redundant.
+        done = phase1.filter(F.col("dist_m") <= bound)
+        settled = done.select("url", "entity")
+    else:
+        settled = (phase1.groupBy("url", "entity")
+                   .agg(F.max("dist_m").alias("kth"), F.count("*").alias("n"))
+                   .filter((F.col("n") == k) & (F.col("kth") <= bound))
+                   .select("url", "entity"))
+        done = phase1.join(settled, ["url", "entity"], "left_semi")
     stragglers = pts.join(settled, ["url", "entity"], "left_anti")
     phase2 = topk(stragglers, max(max_ring, first_radius))
     result = done.select(*cols).unionByName(phase2.select(*cols))
