@@ -136,10 +136,13 @@ def deterministic_sample(docs: DataFrame,
     the filter runs in codegen right above the scan (predicate pushdown
     keeps untouched strata unread when the table is partitioned by lang)."""
     h = sqlfns.polyhash_spark("CAST(doc_id AS STRING)")
-    quota = ("CASE " + " ".join(
-        f"WHEN lang = '{lg}' THEN {int(pm)}"
-        for lg, pm in sorted(permille_by_lang.items()))
-        + f" ELSE {int(default_permille)} END")
+    if permille_by_lang:
+        quota = ("CASE " + " ".join(
+            f"WHEN lang = '{lg}' THEN {int(pm)}"
+            for lg, pm in sorted(permille_by_lang.items()))
+            + f" ELSE {int(default_permille)} END")
+    else:
+        quota = str(int(default_permille))
     return docs.filter(F.expr(f"PMOD({h}, 1000) < {quota}"))
 
 

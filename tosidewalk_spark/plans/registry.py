@@ -680,6 +680,75 @@ def o_tpch_q1() -> str:
     """
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-10 orders by revenue (3-way join + agg + global
+    top-k): per-row integer-cents rounding keeps the SUM associative and
+    engine-exact; the top-k tie-breaks on l_orderkey so the LIMIT is
+    deterministic."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter("c_mktsegment = 'BUILDING'")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderdate < TIMESTAMP '1998-03-15 00:00:00'")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        "l_shipdate > TIMESTAMP '1998-03-15 00:00:00'")
+    cents = "SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * 100, 0) AS BIGINT))"
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.expr(cents).alias("revenue_cents"))
+            .orderBy(F.desc("revenue_cents"), "l_orderkey")
+            .limit(10))
+
+
+def o_tpch_q3() -> str:
+    return """
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue (6-table join): the two tiny
+    dims broadcast explicitly, the customer/supplier co-nation predicate
+    rides the join, AQE reorders the rest."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter("r_name = 'ASIA'")
+    cents = "SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * 100, 0) AS BIGINT))"
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, (o.o_custkey == c.c_custkey))
+            .join(s, (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.expr(cents).alias("revenue_cents")))
+
+
+def o_tpch_q5() -> str:
+    return """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1.0e0 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """
+
+
 def q_broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join with explicit broadcast of the small dims (the pattern the
     engine uses for remap/cell-cover tables)."""
@@ -728,6 +797,8 @@ QUERIES = {
     "events_window": (q_events_window, o_events_window),
     "events_sessionized": (q_events_sessionized, o_events_sessionized),
     "tpch_q1": (q_tpch_q1, o_tpch_q1),
+    "tpch_q3": (q_tpch_q3, o_tpch_q3),
+    "tpch_q5": (q_tpch_q5, o_tpch_q5),
     "broadcast_star_join": (q_broadcast_star_join, o_broadcast_star_join),
 }
 
