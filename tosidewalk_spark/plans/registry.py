@@ -680,6 +680,30 @@ def o_tpch_q1() -> str:
     """
 
 
+def q_extract_text_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 with a REAL SQL oracle (upgrading the rows-only identity check):
+    the python Arrow extractor runs over synthesized html pages, and
+    DuckDB re-derives the exact (url, text) in closed form — page
+    synthesis (sources/synth.py::pages) is pure SQL, and byte-identical
+    extraction means output text == the closed-form text column."""
+    from ..operators import text as TX
+    return TX.extract_text(synth.pages(spark, 500))
+
+
+def o_extract_text_oracle() -> str:
+    ne = synth.N_ENTITIES
+    return f"""
+    SELECT 'https://site' || CAST(id % 997 AS VARCHAR) || '.example/p/'
+             || CAST(id AS VARCHAR) AS url,
+           'visit poi_' || CAST((id * 7) % {ne} AS VARCHAR)
+             || ' near block ' || CAST(id % 1000 AS VARCHAR)
+             || ' in sector ' || CAST(id % 37 AS VARCHAR) || ' '
+             || rtrim(repeat('filler segment ' || CAST(id % 97 AS VARCHAR)
+                             || ' of page text corpus ', 60)) AS text
+    FROM range(0, 500) t(id)
+    """
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style top-10 orders by revenue (3-way join + agg + global
     top-k): per-row integer-cents rounding keeps the SUM associative and
@@ -799,6 +823,7 @@ QUERIES = {
     "tpch_q1": (q_tpch_q1, o_tpch_q1),
     "tpch_q3": (q_tpch_q3, o_tpch_q3),
     "tpch_q5": (q_tpch_q5, o_tpch_q5),
+    "extract_text_oracle": (q_extract_text_oracle, o_extract_text_oracle),
     "broadcast_star_join": (q_broadcast_star_join, o_broadcast_star_join),
 }
 
