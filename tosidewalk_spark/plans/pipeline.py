@@ -154,3 +154,38 @@ def main(argv: list[str] | None = None) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def build_corpus(docs: DataFrame,
+                 quality_min: float = 0.5,
+                 permille_by_lang: dict[str, int] | None = None) -> DataFrame:
+    """End-to-end training-corpus construction — the composition a real
+    LLM-data pipeline runs nightly, assembled from the §2 operators:
+
+        quality filter (C4/Gopher-style heuristics, codegen)
+          -> exact dedup (min-doc_id survivor per 63-bit fingerprint)
+          -> deterministic stratified sampling (reproducible membership)
+          -> per-lang corpus summary (docs kept, tokens kept)
+
+    Every stage is a pure DataFrame transform over the previous one —
+    one shuffle for the dedup agg, one for the final summary; the quality
+    + sample predicates collapse into the scan-side filter.  Output:
+    (lang, n_docs, n_tokens) per kept lang."""
+    from ..operators import text as TX
+    if permille_by_lang is None:
+        permille_by_lang = {"en": 500, "de": 1000, "fr": 1000, "es": 1000}
+    q = TX.quality_score(docs).filter(F.col("quality") >= quality_min)
+    kept = docs.join(q.select("doc_id", "n_tokens"), "doc_id")
+    from ..functions import sqlfns
+    fp = sqlfns.polyhash_spark("text")
+    survivors = (kept.withColumn("fp", F.expr(fp))
+                 .groupBy("fp")
+                 .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("b"))
+                 .select(F.col("b.doc_id").alias("doc_id"),
+                         F.col("b.lang").alias("lang"),
+                         F.col("b.n_tokens").alias("n_tokens")))
+    sampled = TX.deterministic_sample(survivors, permille_by_lang)
+    return (sampled.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"))
+            .select("lang", "n_docs", "n_tokens"))

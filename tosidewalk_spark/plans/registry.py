@@ -581,6 +581,40 @@ def o_quality() -> str:
     """
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction (plans.pipeline.build_corpus):
+    quality filter -> exact dedup -> stratified sample -> per-lang
+    summary, all §2 operators composed; the oracle re-derives the whole
+    chain in one DuckDB query."""
+    from . import pipeline
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pipeline.build_corpus(docs, quality_min=0.5,
+                                 permille_by_lang=_SAMPLE_QUOTAS)
+
+
+def o_corpus_build() -> str:
+    fp = sqlfns.polyhash_duckdb("text")
+    h = sqlfns.polyhash_duckdb("CAST(doc_id AS VARCHAR)")
+    quota = ("CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {pm}"
+        for lg, pm in sorted(_SAMPLE_QUOTAS.items())) + " ELSE 0 END")
+    return f"""
+    WITH q AS ({o_quality()}),
+    kept AS (
+      SELECT d.doc_id, q.lang, d.text, q.n_tokens
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      WHERE q.quality >= 0.5e0),
+    surv AS (
+      SELECT doc_id, lang, n_tokens
+      FROM (SELECT *, {fp} AS fp FROM kept)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+    samp AS (SELECT * FROM surv WHERE ({h}) % 1000 < {quota})
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM samp GROUP BY lang
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.lang_id(docs)
@@ -824,6 +858,7 @@ QUERIES = {
     "tpch_q3": (q_tpch_q3, o_tpch_q3),
     "tpch_q5": (q_tpch_q5, o_tpch_q5),
     "extract_text_oracle": (q_extract_text_oracle, o_extract_text_oracle),
+    "corpus_build": (q_corpus_build, o_corpus_build),
     "broadcast_star_join": (q_broadcast_star_join, o_broadcast_star_join),
 }
 
