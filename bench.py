@@ -37,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from tosidewalk_spark.operators import dedup, network as N, sidewalks as SW  # noqa: E402
 from tosidewalk_spark.operators import similarity, spatial as SP, text  # noqa: E402
+from tosidewalk_spark.plans import pipeline as PL  # noqa: E402
 from tosidewalk_spark.session import get_spark  # noqa: E402
 from tosidewalk_spark.sources import synth  # noqa: E402
 
@@ -249,6 +250,9 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("ivf_topk", lambda: similarity.ivf_topk(emb, emb.filter("vec_id % 17 = 0"), k=5))
     bench("shingle_jaccard", lambda: dedup.shingle_jaccard_pairs(docs, 0.5))
     bench("gemm_topk", lambda: similarity.gemm_topk(emb, emb.filter("vec_id % 25 = 0"), k=5))
+    bench("incremental_dedup", lambda: dedup.incremental_dedup(
+        docs.filter("doc_id % 7 = 3"), docs.filter("doc_id % 7 != 3")))
+    bench("corpus_build", lambda: PL.build_corpus(docs))
     bench("quality_score", lambda: text.quality_score(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
