@@ -58,7 +58,8 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # window cannot bias one leg (min per leg over all rounds).
 SCALING_CORES = (int(os.environ.get("SPARK_GRAFT_SCALING_SMALL", "2")),
                  int(os.environ.get("SPARK_GRAFT_SCALING_BIG", "8")))
-# official-pair samples: 4 rounds, spread across the scaling phase (see main)
+# official-pair sample rounds, spread across the scaling phase (see main)
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
 # large enough that per-job fixed overhead (stage scheduling, broadcast
 # build) is <10% of the big leg — the Amdahl term that deflates efficiency
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "10000000"))
@@ -135,8 +136,17 @@ def measured_session(core_spec: str, n_pages: int) -> float:
     cores = _parse_cores(core_spec)
     try:
         os.sched_setaffinity(0, set(cores))
-    except (AttributeError, OSError):
-        pass
+    except AttributeError:
+        pass  # non-Linux: no affinity API, leg runs unpinned by design
+    except OSError as e:
+        # cores outside this host's range: FAIL the leg loudly rather than
+        # record an unpinned run as pinned/disjoint evidence (review r3)
+        raise RuntimeError(
+            f"cannot pin to cores {core_spec} on this host "
+            f"({os.cpu_count()} CPUs): {e}") from e
+    if hasattr(os, "sched_getaffinity") and os.sched_getaffinity(0) != set(cores):
+        raise RuntimeError(f"affinity verification failed for {core_spec}: "
+                           f"running on {sorted(os.sched_getaffinity(0))}")
     n = len(cores)
     spark = get_spark(f"bench{core_spec}", cpus=n, shuffle_partitions=2 * n)
     buffers = build_buffers(spark)
@@ -304,6 +314,8 @@ def main() -> None:
         t_small, t_big = [], []
 
         def official_round():
+            if len(t_small) >= SCALING_ROUNDS:
+                return
             t_small.append(measured_session_pinned(small, SCALING_PAGES))
             t_big.append(measured_session_pinned(big, SCALING_PAGES))
 
@@ -323,6 +335,9 @@ def main() -> None:
         # cache residue, is what's measured
         disjoint = scaling_pair("24-25", "8-15", SCALING_PAGES, rounds=1)
         official_round()
+        while len(t_small) < SCALING_ROUNDS:  # extra rounds past the default 4
+            t_small.append(measured_session_pinned(small, SCALING_PAGES))
+            t_big.append(measured_session_pinned(big, SCALING_PAGES))
         scaling = pair_record(small, big, SCALING_PAGES, t_small, t_big)
 
     out = {

@@ -213,3 +213,15 @@ def test_token_histogram(spark):
         "doc_id long, lang string, text string")
     out = {(r.lang, r.bucket): r.n_docs for r in text.token_histogram(d).collect()}
     assert out == {("en", 1): 1, ("en", 0): 1, ("de", -1): 1}
+
+
+def test_simhash64_keeps_tokenless_docs(spark):
+    """Token-less docs must emit fingerprint 0 (and pair at hamming 0) —
+    the explode-based rewrite silently dropped them (review r3)."""
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real tokens here")],
+        "doc_id long, text string")
+    s = {r.doc_id: r.simhash64 for r in dedup.simhash64(d).collect()}
+    assert s[1] == 0 and s[2] == 0 and s[3] != 0 and len(s) == 3
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_neardup_pairs(d).collect()}
+    assert (1, 2) in pairs

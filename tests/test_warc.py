@@ -50,3 +50,19 @@ def test_pages_from_warc_matches_input_hint_schema(spark, tmp_path):
     for r in pages.collect():  # G2 byte-identity holds through the container
         assert got[r.url].text == r.text
     assert all(isinstance(r.lang, str) and r.lang for r in got.values())
+
+
+def test_scan_tolerates_real_world_records(spark, tmp_path):
+    """Fractional-second WARC-Date (WARC 1.1, common in real archives) and
+    a URI-less response record must not kill the scan (review r3)."""
+    rec_frac = warc.record_bytes("http://a.example/f", "2023-06-01T12:00:00.123Z",
+                                 b"<p>frac</p>")
+    bad = rec_frac.replace(b"WARC-Target-URI: http://a.example/f\r\n", b"", 1)
+    blob = (warc.record_bytes("http://a.example/ok", "2026-01-01T00:00:00Z", b"<p>ok</p>")
+            + rec_frac + bad)
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "part-00000.warc").write_bytes(blob)
+    rows = {r.url: r for r in warc.scan_warc(spark, str(d)).collect()}
+    assert set(rows) == {"http://a.example/ok", "http://a.example/f"}
+    assert rows["http://a.example/f"].warc_ts.microsecond == 123000

@@ -127,7 +127,11 @@ def polyfill(poly_lats, poly_lngs, res: int = DEFAULT_RES) -> np.ndarray:
     return polyfill_bbox(lats.min(), lats.max(), lngs.min(), lngs.max(), res)
 
 
-# --- deterministic 63-bit string hash (shared with the SQL twins) --------
+# --- deterministic string hash (shared with the SQL twins) ---------------
+# NOTE: the value space is 31-bit (mod 2^31-1) even though it is carried in
+# an int64 — "hash63" names the carrier width, not the entropy.  Collision-
+# sensitive consumers (incremental_dedup, build_corpus) combine TWO
+# independent bases into a genuine 62-bit fingerprint.
 HASH_P = 2147483647  # 2^31 - 1; keeps a*31+b well inside int64
 
 

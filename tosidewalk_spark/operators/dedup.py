@@ -33,7 +33,11 @@ def _spread(df: DataFrame) -> DataFrame:
     wrong' #4)."""
     p = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if len(files) < p:
+    # only spread FILE-backed inputs that arrive in fewer files than cores;
+    # a non-file input (inputFiles() == []) keeps its existing partitioning
+    # — forcing a repartition there adds a full shuffle per call and can
+    # REDUCE a deliberately wider partitioning (review r3).
+    if files and len(files) < p:
         return df.repartition(p)
     return df
 
@@ -249,8 +253,14 @@ def simhash64(docs: DataFrame) -> DataFrame:
            + sqlfns.polyhash_spark("t", mult=37) + ")")
     base = _spread(docs).select(
         "doc_id", F.expr(_token_hashes()).alias("th"), F.expr(th2).alias("th2"))
+    # explode drops token-less docs (empty/whitespace/NULL text); they must
+    # still emit fingerprint 0 — the pre-rewrite fold and the DuckDB twin
+    # both do, and two empty docs are a legitimate (hamming=0) dup pair
+    # (review r3).  Their zero rows come back via the union below.
     ex = base.select("doc_id", F.explode(F.expr(
         "ZIP_WITH(th, th2, (a, b) -> STRUCT(a AS h1, b AS h2))")).alias("h"))
+    empties = (base.filter(F.expr("th IS NULL OR SIZE(th) = 0"))
+               .select("doc_id", F.lit(0).cast("long").alias("simhash64")))
     aggs = []
     for b in range(31):
         aggs.append(F.sum(F.expr(
@@ -262,7 +272,8 @@ def simhash64(docs: DataFrame) -> DataFrame:
                     f"ELSE CAST(0 AS BIGINT) END" for b in range(31))
     hi = " + ".join(f"CASE WHEN b{b} > 0 THEN CAST({2 ** (b + 31)} AS BIGINT) "
                     f"ELSE CAST(0 AS BIGINT) END" for b in range(31))
-    return sums.select("doc_id", F.expr(f"({lo}) + ({hi})").alias("simhash64"))
+    return (sums.select("doc_id", F.expr(f"({lo}) + ({hi})").alias("simhash64"))
+            .unionByName(empties))
 
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
@@ -308,13 +319,33 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
             .select("doc_a", "doc_b", "hamming"))
 
 
+def fingerprint62_sql(col: str = "text") -> str:
+    """62-bit content fingerprint: two independent-base 31-bit polynomial
+    hashes combined as h31 * (2^31-1) + h37.  Each base alone is 31-bit
+    (kernel/cells.py HASH_P) — collidable at ~65k docs by the birthday
+    bound — so collision-sensitive dedup must use this combined form.
+    DuckDB twin: fingerprint62_duckdb_sql."""
+    h1 = sqlfns.polyhash_spark(col, mult=31)
+    h2 = sqlfns.polyhash_spark(col, mult=37)
+    return f"(({h1}) * CAST({sqlfns.HASH_P} AS BIGINT) + ({h2}))"
+
+
+def fingerprint62_duckdb_sql(col: str = "text") -> str:
+    h1 = sqlfns.polyhash_duckdb(col, mult=31)
+    h2 = sqlfns.polyhash_duckdb(col, mult=37)
+    return f"(({h1}) * CAST({sqlfns.HASH_P} AS BIGINT) + ({h2}))"
+
+
 def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     """Incremental corpus extension — the shape a production training-data
     pipeline actually runs (dedupe each NEW crawl batch against the
     historical corpus, not the corpus against itself):
 
-      1. fingerprint both sides (63-bit polynomial content hash — tiny
-         fixed-width join keys instead of shuffling full document text);
+      1. fingerprint both sides with a genuine 62-bit two-base hash
+         (fp = h_base31 * (2^31-1) + h_base37; each base-31/-37 polynomial
+         is only 31-bit on its own, far too collidable for corpus-scale
+         dedup — birthday bound ~65k docs) — tiny fixed-width join keys
+         instead of shuffling full document text;
       2. LEFT ANTI join the batch against the distinct corpus fingerprints
          (Catalyst broadcasts the smaller side; at 100 TB the corpus
          fingerprint table is the thing you keep bucketed on disk so this
@@ -323,7 +354,7 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
          (map-side-combinable hash agg, same scheme as exact_dedup).
 
     Output: (doc_id, fp, n_batch_dupes) — the surviving new docs."""
-    fp = sqlfns.polyhash_spark("text")
+    fp = fingerprint62_sql("text")
     new_fp = new_docs.select("doc_id", F.expr(fp).alias("fp"))
     seen = corpus.select(F.expr(fp).alias("fp")).distinct()
     return (new_fp.join(seen, "fp", "left_anti")

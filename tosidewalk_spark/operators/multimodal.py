@@ -98,7 +98,13 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame
             for r in imgs.itertuples():
                 data = np.frombuffer(bytes(r.payload), dtype=np.uint8)
                 need = int(r.width) * int(r.height)
-                reps = -(-need // max(data.size, 1))
+                if data.size == 0 or need <= 0:
+                    # degenerate row (empty payload / zero dims): zero-fill
+                    # instead of crashing the whole task (review r3)
+                    urls.append(r.url)
+                    rasters.append([0.0] * (out_w * out_h))
+                    continue
+                reps = -(-need // data.size)
                 img = np.tile(data, reps)[:need].reshape(int(r.height), int(r.width))
                 rows = (np.arange(out_h) * img.shape[0]) // out_h
                 cols = (np.arange(out_w) * img.shape[1]) // out_w

@@ -99,13 +99,18 @@ def street_buffers(segments: DataFrame,
         F.expr(f"CAST(FLOOR((ARRAY_MAX(poly_lats) + 90.0e0) / {s}) AS BIGINT)").alias("j1"),
         F.expr(f"CAST(FLOOR((ARRAY_MIN(poly_lngs) + 180.0e0) / {s}) AS BIGINT)").alias("i0"),
         F.expr(f"CAST(FLOOR((ARRAY_MAX(poly_lngs) + 180.0e0) / {s}) AS BIGINT)").alias("i1"))
-    return bounds.select(
+    out = bounds.select(
         "way_id", "segment_id", "alat", "alng", "blat", "blng",
         "poly_lats", "poly_lngs",
         F.expr(f"FLATTEN(TRANSFORM(SEQUENCE(j0, j1), jj -> "
                f"TRANSFORM(SEQUENCE(i0, i1), ii -> "
                f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
                f"+ jj * {sqlfns.POW2_28} + ii)))").alias("cells"))
+    # stamp the cover resolution on the wrapper so pip_join can fail LOUDLY
+    # on a resolution mismatch instead of silently joining zero rows (cell
+    # ids embed res, so mismatched covers never equi-match — review r3)
+    out._tsw_cover_res = res
+    return out
 
 
 def pip_join(points: DataFrame, buffers: DataFrame,
@@ -133,6 +138,14 @@ def pip_join(points: DataFrame, buffers: DataFrame,
     (does not grow with pages) and is EXPLICITLY broadcast — left to size
     estimates, Catalyst picked BuildLeft here and broadcast millions of
     geocoded points (measured 10x wall regression at 6M pages)."""
+    declared = getattr(buffers, "_tsw_cover_res", None)
+    if declared is not None and declared != cover_res:
+        raise ValueError(
+            f"pip_join cover_res={cover_res} but the buffer side was covered "
+            f"at res={declared} (street_buffers res=...): cell ids embed the "
+            f"resolution, so the equi-join would silently return ZERO rows. "
+            f"Pass matching resolutions (default: SP.PIP_COVER_RES for PIP, "
+            f"cells.DEFAULT_RES for the kNN ring index).")
     # the per-SEGMENT frame (cm, mx, my, s2) is precomputed on the tiny
     # build side, so the per-candidate refine is a ~50-node expression.
     # Inlining the full rect/dist templates into the join condition

@@ -163,7 +163,7 @@ def build_corpus(docs: DataFrame,
     LLM-data pipeline runs nightly, assembled from the §2 operators:
 
         quality filter (C4/Gopher-style heuristics, codegen)
-          -> exact dedup (min-doc_id survivor per 63-bit fingerprint)
+          -> exact dedup (min-doc_id survivor per 62-bit two-base fingerprint)
           -> deterministic stratified sampling (reproducible membership)
           -> per-lang corpus summary (docs kept, tokens kept)
 
@@ -176,8 +176,8 @@ def build_corpus(docs: DataFrame,
         permille_by_lang = {"en": 500, "de": 1000, "fr": 1000, "es": 1000}
     q = TX.quality_score(docs).filter(F.col("quality") >= quality_min)
     kept = docs.join(q.select("doc_id", "n_tokens"), "doc_id")
-    from ..functions import sqlfns
-    fp = sqlfns.polyhash_spark("text")
+    from ..operators.dedup import fingerprint62_sql
+    fp = fingerprint62_sql("text")
     survivors = (kept.withColumn("fp", F.expr(fp))
                  .groupBy("fp")
                  .agg(F.min(F.struct("doc_id", "lang", "n_tokens")).alias("b"))

@@ -504,7 +504,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_incremental_dedup() -> str:
-    fp = sqlfns.polyhash_duckdb("text")
+    fp = dedup.fingerprint62_duckdb_sql("text")
     return f"""
     WITH fp AS (SELECT doc_id, {fp} AS fp FROM documents),
     newb AS (SELECT * FROM fp WHERE doc_id % 7 = 3),
@@ -593,7 +593,7 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_corpus_build() -> str:
-    fp = sqlfns.polyhash_duckdb("text")
+    fp = dedup.fingerprint62_duckdb_sql("text")
     h = sqlfns.polyhash_duckdb("CAST(doc_id AS VARCHAR)")
     quota = ("CASE " + " ".join(
         f"WHEN lang = '{lg}' THEN {pm}"
@@ -1607,12 +1607,18 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(REPEAT(SUBSTRING(text, 1, 8), 16) AS BINARY)").alias("payload"),
         F.lit(64).alias("width"), F.lit(48).alias("height"),
         F.lit(1).alias("n_frames"))
-    resized = multimodal.resize_images(media, out_w=8, out_h=6)
+    # out 7x5 (not 8x6): with the payload's repeat period of 8, an 8-wide
+    # output samples only source columns ≡ 0 (mod 8) — every pixel equals
+    # s[0] and the oracle is near-vacuous (review r3).  Width 7 makes the
+    # sampled column set {0,9,18,27,36,45,54}, i.e. all residues 0..6, so
+    # transposed/mis-strided gathers change the output.
+    resized = multimodal.resize_images(media, out_w=7, out_h=5)
     return resized.select("url", F.posexplode("raster").alias("pos", "val"))
 
 
 def o_multimodal_resize() -> str:
-    src = "((pos // 8) * 8 * 64 + (pos % 8) * 8)"
+    # src pixel for output (i=pos//7, j=pos%7): row (i*48)//5, col (j*64)//7
+    src = "(((pos // 7) * 48 // 5) * 64 + ((pos % 7) * 64 // 7))"
     return f"""
     WITH m AS (
       SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
@@ -1624,7 +1630,7 @@ def o_multimodal_resize() -> str:
     SELECT url, CAST(pos AS INT) AS pos,
            ROUND(ascii(SUBSTRING(s, CAST({src} % length(s) AS INT) + 1, 1))
                  / 255.0, 6) AS val
-    FROM m CROSS JOIN (SELECT UNNEST(generate_series(0, 47)) AS pos) p
+    FROM m CROSS JOIN (SELECT UNNEST(generate_series(0, 34)) AS pos) p
     """
 
 

@@ -132,11 +132,18 @@ def scan_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                 for headers, payload in iter_records(bytes(blob)):
                     if headers.get(b"warc-type") != b"response":
                         continue
-                    urls.append(headers[b"warc-target-uri"].decode("utf-8"))
-                    tss.append(headers[b"warc-date"].decode("ascii"))
+                    uri = headers.get(b"warc-target-uri")
+                    if uri is None:  # malformed record: skip, don't kill the task
+                        continue
+                    urls.append(uri.decode("utf-8"))
+                    tss.append(headers.get(b"warc-date", b"").decode("ascii"))
                     bodies.append(_http_body(payload))
+            # ISO8601 parse: real archives carry fractional seconds (legal
+            # in WARC 1.1) which a strict %H:%M:%SZ format would reject;
+            # errors="coerce" turns an unparseable date into NaT instead of
+            # failing the whole file's batch.
             ts = pd.to_datetime(pd.Series(tss, dtype="object"),
-                                format="%Y-%m-%dT%H:%M:%SZ", utc=True)
+                                format="ISO8601", utc=True, errors="coerce")
             yield pd.DataFrame({
                 "url": pd.Series(urls, dtype="object"),
                 "warc_ts": ts.dt.tz_localize(None) if len(ts) else ts,
