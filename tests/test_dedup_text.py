@@ -225,3 +225,22 @@ def test_simhash64_keeps_tokenless_docs(spark):
     assert s[1] == 0 and s[2] == 0 and s[3] != 0 and len(s) == 3
     pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_neardup_pairs(d).collect()}
     assert (1, 2) in pairs
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b (hamming 1) and b~c (hamming 3) but a!~c (hamming 4): the three
+    docs must still land in ONE cluster via transitive closure; unrelated
+    docs stay singletons.  Fixture found by seeded search over the real
+    simhash64 (see commit)."""
+    d = spark.createDataFrame([
+        (1, "w180 w4 w98 w84 w132 w159 w75 w131 w16 w28 w58 w26 w21 w67 w69 w10 w46 w185 w33 w108 w173 w66 w103 w38 w137 w192 w146 w126 w83 w22 w71 w14 w183 w199 w18 w68 w198 w162 w170 w178"),
+        (2, "w180 w4 w98 w84 w132 x11a w75 w131 w16 w28 w58 w26 w21 w67 w69 w10 w46 w185 w33 w108 w173 w66 w103 w38 w137 w192 w146 w126 w83 w22 w71 w14 w183 w199 w18 w68 w198 w162 w170 w178"),
+        (3, "w180 w4 w98 w84 w132 x11a w75 w131 w16 w28 w58 w26 w21 w67 w69 w10 w46 w185 w33 w108 w173 w66 w103 w38 w137 w192 w146 w126 w83 w22 w71 w14 w183 w199 w18 w68 w198 w162 x11b w178"),
+        (9, "completely different content with other words entirely"),
+    ], "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_neardup_pairs(d).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    out = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in dedup.dedup_clusters(d).collect()}
+    assert out[9] == (9, 1)
+    assert out[1] == out[2] == out[3] == (1, 3)

@@ -362,3 +362,25 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count("*").alias("n_batch_dupes"))
             .select("doc_id", "fp", "n_batch_dupes"))
+
+
+def dedup_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate CLUSTERS: the banded simhash64 pair graph closed
+    under transitivity — `connected_components` (the R4 way-join CC,
+    log-diameter pointer jumping) reused on the graft near-dup graph.
+    Docs with no near-dup partner form singleton clusters.
+
+    Output: (doc_id, cluster_id, cluster_size) with cluster_id = min
+    doc_id in the cluster — the canonical representative a pipeline keeps
+    when collapsing each cluster to one document."""
+    from .network import connected_components
+    pairs = simhash_neardup_pairs(docs, max_hamming=max_hamming)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    singles = (docs.select("doc_id").join(comp, "doc_id", "left_anti")
+               .select("doc_id", F.col("doc_id").alias("cluster_id")))
+    labeled = comp.unionByName(singles)
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id") \
+                  .select("doc_id", "cluster_id", "cluster_size")

@@ -130,8 +130,9 @@ def deterministic_sample(docs: DataFrame,
     """Stratified corpus sampling with DETERMINISTIC membership — the
     corpus-mixing primitive of a training-data pipeline (e.g. keep 100%
     of fr, 25% of en boilerplate).  Membership is a pure function of
-    doc_id (pmod of the 63-bit polynomial hash of the id string, compared
-    to the per-lang permille quota), so the sample is reproducible across
+    doc_id (pmod of the 31-bit polynomial hash of the id string — ample
+    here, it only selects a permille bucket, not a collision-sensitive
+    identity — compared to the per-lang quota), so the sample is reproducible across
     runs, engines and parallelism — no RNG, no sampleBy seed drift — and
     the filter runs in codegen right above the scan (predicate pushdown
     keeps untouched strata unread when the table is partitioned by lang)."""
@@ -158,3 +159,16 @@ def token_histogram(docs: DataFrame) -> DataFrame:
             .groupBy("lang", "bucket")
             .agg(F.count("*").alias("n_docs"))
             .select("lang", "bucket", "n_docs"))
+
+
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """Per-domain corpus stats — the first grouping any web-crawl audit
+    runs.  Domain = host part of the url (regexp in codegen; identical
+    expression in the DuckDB twin since Spark's parse_url has no DuckDB
+    counterpart).  Map-side-combinable two-agg plan; domains are a
+    naturally high-cardinality, well-spread key at web scale."""
+    dom = "REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)/', 1)"
+    return (pages.select(F.expr(dom).alias("domain"), "lang")
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct("lang").alias("n_langs")))

@@ -1182,6 +1182,52 @@ def o_simhash64_neardup() -> str:
     """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: banded simhash64 pair graph closed under
+    transitivity via the R4 connected-components operator reused on graft
+    data (dedup.dedup_clusters); singletons keep their own id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_clusters(docs)
+
+
+def o_dedup_clusters() -> str:
+    """Transitive closure by recursive CTE (min reachable id = cluster) —
+    fine at oracle scale; the engine side uses log-diameter pointer
+    jumping instead."""
+    return f"""
+    WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({o_simhash64_neardup()})),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM allc
+    """
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain stats over synthesized pages; the oracle re-derives the
+    url scheme in closed form (page synthesis is pure SQL)."""
+    return text.domain_stats(synth.pages(spark, 3000))
+
+
+def o_domain_stats() -> str:
+    return """
+    WITH p AS (
+      SELECT 'site' || CAST(id % 997 AS VARCHAR) || '.example' AS domain,
+             list_extract(['en','de','fr','es'], CAST(id % 4 AS INT) + 1) AS lang
+      FROM range(0, 3000) t(id))
+    SELECT domain, COUNT(*) AS n_pages, COUNT(DISTINCT lang) AS n_langs
+    FROM p GROUP BY domain
+    """
+
+
 def q_r19_union_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R19 over the FULL inference pipeline (filter -> R4 join -> R5 split
     -> R6/R7 -> R8 -> R17 -> R18 -> R12/13 sidewalks -> R14/15/16
@@ -1690,6 +1736,8 @@ QUERIES.update({
     "g6_vectorize": (q_g6_vectorize, o_g6_vectorize),
     "gemm_topk": (q_gemm_topk, o_ann_topk),  # exact op, same oracle as brute force
     "g1_time_travel": (q_g1_time_travel, o_g1_time_travel),
+    "dedup_clusters": (q_dedup_clusters, o_dedup_clusters),
+    "domain_stats": (q_domain_stats, o_domain_stats),
     "incremental_dedup": (q_incremental_dedup, o_incremental_dedup),
     "deterministic_sample": (q_deterministic_sample, o_deterministic_sample),
     "token_histogram": (q_token_histogram, o_token_histogram),
