@@ -310,13 +310,18 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
                      F.col("simhash64").alias("sh_a"), "band_no", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("simhash64").alias("sh_b"), "band_no", "band_val")
-    pairs = (a.join(b, ["band_no", "band_val"])
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b")))
-    return (pairs.withColumn("hamming", F.expr("CAST(BIT_COUNT(sh_a ^ sh_b) AS INT)"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+    # verify BEFORE deduplicating across bands: BIT_COUNT is a codegen
+    # scalar on the join output, so the distinct() shuffle carries only
+    # VERIFIED pairs (each at most 4x, once per agreeing band) instead of
+    # every band-join candidate.  The win is data-dependent: large on
+    # low-duplication corpora where most candidates fail the Hamming
+    # check; a wash on sf0.1 (~66% of its 5000 docs are near-dups — 658k
+    # verified pairs — so the output itself dominates either order).
+    cand = (a.join(b, ["band_no", "band_val"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", F.expr("CAST(BIT_COUNT(sh_a ^ sh_b) AS INT)"))
+            .filter(F.col("hamming") <= max_hamming))
+    return cand.select("doc_a", "doc_b", "hamming").distinct()
 
 
 def fingerprint62_sql(col: str = "text") -> str:
