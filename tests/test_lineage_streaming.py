@@ -262,3 +262,34 @@ def test_streaming_pip_tiles_matches_batch(spark, tmp_path):
     assert len(got) > 0         # closed windows did emit
     for k, v in got.items():    # append mode: got is the closed-window subset
         assert batch_rows[k] == v
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Stream-static anti join vs the static corpus + within-stream
+    first-per-fingerprint == the batch incremental_dedup survivors."""
+    from tosidewalk_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(100 + i, f"seen text {i}") for i in range(20)],
+        "doc_id long, text string")
+    pages = spark.range(120).selectExpr(
+        "CONCAT('https://s.example/p/', CAST(id AS STRING)) AS url",
+        "TIMESTAMP '2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, id * 7) AS warc_ts",
+        # ids 0..39 duplicate the corpus (text 'seen text 0..19' twice);
+        # ids 40+ are fresh with within-stream dups (each fresh text x2)
+        "CASE WHEN id < 40 THEN CONCAT('seen text ', CAST(id % 20 AS STRING)) "
+        "ELSE CONCAT('fresh text ', CAST(id % 40 AS STRING)) END AS text")
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("url string, warc_ts timestamp, text string").parquet(src)
+
+    out = jobs.streaming_incremental_dedup(stream, corpus)
+    jobs.run_available_now(out, "inc_dedup_stream", str(tmp_path / "ckpt_inc"))
+    got = spark.sql("SELECT * FROM inc_dedup_stream").collect()
+
+    batch = {r.fp for r in dedup.incremental_dedup(
+        spark.read.parquet(src).selectExpr("CAST(REGEXP_EXTRACT(url, '/p/([0-9]+)', 1) AS BIGINT) AS doc_id", "text"),
+        corpus).collect()}
+    assert {r.fp for r in got} == batch
+    assert len(got) == len(batch)  # exactly one survivor per fresh fingerprint
+    assert all(r.text.startswith("fresh text ") for r in got)

@@ -157,3 +157,22 @@ def streaming_pip_tiles(points: DataFrame, buffers: DataFrame,
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "cell9", "n_matches"))
+
+
+def streaming_incremental_dedup(pages: DataFrame, corpus: DataFrame,
+                                key: str = "text",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of the batch incremental_dedup (operators/dedup.py):
+    new pages stream in, the historical corpus is STATIC — a stream-static
+    LEFT ANTI join on the 62-bit content fingerprint drops everything the
+    corpus already has (stateless: the static side is just a lookup), then
+    dropDuplicatesWithinWatermark keeps the first occurrence per
+    fingerprint WITHIN the stream with watermark-bounded state.  The shape
+    a continuous-ingest training-data pipeline actually runs."""
+    from ..operators.dedup import fingerprint62_sql
+    fp = fingerprint62_sql(key)
+    seen = corpus.select(F.expr(fp).alias("fp")).distinct()
+    fresh = (pages.withColumn("fp", F.expr(fp))
+             .join(seen, "fp", "left_anti"))
+    return (fresh.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))
