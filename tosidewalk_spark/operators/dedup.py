@@ -360,8 +360,11 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
 
     Output: (doc_id, fp, n_batch_dupes) — the surviving new docs."""
     fp = fingerprint62_sql("text")
-    new_fp = new_docs.select("doc_id", F.expr(fp).alias("fp"))
-    seen = corpus.select(F.expr(fp).alias("fp")).distinct()
+    # _spread both sides: the per-char fingerprint fold is the dominant
+    # cost and runs BEFORE any shuffle, so a one-file parquet input would
+    # compute it single-core (measured 10.7 s -> ~2 s at sf0.1)
+    new_fp = _spread(new_docs).select("doc_id", F.expr(fp).alias("fp"))
+    seen = _spread(corpus).select(F.expr(fp).alias("fp")).distinct()
     return (new_fp.join(seen, "fp", "left_anti")
             .groupBy("fp")
             .agg(F.min("doc_id").alias("doc_id"),

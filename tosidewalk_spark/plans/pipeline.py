@@ -172,8 +172,13 @@ def build_corpus(docs: DataFrame,
     + sample predicates collapse into the scan-side filter.  Output:
     (lang, n_docs, n_tokens) per kept lang."""
     from ..operators import text as TX
+    from ..operators.dedup import _spread
     if permille_by_lang is None:
         permille_by_lang = {"en": 500, "de": 1000, "fr": 1000, "es": 1000}
+    # spread once up front: the quality HOFs and the fingerprint fold are
+    # per-char work computed before any shuffle — a one-file parquet input
+    # would run them single-core otherwise
+    docs = _spread(docs)
     q = TX.quality_score(docs).filter(F.col("quality") >= quality_min)
     kept = docs.join(q.select("doc_id", "n_tokens"), "doc_id")
     from ..operators.dedup import fingerprint62_sql
