@@ -164,3 +164,26 @@ def test_pyfiles_zip_imports_standalone(tmp_path):
     # deterministic archive bytes
     z2 = build_pyfiles_zip(str(tmp_path / "engine2.zip"))
     assert open(z, "rb").read() == open(z2, "rb").read()
+
+
+def test_incremental_dedup_plan_shape(spark):
+    """Pure-codegen anti join: no python workers, broadcast of the distinct
+    corpus-fingerprint side, map-side-combinable final agg."""
+    from tosidewalk_spark.operators import dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.incremental_dedup(
+        docs.filter("doc_id % 7 = 3"), docs.filter("doc_id % 7 != 3"))
+    plan = _executed_plan(out)
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan and "partial_" in plan
+
+
+def test_corpus_build_plan_shape(spark):
+    """The composed quality->dedup->sample chain stays python-free with
+    partial aggregation at both shuffles."""
+    from tosidewalk_spark.plans import pipeline
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed_plan(pipeline.build_corpus(docs))
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan and "partial_" in plan
