@@ -162,7 +162,12 @@ def measured_session_pinned(core_spec, n_pages: int) -> float:
     import subprocess
     cmd = [sys.executable, os.path.abspath(__file__),
            "--scaling-leg", str(core_spec), "--pages", str(n_pages)]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    if out.returncode != 0:
+        # surface the subprocess stderr (the affinity RuntimeError lives
+        # there) instead of a bare CalledProcessError — review r3
+        raise RuntimeError(
+            f"scaling leg {core_spec} failed:\n{out.stderr.strip()[-2000:]}")
     return float(out.stdout.strip().splitlines()[-1])
 
 
@@ -338,7 +343,8 @@ def main() -> None:
         while len(t_small) < SCALING_ROUNDS:  # extra rounds past the default 4
             t_small.append(measured_session_pinned(small, SCALING_PAGES))
             t_big.append(measured_session_pinned(big, SCALING_PAGES))
-        scaling = pair_record(small, big, SCALING_PAGES, t_small, t_big)
+        scaling = (pair_record(small, big, SCALING_PAGES, t_small, t_big)
+                   if t_small else None)  # SCALING_ROUNDS=0 skips the pair
 
     out = {
         "metric": "spatial_join_tiling_wall_sec",

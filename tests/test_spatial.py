@@ -156,3 +156,29 @@ def test_vectorize_tiles_plan_is_pure_sql(spark):
         "cell9 long, n_pages long, n_matched long, coverage double, raster array<double>")
     plan = SP.vectorize_tiles(tiles)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pip_join_resolution_mismatch_raises(spark):
+    """Mismatched buffer-cover/probe resolutions must fail LOUDLY (the
+    pre-r3 behavior was a silent zero-row join) — both via the wrapper
+    attribute pre-flight AND via the cover_res column, which survives
+    checkpoints/selects where the attribute does not (review r3)."""
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    gw = N.geom_ways(nodes, ways)
+    near = geom.latlng_offset(47.6004, -122.330, 5.0, 0.0)
+    pts = _points(spark, [("u1", "e1", float(near[0]), float(near[1]))])
+
+    bufs9 = SP.street_buffers(SP.street_segments(gw))  # default res 9
+    with pytest.raises(ValueError, match="covered"):
+        SP.pip_join(pts, bufs9)  # pre-flight: attr vs default cover_res 11
+
+    # attr is gone after a checkpoint, but the column guard still fires
+    bufs9_ck = SP.street_buffers(SP.street_segments(gw)).localCheckpoint(eager=True)
+    assert getattr(bufs9_ck, "_tsw_cover_res", None) is None
+    with pytest.raises(Exception, match="cover_res"):
+        SP.pip_join(pts, bufs9_ck).collect()
+
+    # matching resolutions keep working through a checkpoint
+    ok = SP.street_buffers(SP.street_segments(gw), half_width_m=12.0,
+                           res=SP.PIP_COVER_RES).localCheckpoint(eager=True)
+    assert {r.url for r in SP.pip_join(pts, ok).collect()} == {"u1"}

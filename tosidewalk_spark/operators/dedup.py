@@ -259,8 +259,12 @@ def simhash64(docs: DataFrame) -> DataFrame:
     # (review r3).  Their zero rows come back via the union below.
     ex = base.select("doc_id", F.explode(F.expr(
         "ZIP_WITH(th, th2, (a, b) -> STRUCT(a AS h1, b AS h2))")).alias("h"))
-    empties = (base.filter(F.expr("th IS NULL OR SIZE(th) = 0"))
-               .select("doc_id", F.lit(0).cast("long").alias("simhash64")))
+    # cheap emptiness test straight off the text column — filtering on
+    # SIZE(th) would recompute the per-token hash fold for every doc in
+    # this second union branch (review r3)
+    empties = (docs.filter(F.expr(
+        f"text IS NULL OR SIZE({_tokens()}) = 0"))
+        .select("doc_id", F.lit(0).cast("long").alias("simhash64")))
     aggs = []
     for b in range(31):
         aggs.append(F.sum(F.expr(
@@ -389,6 +393,8 @@ def dedup_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     singles = (docs.select("doc_id").join(comp, "doc_id", "left_anti")
                .select("doc_id", F.col("doc_id").alias("cluster_id")))
     labeled = comp.unionByName(singles)
-    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labeled.join(sizes, "cluster_id") \
-                  .select("doc_id", "cluster_id", "cluster_size")
+    # window count instead of agg+join: one evaluation of the labeled
+    # branch (the join form scanned docs + the anti-join twice — review r3)
+    w = Window.partitionBy("cluster_id")
+    return labeled.select("doc_id", "cluster_id",
+                          F.count("*").over(w).alias("cluster_size"))

@@ -105,10 +105,14 @@ def street_buffers(segments: DataFrame,
         F.expr(f"FLATTEN(TRANSFORM(SEQUENCE(j0, j1), jj -> "
                f"TRANSFORM(SEQUENCE(i0, i1), ii -> "
                f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
-               f"+ jj * {sqlfns.POW2_28} + ii)))").alias("cells"))
-    # stamp the cover resolution on the wrapper so pip_join can fail LOUDLY
-    # on a resolution mismatch instead of silently joining zero rows (cell
-    # ids embed res, so mismatched covers never equi-match — review r3)
+               f"+ jj * {sqlfns.POW2_28} + ii)))").alias("cells"),
+        F.lit(res).alias("cover_res"))
+    # The cover_res COLUMN lets pip_join fail loudly on a resolution
+    # mismatch even after the frame passes through checkpoints, selects or
+    # a parquet round-trip; the wrapper attribute below is only the
+    # fast-path pre-flight (it vanishes through any transformation —
+    # review r3).  Cell ids embed res, so a mismatch silently equi-joins
+    # to zero rows without these guards.
     out._tsw_cover_res = res
     return out
 
@@ -146,6 +150,14 @@ def pip_join(points: DataFrame, buffers: DataFrame,
             f"resolution, so the equi-join would silently return ZERO rows. "
             f"Pass matching resolutions (default: SP.PIP_COVER_RES for PIP, "
             f"cells.DEFAULT_RES for the kNN ring index).")
+    if "cover_res" in buffers.columns:
+        # execution-time guard that SURVIVES transformations/parquet (the
+        # attribute check above does not): ASSERT_TRUE evaluates per build
+        # row (tiny side) and raises on the first mismatched row
+        buffers = buffers.filter(F.expr(
+            f"ASSERT_TRUE(cover_res = {cover_res}, "
+            f"CONCAT('pip_join cover_res={cover_res} but buffers were covered "
+            f"at res=', CAST(cover_res AS STRING))) IS NULL"))
     # the per-SEGMENT frame (cm, mx, my, s2) is precomputed on the tiny
     # build side, so the per-candidate refine is a ~50-node expression.
     # Inlining the full rect/dist templates into the join condition

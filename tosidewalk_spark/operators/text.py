@@ -163,11 +163,11 @@ def token_histogram(docs: DataFrame) -> DataFrame:
 
 def domain_stats(pages: DataFrame) -> DataFrame:
     """Per-domain corpus stats — the first grouping any web-crawl audit
-    runs.  Domain = host part of the url (regexp in codegen; identical
-    expression in the DuckDB twin since Spark's parse_url has no DuckDB
-    counterpart).  Map-side-combinable two-agg plan; domains are a
+    runs.  Domain = host part of the url (regexp in codegen; the DuckDB
+    oracle re-derives domains in closed form from the synth url scheme).
+    Map-side-combinable two-agg plan; domains are a
     naturally high-cardinality, well-spread key at web scale."""
-    dom = "REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)/', 1)"
+    dom = "REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)', 1)"  # path optional: 'https://a.example' is a legal crawl url
     return (pages.select(F.expr(dom).alias("domain"), "lang")
             .groupBy("domain")
             .agg(F.count("*").alias("n_pages"),

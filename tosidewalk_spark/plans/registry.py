@@ -1637,8 +1637,9 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (payload = utf-8 bytes of REPEAT(first-8-chars, 16), tiled row-major
     over the declared 64x48 grid) is SQL-derivable, so the numpy
     nearest-neighbor gather has the closed form
-        pixel(pos) = ascii(s[((pos DIV 8)*8*64 + (pos % 8)*8) % len(s)])
-    for a 6x8 output (source row i*8, source col j*8).  The /255 rounding
+        pixel(pos) = ascii(s[(((pos DIV 7)*48 DIV 5)*64
+                              + ((pos % 7)*64 DIV 7)) % len(s)])
+    for the 5x7 output used below.  The /255 rounding
     is bit-identical cross-engine for all 256 byte values (verified in
     tests/test_dedup_text.py).  ASCII-only guard: rows where the 8-char
     prefix has multi-byte chars are excluded in BOTH engines (LENGTH vs

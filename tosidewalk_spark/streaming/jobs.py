@@ -169,9 +169,9 @@ def streaming_incremental_dedup(pages: DataFrame, corpus: DataFrame,
     dropDuplicatesWithinWatermark keeps the first occurrence per
     fingerprint WITHIN the stream with watermark-bounded state.  The shape
     a continuous-ingest training-data pipeline actually runs."""
-    from ..operators.dedup import fingerprint62_sql
+    from ..operators.dedup import _spread, fingerprint62_sql
     fp = fingerprint62_sql(key)
-    seen = corpus.select(F.expr(fp).alias("fp")).distinct()
+    seen = _spread(corpus).select(F.expr(fp).alias("fp")).distinct()
     fresh = (pages.withColumn("fp", F.expr(fp))
              .join(seen, "fp", "left_anti"))
     return (fresh.withWatermark("warc_ts", watermark)
