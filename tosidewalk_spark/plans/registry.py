@@ -338,8 +338,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_exact_dedup() -> str:
+    # GROUP BY the 62-bit fingerprint, mirroring the engine's 8-byte
+    # shuffle key (fingerprint-first exact dedup, VERDICT.md r3 #3)
     return ("SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dupes "
-            "FROM documents GROUP BY text")
+            f"FROM documents GROUP BY {dedup.fingerprint62_duckdb_sql('text')}")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,9 +423,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold 0.4: the synthetic embeddings are near-orthogonal (max
     pairwise cosine at sf0.01 is ~0.513, within-bucket ~0.443), so the
     round-1 threshold of 0.9 matched the oracle vacuously at 0 rows
-    (VERDICT.md r1 'What's wrong' #3) — 0.4 yields real pairs."""
+    (VERDICT.md r1 'What's wrong' #3).
+
+    The round-4 move to the 16-plane near-dup bucket space (65,536
+    buckets vs 500 sf0.01 vectors) makes near-orthogonal bucket-mates
+    vanish too, so the query unions a deterministic 1.5x-scaled copy of
+    every 5th vector: scaling preserves hyperplane signs and gives
+    cosine ≈ 1.0 with the original, so each copy is a GENUINE near-dup
+    pair and the check stays non-vacuous.  float32 multiply is IEEE
+    round-to-nearest in both engines, so the copies are bit-identical
+    to the DuckDB twin's."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup.embedding_neardup_pairs(emb, cos_threshold=0.4)
+    copies = emb.filter("vec_id % 5 = 0").select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "label",
+        F.expr("TRANSFORM(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))"
+               ).alias("embedding"))
+    return dedup.embedding_neardup_pairs(emb.unionByName(copies),
+                                         cos_threshold=0.4)
 
 
 def _duck_dot(va: str, vb: str) -> str:
@@ -437,12 +453,12 @@ def _duck_norm(v: str) -> str:
     return f"SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {sq}), (a, x) -> a + x))"
 
 
-def _duck_lsh_sig(v: str) -> str:
+def _duck_lsh_sig(v: str, n_planes: int | None = None) -> str:
     """Hyperplane-sign bucket in DuckDB — twin of
     similarity.lsh_signature_expr (same integer coefficients)."""
     from ..operators import similarity
     terms = []
-    for p in range(similarity.N_PLANES):
+    for p in range(n_planes or similarity.N_PLANES):
         coef = (f"list_transform(range(0, 64), j -> "
                 f"CAST((({p} * 1009 + j) * 2654435761) % 97 - 48 AS DOUBLE))")
         prods = (f"list_transform(range(1, 65), i -> CAST({v}[i] AS DOUBLE) * ({coef})[i])")
@@ -452,14 +468,25 @@ def _duck_lsh_sig(v: str) -> str:
 
 
 def o_embedding_neardup() -> str:
+    """16-plane bucket space + the max_bucket semi-join cap, mirroring the
+    engine's near-dup scale shape (VERDICT.md r3 'What's wrong' #1)."""
+    from ..operators import similarity
     cos = (f"ROUND({_duck_dot('a.embedding', 'b.embedding')}"
            f" / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6)")
     return f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_duck_lsh_sig('a.embedding')} AS bucket, {cos} AS cosine
-    FROM embeddings a JOIN embeddings b
-      ON {_duck_lsh_sig('a.embedding')} = {_duck_lsh_sig('b.embedding')}
-     AND a.vec_id < b.vec_id
+    WITH embx AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 5 = 0),
+    sig0 AS (SELECT vec_id, embedding,
+                  {_duck_lsh_sig('embedding', similarity.NEARDUP_PLANES)} AS bucket
+                  FROM embx),
+    sig AS (SELECT * FROM sig0
+            QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= {dedup.LSH_MAX_BUCKET})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket, {cos} AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {cos} >= 0.4e0
     """
 
@@ -1573,8 +1600,12 @@ def o_ivf_topk() -> str:
     nc, nm = _duck_norm("c.embedding"), _duck_norm("m.embedding")
     nq = _duck_norm("q.embedding")
     return f"""
-    WITH cent AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
-                  WHERE vec_id % 25 = 0),
+    WITH cent AS (SELECT centroid_id, embedding FROM (
+                    SELECT vec_id AS centroid_id, embedding,
+                           ROW_NUMBER() OVER (ORDER BY
+                             ((vec_id % 1000003) * 2654435761) % 1000003,
+                             vec_id) AS rn
+                    FROM embeddings) WHERE rn <= 32),
     assigned AS (
       SELECT corpus_id, label, centroid_id FROM (
         SELECT c.vec_id AS corpus_id, c.label, m.centroid_id,
