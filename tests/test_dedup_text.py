@@ -244,3 +244,25 @@ def test_dedup_clusters_transitive(spark):
            for r in dedup.dedup_clusters(d).collect()}
     assert out[9] == (9, 1)
     assert out[1] == out[2] == out[3] == (1, 3)
+
+
+def test_dedup_clusters_giant_exact_group_survives_band_cap(spark):
+    """ADVICE.md r3: an exact-duplicate group LARGER than max_bucket
+    shares all 4 simhash bands, so pre-r4 every one of its band buckets
+    blew the cap, all edges were dropped, and the corpus's biggest
+    duplicate cluster came back as singletons.  The fingerprint
+    pre-collapse folds the group to ONE band-graph node, so the cluster
+    survives any cap — and near-dup (not just identical) variants still
+    attach to it through their representative."""
+    rows = [(i, "spam spam lovely boilerplate spam page") for i in range(1, 21)]
+    rows.append((50, "spam spam lovely boilerplate spam page extra"))  # near-dup variant
+    rows.append((99, "completely different content with other words entirely"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in dedup.dedup_clusters(d, max_bucket=4).collect()}
+    assert out[99] == (99, 1)
+    # all 20 exact dupes cluster together under cluster_id 1 despite
+    # max_bucket=4; the near-dup doc 50 joins iff its rep-pair passes the
+    # hamming check (it does for this fixture: one-token suffix)
+    assert all(out[i][0] == 1 for i in range(1, 21))
+    assert out[1][1] >= 20

@@ -405,23 +405,58 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
             .select("doc_id", "fp", "n_batch_dupes"))
 
 
-def dedup_clusters(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate CLUSTERS: the banded simhash64 pair graph closed
-    under transitivity — `connected_components` (the R4 way-join CC,
-    log-diameter pointer jumping) reused on the graft near-dup graph.
-    Docs with no near-dup partner form singleton clusters.
+def dedup_clusters(docs: DataFrame, max_hamming: int = 3,
+                   max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact duplicates are pre-collapsed by
+    62-bit fingerprint, then the banded simhash64 pair graph over the
+    DISTINCT texts is closed under transitivity — `connected_components`
+    (the R4 way-join CC, log-diameter pointer jumping) reused on the
+    graft near-dup graph — and every doc inherits its representative's
+    cluster.  Docs with no near-dup partner form singleton clusters.
+
+    Why pre-collapse (ADVICE.md r3): identical texts share all 4 simhash
+    bands, so an exact-duplicate group larger than ``max_bucket`` would
+    blow every one of its band buckets past the cap, ALL its edges would
+    be dropped, and the corpus's biggest duplicate cluster would be
+    silently reported as singletons — the case a dedup caller cares
+    about most.  Collapsing by fingerprint first (a) guarantees
+    identical-text groups always cluster together regardless of size and
+    (b) shrinks the band graph to one node per distinct text.  The
+    ``max_bucket`` cap still applies to the DISTINCT-text band buckets:
+    a bucket of > max_bucket mutually-distinct near-dup texts is still
+    dropped (bounded pair emit beats perfect recall inside pathological
+    boilerplate clusters — same trade as simhash_neardup_pairs).
 
     Output: (doc_id, cluster_id, cluster_size) with cluster_id = min
     doc_id in the cluster — the canonical representative a pipeline keeps
     when collapsing each cluster to one document."""
     from .network import connected_components
-    pairs = simhash_neardup_pairs(docs, max_hamming=max_hamming)
+    fdocs = _spread(docs).select(
+        "doc_id", "text", F.expr(fingerprint62_sql("text")).alias("fp"))
+    # struct-min: the representative is the MIN doc_id of each exact-dup
+    # group, carrying its text (identical within the group) — map-side
+    # combinable, so the shuffle moves ~one text per distinct fp per
+    # partition, not the whole corpus
+    reps = (fdocs.groupBy("fp")
+            .agg(F.min(F.struct("doc_id", "text")).alias("r"))
+            .select("fp", F.col("r.doc_id").alias("doc_id"),
+                    F.col("r.text").alias("text")))
+    pairs = simhash_neardup_pairs(reps.select("doc_id", "text"),
+                                  max_hamming=max_hamming,
+                                  max_bucket=max_bucket)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
-    singles = (docs.select("doc_id").join(comp, "doc_id", "left_anti")
-               .select("doc_id", F.col("doc_id").alias("cluster_id")))
-    labeled = comp.unionByName(singles)
+        F.col("id").alias("rep_id"), F.col("component").alias("cluster_id"))
+    rep_cluster = (reps.select(F.col("doc_id").alias("rep_id"), "fp")
+                   .join(comp, "rep_id", "left")
+                   .select("fp", F.coalesce("cluster_id", "rep_id")
+                           .alias("cluster_id")))
+    # eqNullSafe: a NULL text fingerprints to NULL; a plain equi-join
+    # would silently drop those docs from the output
+    labeled = (fdocs.select("doc_id", "fp").alias("d")
+               .join(rep_cluster.alias("rc"),
+                     F.col("d.fp").eqNullSafe(F.col("rc.fp")))
+               .select("d.doc_id", "rc.cluster_id"))
     # window count instead of agg+join: one evaluation of the labeled
     # branch (the join form scanned docs + the anti-join twice — review r3)
     w = Window.partitionBy("cluster_id")

@@ -1179,7 +1179,7 @@ def q_simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neardup_pairs(docs, max_hamming=3)
 
 
-def o_simhash64_neardup() -> str:
+def o_simhash64_neardup(src: str = "documents") -> str:
     th = _duck_token_hashes()
     th2 = (f"list_transform(list_distinct({_duck_tokens()}), t -> "
            + sqlfns.polyhash_duckdb("t", mult=37) + ")")
@@ -1195,7 +1195,7 @@ def o_simhash64_neardup() -> str:
 
     return f"""
     WITH s AS (SELECT doc_id, ({fp('th', 0)}) + ({fp('th2', 31)}) AS sh FROM
-               (SELECT doc_id, {th} AS th, {th2} AS th2 FROM documents)),
+               (SELECT doc_id, {th} AS th, {th2} AS th2 FROM {src})),
     bands0 AS (SELECT doc_id, sh, q AS band_no, (sh >> (q * 16)) % 65536 AS band_val
                FROM s, range(0, 4) r(q)),
     bands AS (SELECT * FROM bands0
@@ -1220,18 +1220,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_dedup_clusters() -> str:
     """Transitive closure by recursive CTE (min reachable id = cluster) —
     fine at oracle scale; the engine side uses log-diameter pointer
-    jumping instead."""
+    jumping instead.  Mirrors the r4 pre-collapse: exact duplicates fold
+    to their min-doc_id representative by 62-bit fingerprint BEFORE the
+    banded pair graph, and every doc inherits its rep's cluster
+    (ADVICE.md r3 — a giant identical-text group can no longer lose all
+    its edges to the band-bucket cap)."""
+    fp62 = dedup.fingerprint62_duckdb_sql("text")
     return f"""
-    WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ({o_simhash64_neardup()})),
+    WITH RECURSIVE
+    fps AS (SELECT doc_id, text, {fp62} AS fp FROM documents),
+    reps AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, fp
+             FROM fps GROUP BY fp),
+    p AS (SELECT doc_a, doc_b FROM ({o_simhash64_neardup('reps')})),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM p
               UNION ALL SELECT doc_b, doc_a FROM p),
     reach(node, r) AS (
       SELECT a, a FROM edges
       UNION
       SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
-    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
-    allc AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    comp AS (SELECT node AS rep_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    repc AS (SELECT rp.fp, COALESCE(c.cluster_id, rp.doc_id) AS cluster_id
+             FROM reps rp LEFT JOIN comp c ON rp.doc_id = c.rep_id),
+    allc AS (SELECT f.doc_id, rc.cluster_id
+             FROM fps f JOIN repc rc ON f.fp IS NOT DISTINCT FROM rc.fp)
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
     FROM allc
