@@ -227,8 +227,12 @@ def join_segmented_ways(ways: DataFrame) -> DataFrame:
         .select(F.element_at(F.array_sort("ws"), 1).alias("src"),
                 F.element_at(F.array_sort("ws"), 2).alias("dst"))
     )
-    if pairs.isEmpty():
-        return ways
+    # no isEmpty() pre-probe: it cost a full evaluation of the pairs plan
+    # as an extra Spark job on EVERY call just to short-circuit the rare
+    # empty case (VERDICT.md r3 'What's wrong' #4).  An empty edge list
+    # falls out naturally: CC converges in one round on zero rows, every
+    # way becomes its own component, and _chain_merge returns single-way
+    # groups unchanged.
     comp = connected_components(pairs)
     tagged = ways.join(comp.withColumnRenamed("id", "way_id"), "way_id", "left") \
                  .withColumn("component", F.coalesce("component", "way_id"))
@@ -278,12 +282,15 @@ def split_streets(ways: DataFrame, inter: DataFrame | None = None) -> DataFrame:
 
 # --- R8 node merging -----------------------------------------------------------
 
-def _node_merge_remap(pts: DataFrame, threshold_m: float) -> DataFrame | None:
+def _node_merge_remap(pts: DataFrame, threshold_m: float) -> DataFrame:
     """(old_id -> new_id) remap for nodes closer than threshold_m.
     Candidates from a cell-bucketed self-join (cell edge > threshold so a
     disk-1 neighborhood covers it) — an equi-join, never a cross join;
     cluster merge = connected components; canonical id = min(node_id).
-    Returns None when no pair is within threshold."""
+    Empty when no pair is within threshold — callers coalesce through it,
+    no driver-side emptiness probe (VERDICT.md r3 'What's wrong' #4: the
+    old cand.isEmpty() guard evaluated the whole candidate plan as an
+    extra job per call)."""
     res = 13  # 9.5 m cells > 5 m threshold
     disk_cells = F.array(*[
         F.expr(sqlfns.cell_sql(f"lat + {di} * {cells.cell_size_deg(res)!r}",
@@ -301,8 +308,6 @@ def _node_merge_remap(pts: DataFrame, threshold_m: float) -> DataFrame | None:
         .select(F.col("node_id").alias("src"), F.col("node_id_b").alias("dst"))
         .distinct()
     )
-    if cand.isEmpty():
-        return None
     comp = connected_components(cand)
     return comp.filter(F.col("id") != F.col("component")) \
                .select(F.col("id").alias("old_id"), F.col("component").alias("new_id"))
@@ -313,8 +318,6 @@ def merge_nodes(nodes: DataFrame, ways: DataFrame,
     """R8: collapse nodes closer than threshold_m into the min-id canonical
     node and rewrite way vertex lists (consecutive duplicates dropped)."""
     remap = _node_merge_remap(nodes.select("node_id", "lat", "lng"), threshold_m)
-    if remap is None:
-        return nodes, ways
     exploded = way_nodes(ways).join(
         F.broadcast(remap).withColumnRenamed("old_id", "node_id"), "node_id", "left")
     exploded = exploded.withColumn("node_id", F.coalesce("new_id", "node_id"))
@@ -345,8 +348,6 @@ def merge_nodes_gw(gw: DataFrame,
                      F.col("v.lats").alias("lat"), F.col("v.lngs").alias("lng"))
              .dropDuplicates(["node_id"]))
     remap = _node_merge_remap(verts, threshold_m)
-    if remap is None:
-        return gw
     canon = remap.join(verts.select(F.col("node_id").alias("new_id"),
                                     F.col("lat").alias("c_lat"),
                                     F.col("lng").alias("c_lng")), "new_id")
