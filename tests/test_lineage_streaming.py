@@ -87,6 +87,29 @@ def test_catalog_roundtrip(spark, tmp_path):
     assert m["table"] == "t1"
 
 
+def test_catalog_stale_pointer_never_reuses_snapshot_id(spark, tmp_path):
+    """ADVICE.md r3: a crash between publishing _manifest-<n>.json and
+    updating the current pointer must not make the NEXT write reuse id n
+    and overwrite the orphaned (immutable) snapshot — ids allocate from
+    max(existing manifests) + 1, not pointer + 1."""
+    import os
+    import shutil
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    c.write("t", spark.range(10))                       # snap 0
+    man1 = c.write("t", spark.range(20))                # snap 1
+    assert man1["snapshot_id"] == 1
+    # simulate the crash: roll the current pointer back to snapshot 0
+    shutil.copy(c._manifest("t", 0), c._manifest("t"))
+    files_before = set(c.manifest("t", 1)["files"])
+    man2 = c.write("t", spark.range(30))                # must become snap 2
+    assert man2["snapshot_id"] == 2
+    # the orphaned snapshot 1 is untouched and still readable
+    assert set(c.manifest("t", 1)["files"]) == files_before
+    assert all(os.path.exists(os.path.join(c._dir("t"), f)) for f in files_before)
+    assert c.load("t", 1).count() == 20
+    assert c.load("t").count() == 30
+
+
 def test_osm_xml_roundtrip(spark):
     nodes, ways = synth.micro_fixture(spark, "t_intersection")
     xml = osm_xml.network_to_osm_xml(nodes, ways)

@@ -66,3 +66,17 @@ def test_scan_tolerates_real_world_records(spark, tmp_path):
     rows = {r.url: r for r in warc.scan_warc(spark, str(d)).collect()}
     assert set(rows) == {"http://a.example/ok", "http://a.example/f"}
     assert rows["http://a.example/f"].warc_ts.microsecond == 123000
+
+
+def test_iter_records_skips_malformed_content_length():
+    """A non-numeric Content-Length must skip that record and resync, not
+    raise and kill the whole file's batch (ADVICE.md r3)."""
+    good1 = warc.record_bytes("http://a.example/1", "2026-01-01T00:00:00Z", b"<p>1</p>")
+    bad = warc.record_bytes("http://a.example/bad", "2026-01-01T00:00:00Z", b"<p>x</p>")
+    # corrupt the WARC-layer Content-Length (first occurrence in the record)
+    import re
+    bad = re.sub(rb"Content-Length: \d+", b"Content-Length: oops", bad, count=1)
+    good2 = warc.record_bytes("http://a.example/2", "2026-01-02T00:00:00Z", b"<p>2</p>")
+    recs = list(warc.iter_records(good1 + bad + good2))
+    uris = [h.get(b"warc-target-uri") for h, _ in recs]
+    assert uris == [b"http://a.example/1", b"http://a.example/2"]

@@ -63,7 +63,13 @@ class Catalog:
         parent = None
         if os.path.exists(self._manifest(name)):
             parent = self.manifest(name)
-        snap_id = 0 if parent is None else parent["snapshot_id"] + 1
+        # allocate from MAX(existing snapshot manifests) + 1, not
+        # parent + 1: a crash between publishing _manifest-<n>.json and
+        # updating the current pointer leaves the pointer stale, and
+        # parent+1 would reuse id n and silently overwrite the orphaned —
+        # supposedly immutable — snapshot (ADVICE.md r3)
+        ids = self._snapshot_ids(name)
+        snap_id = 0 if not ids else ids[-1] + 1
         snap = f"snap-{snap_id}"
         path = self._dir(name)
         w = df.write.mode("overwrite")
@@ -112,13 +118,17 @@ class Catalog:
         with open(self._manifest(name, snapshot_id)) as fh:
             return json.load(fh)
 
+    def _snapshot_ids(self, name: str) -> list[int]:
+        path = self._dir(name)
+        if not os.path.isdir(path):
+            return []
+        return sorted(int(f[len("_manifest-"):-len(".json")])
+                      for f in os.listdir(path)
+                      if f.startswith("_manifest-") and f.endswith(".json"))
+
     def snapshots(self, name: str) -> list[dict]:
         """All manifests of a table, snapshot_id ascending."""
-        path = self._dir(name)
-        ids = sorted(int(f[len("_manifest-"):-len(".json")])
-                     for f in os.listdir(path)
-                     if f.startswith("_manifest-") and f.endswith(".json"))
-        return [self.manifest(name, i) for i in ids]
+        return [self.manifest(name, i) for i in self._snapshot_ids(name)]
 
     def tables(self) -> list[str]:
         return sorted(

@@ -100,7 +100,18 @@ def iter_records(blob: bytes):
         for line in blob[i:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get(b"content-length", b"0"))
+        clen_raw = headers.get(b"content-length", b"0").strip()
+        if not clen_raw.isdigit():
+            # malformed Content-Length: skip the record and resync to the
+            # next record marker, matching the URI-less/garbage tolerance
+            # above instead of raising and killing the whole file's batch
+            # (ADVICE.md r3)
+            j = blob.find(_CRLF + _CRLF + WARC_VERSION, hdr_end)
+            if j < 0:
+                return
+            i = j + 4
+            continue
+        clen = int(clen_raw)
         payload = blob[hdr_end + 4:hdr_end + 4 + clen]
         yield headers, payload
         i = hdr_end + 4 + clen + 4  # skip the two record-terminating CRLFs
@@ -174,7 +185,17 @@ def write_warc(pages: DataFrame, out_dir: str, shards: int = 8) -> DataFrame:
     writer tasks; each writes ONE deterministic shard (rows sorted by url
     inside the shard, so bytes are identical at any parallelism) and emits
     a manifest row.  The caller materializes the returned manifest — the
-    write happens task-side, no driver collect."""
+    write happens task-side, no driver collect.
+
+    SANDBOX SUBSTITUTION (ADVICE.md r3, same class as the catalog's
+    parquet-manifest stand-in): shards are written with plain ``open()``
+    to ``out_dir``, which is only a SHARED path in local mode or on a
+    cluster whose executors mount a common filesystem (NFS/FUSE).  On a
+    real multi-executor cluster with object storage, the ``open()`` /
+    ``os.replace()`` calls in ``run`` are the seam to swap for the Hadoop
+    FileSystem API via the JVM gateway (create + rename gives the same
+    atomic publish); the partitioning, per-shard determinism, and
+    manifest contract are unchanged by that swap."""
     os.makedirs(out_dir, exist_ok=True)
 
     def run(it):
