@@ -58,8 +58,15 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # window cannot bias one leg (min per leg over all rounds).
 SCALING_CORES = (int(os.environ.get("SPARK_GRAFT_SCALING_SMALL", "2")),
                  int(os.environ.get("SPARK_GRAFT_SCALING_BIG", "8")))
-# official-pair sample rounds, spread across the scaling phase (see main)
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
+# official-pair sample rounds, spread across the scaling phase (see main).
+# r3 lesson: 4 interleaved rounds were still not enough on this host — the
+# DRIVER's official pair landed every small-leg sample in a noisy window
+# (samples 31.4-45.1 s vs clean ~28-35 s) and recorded 0.794 while the
+# in-repo re-measures under the identical protocol read 0.883-0.914
+# (VERDICT.md r3 'Next round' #3).  6 rounds + the adaptive third
+# in-session sample (below) give each leg >= 12 time-separated chances to
+# catch a clean window.
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "6"))
 # large enough that per-job fixed overhead (stage scheduling, broadcast
 # build) is <10% of the big leg — the Amdahl term that deflates efficiency
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "10000000"))
@@ -151,10 +158,17 @@ def measured_session(core_spec: str, n_pages: int) -> float:
     spark = get_spark(f"bench{core_spec}", cpus=n, shuffle_partitions=2 * n)
     buffers = build_buffers(spark)
     pages_throughput_job(spark, buffers, 200_000)  # warmup: JIT + codegen
-    secs = min(_timed(lambda: pages_throughput_job(spark, buffers, n_pages))[1]
-               for _ in range(2))  # min-of-2: sandbox timing noise is 3-4x
+    # min-of-2 with an ADAPTIVE third sample: sandbox timing noise is
+    # 3-4x and arrives in multi-minute windows, so when the two samples
+    # disagree by >15% at least one was noisy — take one more and keep the
+    # min.  Clean legs stay at 2 samples (no extra cost); noisy legs get a
+    # third chance inside the same pinned session.
+    ts = [_timed(lambda: pages_throughput_job(spark, buffers, n_pages))[1]
+          for _ in range(2)]
+    if max(ts) > 1.15 * min(ts):
+        ts.append(_timed(lambda: pages_throughput_job(spark, buffers, n_pages))[1])
     spark.stop()
-    return secs
+    return min(ts)
 
 
 def measured_session_pinned(core_spec, n_pages: int) -> float:
@@ -173,10 +187,19 @@ def measured_session_pinned(core_spec, n_pages: int) -> float:
 
 def pair_record(small_spec, big_spec, n_pages: int,
                 t_small: list[float], t_big: list[float]) -> dict:
-    """min per leg over all samples -> N->4N efficiency record."""
+    """min per leg over all samples -> N->4N efficiency record.  The
+    official `efficiency` is min-based (each leg's best observed time is
+    its capability; both legs sampled at >= SCALING_ROUNDS time-separated
+    points).  `efficiency_paired_median` is a cross-check: the median of
+    per-round small/big ratios — round-local pairing cancels noise windows
+    that inflate BOTH legs of a round, and a large gap between the two
+    numbers flags a measurement (not a plan) problem."""
     sec_s, sec_b = min(t_small), min(t_big)
     n_s = len(_parse_cores(str(small_spec)))
     n_b = len(_parse_cores(str(big_spec)))
+    ratios = sorted(s / b for s, b in zip(t_small, t_big))
+    med = (ratios[len(ratios) // 2] if len(ratios) % 2
+           else (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2)
     return {"pages": n_pages,
             "cores_small": str(small_spec), "cores_big": str(big_spec),
             "n_small": n_s, "n_big": n_b,
@@ -185,6 +208,7 @@ def pair_record(small_spec, big_spec, n_pages: int,
             "pages_per_sec_big": round(n_pages / sec_b, 1),
             "speedup": round(sec_s / sec_b, 3),
             "efficiency": round(sec_s / ((n_b / n_s) * sec_b), 3),
+            "efficiency_paired_median": round(med / (n_b / n_s), 3),
             "samples_small": t_small, "samples_big": t_big}
 
 
@@ -268,6 +292,17 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("incremental_dedup", lambda: dedup.incremental_dedup(
         docs.filter("doc_id % 7 = 3"), docs.filter("doc_id % 7 != 3")))
     bench("corpus_build", lambda: PL.build_corpus(docs))
+    # r3 'Next round' #8: the only green operators without a bench leg.
+    # dedup_clusters includes the CC fixpoint loop (driver-side rounds),
+    # so its wall covers the whole graph-closure path, not just the pairs.
+    bench("dedup_clusters", lambda: dedup.dedup_clusters(docs))
+    bench("domain_stats", lambda: text.domain_stats(synth.pages(spark, 1_000_000)))
+    # r4 training-pipeline additions
+    bench("sequence_packing", lambda: text.pack_sequences(docs))
+    bench("decontaminate", lambda: dedup.decontaminate(
+        docs, docs.filter("doc_id % 97 = 0"), w=4))
+    bench("ngram_counts", lambda: text.ngram_counts(docs))
+    bench("pii_scrub", lambda: text.pii_scrub(docs))
     bench("quality_score", lambda: text.quality_score(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
@@ -307,7 +342,7 @@ def main() -> None:
     spark.stop()
 
     scaling = curve = disjoint = None
-    if RUN_SCALING:
+    if RUN_SCALING and SCALING_ROUNDS > 0:
         small, big = SCALING_CORES
         # Official pair sampled in rounds SPREAD ACROSS the whole scaling
         # phase, interleaved with the curve/disjoint legs: this host's
@@ -340,11 +375,10 @@ def main() -> None:
         # cache residue, is what's measured
         disjoint = scaling_pair("24-25", "8-15", SCALING_PAGES, rounds=1)
         official_round()
-        while len(t_small) < SCALING_ROUNDS:  # extra rounds past the default 4
+        while len(t_small) < SCALING_ROUNDS:  # extra rounds past the interleave points
             t_small.append(measured_session_pinned(small, SCALING_PAGES))
             t_big.append(measured_session_pinned(big, SCALING_PAGES))
-        scaling = (pair_record(small, big, SCALING_PAGES, t_small, t_big)
-                   if t_small else None)  # SCALING_ROUNDS=0 skips the pair
+        scaling = pair_record(small, big, SCALING_PAGES, t_small, t_big)
 
     out = {
         "metric": "spatial_join_tiling_wall_sec",
@@ -356,9 +390,15 @@ def main() -> None:
         "pages_per_sec": round(N_PAGES / flag_sec, 1),  # generated-input path
         "parquet_scan": scan,  # scan-inclusive path, measured separately
     }
-    if scaling:
+    # emit each scaling artifact iff it was measured: with
+    # SPARK_GRAFT_SCALING_ROUNDS=0 the old single `if scaling:` gate
+    # measured the multi-minute curve/disjoint legs and then silently
+    # discarded them (ADVICE.md r3)
+    if scaling is not None:
         out["scaling"] = scaling
+    if curve is not None:
         out["scaling_curve"] = curve
+    if disjoint is not None:
         out["scaling_disjoint"] = disjoint
     print(json.dumps(out))
 

@@ -246,6 +246,63 @@ def test_dedup_clusters_transitive(spark):
     assert out[1] == out[2] == out[3] == (1, 3)
 
 
+def test_pack_sequences_running_offsets(spark):
+    """Contiguous packing: within a shard, seq_id/seq_offset follow the
+    exclusive running token sum in doc_id order; budget boundaries roll
+    the sequence id."""
+    d = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "en", "d e f g"), (3, "en", "h i"),
+         (4, "de", "x y z")],
+        "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in
+           text.pack_sequences(d, budget_tokens=5, n_shards=1).collect()}
+    assert out[1].shard == "en/0" and out[4].shard == "de/0"
+    assert (out[1].seq_id, out[1].seq_offset) == (0, 0)   # start 0
+    assert (out[2].seq_id, out[2].seq_offset) == (0, 3)   # start 3
+    assert (out[3].seq_id, out[3].seq_offset) == (1, 2)   # start 7
+    assert (out[4].seq_id, out[4].seq_offset) == (0, 0)   # own shard
+    assert out[2].n_tokens == 4
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    corpus = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon zeta"),   # shares 4-gram w/ bench
+        (2, "totally unrelated words here friend"),
+        (3, "beta gamma delta epsilon more stuff"),   # shares 4-gram w/ bench
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_hits for r in
+           dedup.decontaminate(corpus, bench, w=4).collect()}
+    assert set(out) == {1, 3}
+    # doc 1 shares 'alpha beta gamma delta' and 'beta gamma delta epsilon'
+    assert out[1] == 2
+    assert out[3] == 1
+
+
+def test_ngram_counts_top_k(spark):
+    d = spark.createDataFrame([
+        (1, "a b a b c"), (2, "a b x"), (3, "z")],  # 'z' too short: no bigram
+        "doc_id long, text string")
+    rows = text.ngram_counts(d, w=2, top_k=2).collect()
+    assert [(r.ngram, r.n_total, r.n_docs) for r in rows] == [
+        ("a b", 3, 2), ("b a", 1, 1)]  # tie on n_total=1 broken by ngram asc? n_docs desc first
+    # verify deterministic tiebreak: 'b a','b c','b x' all 1/1 -> ngram asc picks 'b a'
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    d = spark.createDataFrame([
+        (1, "mail me at jo.doe+x@site.example or call 555-123-4567 now"),
+        (2, "no pii in this one"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in text.pii_scrub(d).collect()}
+    assert out[1].text_scrubbed == "mail me at [EMAIL] or call [PHONE] now"
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert out[2].text_scrubbed == "no pii in this one"
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+
+
 def test_dedup_clusters_giant_exact_group_survives_band_cap(spark):
     """ADVICE.md r3: an exact-duplicate group LARGER than max_bucket
     shares all 4 simhash bands, so pre-r4 every one of its band buckets

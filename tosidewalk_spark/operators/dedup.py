@@ -405,6 +405,33 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
             .select("doc_id", "fp", "n_batch_dupes"))
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, w: int = 8) -> DataFrame:
+    """Benchmark DECONTAMINATION — flag corpus documents sharing any word
+    ``w``-gram with a benchmark/eval set, the screen every training-data
+    pipeline runs before a model ships (w=8 is the published GPT-3/PaLM
+    convention; documents shorter than w tokens fall back to whole-token
+    overlap via the _shingles short-doc rule).
+
+    Output: (doc_id, n_hits) for CONTAMINATED docs only — n_hits = how
+    many distinct w-grams of the doc appear anywhere in the benchmark.
+    Callers drop them with a left-anti join on doc_id (build_corpus does
+    exactly that).
+
+    Scale shape: the benchmark side collapses to DISTINCT w-gram hashes —
+    thousands of rows even for large eval suites, so Catalyst broadcasts
+    it and the corpus side never shuffles: explode distinct doc w-gram
+    hashes (map-side, codegen polynomial hash), broadcast-semi probe,
+    count per doc with map-side combine.  No shuffle of text, no python."""
+    bench_hashes = (_spread(benchmark)
+                    .select(F.explode(F.expr(_shingle_hashes("text", w))).alias("gh"))
+                    .distinct())
+    doc_grams = (_spread(docs)
+                 .select("doc_id", F.explode(F.expr(_shingle_hashes("text", w))).alias("gh")))
+    return (doc_grams.join(F.broadcast(bench_hashes), "gh", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits")))
+
+
 def dedup_clusters(docs: DataFrame, max_hamming: int = 3,
                    max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
     """Near-duplicate CLUSTERS: exact duplicates are pre-collapsed by

@@ -161,6 +161,93 @@ def token_histogram(docs: DataFrame) -> DataFrame:
             .select("lang", "bucket", "n_docs"))
 
 
+def pack_sequences(docs: DataFrame, budget_tokens: int = 1024,
+                   n_shards: int = 64) -> DataFrame:
+    """Sequence PACKING — the step that turns a filtered corpus into
+    fixed-token-budget training sequences (GPT-style contiguous packing:
+    documents are laid end-to-end in deterministic order and a sequence
+    boundary falls every ``budget_tokens`` tokens; a straddling document
+    is split at training time).  Output per doc: the shard, its token
+    count, the sequence id its FIRST token lands in, and the offset of
+    that token within the sequence.
+
+    Scale shape: packing is per-shard (shard = lang + a polyhash bucket
+    of doc_id, ``n_shards`` per lang), so the running-sum window
+    partitions by shard and parallelizes across lang x n_shards
+    partitions instead of one global sort — at 100 TB you raise
+    ``n_shards`` so a shard's token stream fits one task; the within-
+    shard order (doc_id) and the shard function are deterministic, so
+    sequence ids are reproducible at any parallelism.  One shuffle (the
+    window's partitionBy); the token count and shard key compute
+    map-side in codegen."""
+    h = sqlfns.polyhash_spark("CAST(doc_id AS STRING)")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    base = docs.select(
+        "doc_id",
+        F.expr(f"CONCAT(lang, '/', CAST(PMOD({h}, {int(n_shards)}) AS STRING))"
+               ).alias("shard"),
+        F.expr(f"CAST(SIZE({_tokens()}) AS BIGINT)").alias("n_tokens"))
+    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (base.withColumn("start_tok", excl)
+            .select("doc_id", "shard", "n_tokens",
+                    F.expr(f"start_tok DIV {int(budget_tokens)}").alias("seq_id"),
+                    (F.col("start_tok") % budget_tokens).alias("seq_offset")))
+
+
+def ngram_counts(docs: DataFrame, w: int = 2, top_k: int = 100) -> DataFrame:
+    """Corpus n-gram statistics: the ``top_k`` word w-grams by total
+    occurrence count (with the distinct-document count alongside) — the
+    table behind contamination screens, boilerplate detection, and n-gram
+    LM sanity checks.  Occurrences are counted per position (NOT
+    distinct-per-doc), so repeated boilerplate inside one page counts.
+
+    Plan: explode w-gram positions -> two-phase hash agg on the gram
+    (map-side combine; grams are a high-cardinality well-spread key) ->
+    global top-k via TakeOrderedAndProject (total desc, n_docs desc, gram
+    asc — a total order, so the cut is deterministic).  count_distinct
+    over doc_id rides the same agg."""
+    t = _tokens()
+    grams = (f"CASE WHEN SIZE({t}) >= {w} THEN "
+             f"TRANSFORM(SEQUENCE(0, SIZE({t}) - {w}), "
+             f"i -> CONCAT_WS(' ', SLICE({t}, i + 1, {w}))) "
+             f"ELSE CAST(ARRAY() AS ARRAY<STRING>) END")
+    ex = docs.select("doc_id", F.explode(F.expr(grams)).alias("ngram"))
+    agg = (ex.groupBy("ngram")
+           .agg(F.count("*").alias("n_total"),
+                F.countDistinct("doc_id").alias("n_docs")))
+    return (agg.orderBy(F.desc("n_total"), F.desc("n_docs"), "ngram")
+            .limit(top_k))
+
+
+# backslash-free on purpose: Spark SQL string literals strip unknown
+# backslash escapes while DuckDB's keep them, so a pattern with '\+'
+# would silently DIVERGE between engine and oracle.  '[.]'/'[+]' classes
+# need no escaping in either dialect.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RE = "[+]?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII scrubbing: redact email addresses and simple phone patterns
+    from the text, reporting per-doc redaction counts — the compliance
+    pass a web-scale corpus runs before training.  Both patterns are
+    dialect-portable (plain character classes + bounded repetition, no
+    backrefs/lookaround), so Java regex (Spark codegen) and RE2 (the
+    DuckDB twin) match identical spans; replacement is global on both
+    engines.  Pure codegen scan->project, no shuffle, no python."""
+    n_em = f"SIZE(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL_RE}', 0))"
+    n_ph = f"SIZE(REGEXP_EXTRACT_ALL(text, '{PII_PHONE_RE}', 0))"
+    scrub = (f"REGEXP_REPLACE(REGEXP_REPLACE(text, '{PII_EMAIL_RE}', "
+             f"'[EMAIL]'), '{PII_PHONE_RE}', '[PHONE]')")
+    return docs.select(
+        "doc_id",
+        F.expr(scrub).alias("text_scrubbed"),
+        F.expr(f"CAST({n_em} AS INT)").alias("n_emails"),
+        F.expr(f"CAST({n_ph} AS INT)").alias("n_phones"))
+
+
 def domain_stats(pages: DataFrame) -> DataFrame:
     """Per-domain corpus stats — the first grouping any web-crawl audit
     runs.  Domain = host part of the url (regexp in codegen; the DuckDB

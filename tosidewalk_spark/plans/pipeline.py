@@ -158,19 +158,25 @@ if __name__ == "__main__":
 
 def build_corpus(docs: DataFrame,
                  quality_min: float = 0.5,
-                 permille_by_lang: dict[str, int] | None = None) -> DataFrame:
+                 permille_by_lang: dict[str, int] | None = None,
+                 benchmark: DataFrame | None = None) -> DataFrame:
     """End-to-end training-corpus construction — the composition a real
     LLM-data pipeline runs nightly, assembled from the §2 operators:
 
         quality filter (C4/Gopher-style heuristics, codegen)
           -> exact dedup (min-doc_id survivor per 62-bit two-base fingerprint)
+          -> benchmark decontamination (optional: drop docs sharing any
+             8-gram with the eval set — dedup.decontaminate, broadcast
+             semi-probe, and the benchmark docs themselves are dropped by
+             construction since they fully overlap themselves)
           -> deterministic stratified sampling (reproducible membership)
           -> per-lang corpus summary (docs kept, tokens kept)
 
     Every stage is a pure DataFrame transform over the previous one —
-    one shuffle for the dedup agg, one for the final summary; the quality
-    + sample predicates collapse into the scan-side filter.  Output:
-    (lang, n_docs, n_tokens) per kept lang."""
+    one shuffle for the dedup agg, one for the final summary (the
+    decontaminate probe broadcasts); the quality + sample predicates
+    collapse into the scan-side filter.  Output: (lang, n_docs,
+    n_tokens) per kept lang."""
     from ..operators import text as TX
     from ..operators.dedup import _spread
     if permille_by_lang is None:
@@ -181,7 +187,7 @@ def build_corpus(docs: DataFrame,
     docs = _spread(docs)
     q = TX.quality_score(docs).filter(F.col("quality") >= quality_min)
     kept = docs.join(q.select("doc_id", "n_tokens"), "doc_id")
-    from ..operators.dedup import fingerprint62_sql
+    from ..operators.dedup import decontaminate, fingerprint62_sql
     fp = fingerprint62_sql("text")
     survivors = (kept.withColumn("fp", F.expr(fp))
                  .groupBy("fp")
@@ -189,6 +195,9 @@ def build_corpus(docs: DataFrame,
                  .select(F.col("b.doc_id").alias("doc_id"),
                          F.col("b.lang").alias("lang"),
                          F.col("b.n_tokens").alias("n_tokens")))
+    if benchmark is not None:
+        contaminated = decontaminate(docs, benchmark).select("doc_id")
+        survivors = survivors.join(contaminated, "doc_id", "left_anti")
     sampled = TX.deterministic_sample(survivors, permille_by_lang)
     return (sampled.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),

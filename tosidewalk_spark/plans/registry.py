@@ -610,13 +610,33 @@ def o_quality() -> str:
 
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus construction (plans.pipeline.build_corpus):
-    quality filter -> exact dedup -> stratified sample -> per-lang
+    quality filter -> exact dedup -> benchmark decontamination (every
+    97th doc plays the eval set) -> stratified sample -> per-lang
     summary, all §2 operators composed; the oracle re-derives the whole
     chain in one DuckDB query."""
     from . import pipeline
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pipeline.build_corpus(docs, quality_min=0.5,
-                                 permille_by_lang=_SAMPLE_QUOTAS)
+                                 permille_by_lang=_SAMPLE_QUOTAS,
+                                 benchmark=docs.filter("doc_id % 97 = 0"))
+
+
+def _duck_shingle_hashes(col: str = "text", w: int = 3) -> str:
+    """DuckDB twin of dedup._shingle_hashes (distinct w-gram hashes)."""
+    return (f"list_transform(list_distinct({_duck_shingles(col, w)}), t -> "
+            + sqlfns.polyhash_duckdb("t") + ")")
+
+
+def _duck_contaminated(bench_pred: str = "doc_id % 97 = 0", w: int = 8) -> str:
+    """CTE body: (doc_id, n_hits) of docs sharing >= 1 w-gram with the
+    benchmark subset — twin of dedup.decontaminate."""
+    th = _duck_shingle_hashes("text", w)
+    return f"""
+      SELECT doc_id, COUNT(*) AS n_hits FROM
+        (SELECT doc_id, unnest({th}) AS gh FROM documents) dg
+        JOIN (SELECT DISTINCT unnest({th}) AS gh FROM documents
+              WHERE {bench_pred}) bh USING (gh)
+      GROUP BY doc_id"""
 
 
 def o_corpus_build() -> str:
@@ -635,7 +655,10 @@ def o_corpus_build() -> str:
       SELECT doc_id, lang, n_tokens
       FROM (SELECT *, {fp} AS fp FROM kept)
       QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
-    samp AS (SELECT * FROM surv WHERE ({h}) % 1000 < {quota})
+    cont AS ({_duck_contaminated()}),
+    clean AS (SELECT surv.* FROM surv
+              WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    samp AS (SELECT * FROM clean WHERE ({h}) % 1000 < {quota})
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
     FROM samp GROUP BY lang
@@ -1809,6 +1832,112 @@ QUERIES.update({
     "shingle_jaccard_pairs": (q_shingle_jaccard, o_shingle_jaccard),
 })
 
+
+# --- r4 training-pipeline additions -------------------------------------------
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.pack_sequences(docs, budget_tokens=1024, n_shards=64)
+
+
+def o_sequence_packing() -> str:
+    h = sqlfns.polyhash_duckdb("CAST(doc_id AS VARCHAR)")
+    nt = f"CAST(len({_duck_tokens()}) AS BIGINT)"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             lang || '/' || CAST(({h}) % 64 AS VARCHAR) AS shard,
+             {nt} AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS start_tok
+      FROM base)
+    SELECT doc_id, shard, n_tokens,
+           CAST(start_tok // 1024 AS BIGINT) AS seq_id,
+           CAST(start_tok % 1024 AS BIGINT) AS seq_offset
+    FROM cum
+    """
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 97th doc plays the held-out benchmark.  w=4 here (the
+    operator default is the published w=8 convention): the synthetic
+    near-dups edit tokens frequently enough that no 8-gram survives
+    across documents — at w=8 the only hits are the benchmark docs'
+    self-overlap — while w=4 also catches 8 genuine non-benchmark
+    contaminated docs at sf0.01, so BOTH behaviors (self-drop and
+    cross-doc contamination) are exercised non-vacuously."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.decontaminate(docs, docs.filter("doc_id % 97 = 0"), w=4)
+
+
+def o_decontaminate() -> str:
+    return f"SELECT * FROM ({_duck_contaminated(w=4)})"
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.ngram_counts(docs, w=2, top_k=100)
+
+
+def o_ngram_counts() -> str:
+    t = _duck_tokens()
+    grams = (f"CASE WHEN len({t}) >= 2 THEN "
+             f"list_transform(range(0, len({t}) - 1), "
+             f"i -> array_to_string(list_slice({t}, i + 1, i + 2), ' ')) "
+             f"ELSE [] END")
+    return f"""
+    WITH ex AS (SELECT doc_id, unnest({grams}) AS ngram FROM documents),
+    agg AS (SELECT ngram, COUNT(*) AS n_total,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM ex GROUP BY ngram)
+    SELECT ngram, n_total, n_docs FROM agg
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n_total DESC, n_docs DESC, ngram) <= 100
+    """
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic documents carry no PII, so the query plants
+    deterministic email + phone strings on every 10th doc (identical
+    construction in the oracle) — the scrub and both counters exercise
+    real matches, not a vacuous all-zeros pass."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 10 = 0 THEN CONCAT(text, "
+               "' call 555-123-4567 or mail u', CAST(doc_id AS STRING), "
+               "'@mail.example now') ELSE text END").alias("text"))
+    return text.pii_scrub(planted)
+
+
+def o_pii_scrub() -> str:
+    em, ph = text.PII_EMAIL_RE, text.PII_PHONE_RE
+    return f"""
+    WITH d2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' call 555-123-4567 or mail u'
+                  || CAST(doc_id AS VARCHAR) || '@mail.example now'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{em}', '[EMAIL]', 'g'),
+                          '{ph}', '[PHONE]', 'g') AS text_scrubbed,
+           CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{ph}')) AS INT) AS n_phones
+    FROM d2
+    """
+
+
+QUERIES.update({
+    "sequence_packing": (q_sequence_packing, o_sequence_packing),
+    "decontaminate": (q_decontaminate, o_decontaminate),
+    "ngram_counts": (q_ngram_counts, o_ngram_counts),
+    "pii_scrub": (q_pii_scrub, o_pii_scrub),
+})
+
 # --- driver correctness window ordering ---------------------------------------
 # The round-3 driver evaluated only the FIRST 50 QUERIES entries in insertion
 # order, silently skipping the 11 past that point — including four SURVEY §2
@@ -1831,12 +1960,17 @@ QUERIES.update({
 #   multimodal_features / extract_text_identity
 #                          rows-only checks; multimodal_resize and
 #                          extract_text_oracle carry the full oracles
-# All 61 remain registered — the tail entries stay oracle-verified by the
-# in-repo pytest harness (tests/test_oracle.py runs EVERY pair).
+# The r4 training-pipeline additions (sequence_packing, decontaminate,
+# ngram_counts, pii_scrub) also sit past the window rather than displace
+# a §2 operator's driver row; decontaminate is additionally composite-
+# covered IN-window through corpus_build's decontamination stage.
+# ALL entries remain registered — the tail entries stay oracle-verified
+# by the in-repo pytest harness (tests/test_oracle.py runs EVERY pair).
 _TAIL = [
     "fingerprint", "minhash_signatures", "simhash_pairs", "jaccard_pairs",
     "ann_topk", "lsh_topk", "g4_pip_join_rot", "tpch_q1",
     "broadcast_star_join", "multimodal_features", "extract_text_identity",
+    "sequence_packing", "decontaminate", "ngram_counts", "pii_scrub",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 QUERIES = {**{k: v for k, v in QUERIES.items() if k not in _TAIL},
