@@ -246,6 +246,37 @@ def test_dedup_clusters_transitive(spark):
     assert out[1] == out[2] == out[3] == (1, 3)
 
 
+def test_incremental_dedup_bucketed_table_no_corpus_shuffle(spark, tmp_path):
+    """The bucketed on-disk corpus fingerprint table must (a) give the
+    exact incremental_dedup answer and (b) join with NO Exchange on the
+    corpus side — the plan property that makes nightly batch dedup
+    shuffle-free over a 100 TB corpus."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch = docs.filter("doc_id % 7 = 3")
+    corpus = docs.filter("doc_id % 7 != 3")
+    dedup.write_fingerprint_corpus(corpus, "fp_corpus_t", str(tmp_path / "fp"),
+                                   n_buckets=8)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup.incremental_dedup_vs_table(batch, spark, "fp_corpus_t")
+        got = {(r.doc_id, r.fp, r.n_batch_dupes) for r in out.collect()}
+        want = {(r.doc_id, r.fp, r.n_batch_dupes)
+                for r in dedup.incremental_dedup(batch, corpus).collect()}
+        assert got == want and got
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # AQE echoes the pre-adaptive plan under '== Initial Plan ==';
+        # count exchanges in the FINAL plan only
+        plan = plan.split("== Initial Plan ==")[0]
+        # exactly ONE hash exchange (the batch side, into the table's 8
+        # buckets); the bucketed corpus scan feeds the join exchange-free
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS fp_corpus_t")
+
+
 def test_pack_sequences_running_offsets(spark):
     """Contiguous packing: within a shard, seq_id/seq_offset follow the
     exclusive running token sum in doc_id order; budget boundaries roll

@@ -405,6 +405,49 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
             .select("doc_id", "fp", "n_batch_dupes"))
 
 
+def write_fingerprint_corpus(docs: DataFrame, table: str, path: str,
+                             n_buckets: int = 64) -> None:
+    """Materialize the corpus fingerprint table BUCKETED by fp — the disk
+    layout incremental_dedup's docstring promises at 100 TB: the historic
+    corpus keeps its distinct 62-bit fingerprints hash-bucketed (and
+    sorted within buckets) on disk, so every nightly batch-dedup join
+    reads the corpus WITHOUT shuffling it.  `n_buckets` is the join
+    parallelism knob: at 100 TB of fingerprints (~10^12 rows = ~8 TB of
+    fp values) thousands of buckets keep each sorted bucket file
+    mergeable in one task's memory.
+
+    Uses the session catalog (saveAsTable with an explicit external
+    path): bucket METADATA lives in the catalog, bytes under ``path`` —
+    the same seam a real deployment fills with Iceberg's bucket
+    partition transform."""
+    fp = fingerprint62_sql("text")
+    (_spread(docs).select(F.expr(fp).alias("fp")).distinct()
+     .write.mode("overwrite")
+     .bucketBy(n_buckets, "fp").sortBy("fp")
+     .option("path", path)
+     .saveAsTable(table))
+
+
+def incremental_dedup_vs_table(new_docs: DataFrame, spark,
+                               table: str) -> DataFrame:
+    """incremental_dedup against a BUCKETED on-disk corpus fingerprint
+    table (write_fingerprint_corpus): the LEFT ANTI join on fp reuses the
+    table's bucket partitioning, so the corpus side — the 100 TB side —
+    has NO Exchange in the plan; only the (small) new batch shuffles, into
+    exactly n_buckets partitions.  Within-batch collapse is the same
+    min-doc_id hash agg as incremental_dedup; results are identical —
+    tests assert both the equality and the plan shape (single exchange,
+    batch side only)."""
+    corpus_fp = spark.table(table)
+    fp = fingerprint62_sql("text")
+    new_fp = _spread(new_docs).select("doc_id", F.expr(fp).alias("fp"))
+    return (new_fp.join(corpus_fp, "fp", "left_anti")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_batch_dupes"))
+            .select("doc_id", "fp", "n_batch_dupes"))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, w: int = 8) -> DataFrame:
     """Benchmark DECONTAMINATION — flag corpus documents sharing any word
     ``w``-gram with a benchmark/eval set, the screen every training-data

@@ -1931,11 +1931,25 @@ def o_pii_scrub() -> str:
     """
 
 
+def q_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_dedup against the BUCKETED on-disk corpus fingerprint
+    table — identical semantics (same DuckDB oracle as incremental_dedup)
+    but the corpus side joins exchange-free off its bucket layout; the
+    plan property is asserted in tests/test_dedup_text.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup.write_fingerprint_corpus(
+        docs.filter("doc_id % 7 != 3"), "fp_corpus_oracle",
+        "/tmp/tosidewalk_fp_corpus_oracle", n_buckets=16)
+    return dedup.incremental_dedup_vs_table(
+        docs.filter("doc_id % 7 = 3"), spark, "fp_corpus_oracle")
+
+
 QUERIES.update({
     "sequence_packing": (q_sequence_packing, o_sequence_packing),
     "decontaminate": (q_decontaminate, o_decontaminate),
     "ngram_counts": (q_ngram_counts, o_ngram_counts),
     "pii_scrub": (q_pii_scrub, o_pii_scrub),
+    "incremental_dedup_bucketed": (q_incremental_dedup_bucketed, o_incremental_dedup),
 })
 
 # --- driver correctness window ordering ---------------------------------------
@@ -1971,6 +1985,7 @@ _TAIL = [
     "ann_topk", "lsh_topk", "g4_pip_join_rot", "tpch_q1",
     "broadcast_star_join", "multimodal_features", "extract_text_identity",
     "sequence_packing", "decontaminate", "ngram_counts", "pii_scrub",
+    "incremental_dedup_bucketed",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 QUERIES = {**{k: v for k, v in QUERIES.items() if k not in _TAIL},
