@@ -110,6 +110,32 @@ def test_catalog_stale_pointer_never_reuses_snapshot_id(spark, tmp_path):
     assert c.load("t").count() == 30
 
 
+def test_catalog_compaction_preserves_rows_and_history(spark, tmp_path):
+    """compact() folds an append chain into one snap dir: current reader
+    sees identical rows, pre-compaction snapshots stay time-travelable,
+    and the new manifest records the compacted_from lineage."""
+    from pyspark.sql import functions as SF
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    df0 = spark.range(40).select("id", (SF.col("id") % 2).alias("p"))
+    c.write("t", df0, partition_by=["p"])                       # snap 0
+    c.write("t", spark.range(40, 70).select(
+        "id", (SF.col("id") % 2).alias("p")), partition_by=["p"],
+        mode="append")                                          # snap 1
+    before = sorted(r.id for r in c.load("t").collect())
+    assert len(c.manifest("t")["snap_dirs"]) == 2
+    man = c.compact("t")                                        # snap 2
+    assert man["snapshot_id"] == 2 and man["compacted_from"] == 1
+    assert len(man["snap_dirs"]) == 1
+    assert c.manifest("t")["compacted_from"] == 1               # pointer too
+    after = sorted(r.id for r in c.load("t").collect())
+    assert after == before == list(range(70))
+    # history intact: snapshot 0 (40 rows) and 1 (70 rows) still read
+    assert c.load("t", 0).count() == 40
+    assert c.load("t", 1).count() == 70
+    # partition spec survives the rewrite
+    assert c.manifest("t")["partition_spec"] == ["p"]
+
+
 def test_osm_xml_roundtrip(spark):
     nodes, ways = synth.micro_fixture(spark, "t_intersection")
     xml = osm_xml.network_to_osm_xml(nodes, ways)

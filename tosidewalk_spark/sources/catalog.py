@@ -134,3 +134,31 @@ class Catalog:
         return sorted(
             d for d in os.listdir(self.root)
             if os.path.exists(self._manifest(d)))
+
+    def compact(self, name: str) -> dict:
+        """Snapshot COMPACTION (Iceberg's rewrite_data_files analog): fold
+        the current snapshot's multi-dir append chain into ONE new snap
+        dir and publish it as the next snapshot.  Append chains grow one
+        dir (and its small files) per nightly batch; at 100 TB the
+        accumulated small files dominate scan planning time, so periodic
+        compaction is part of table maintenance, not an optimization.
+
+        The rewrite is a normal snapshot write: prior snapshots keep
+        their manifests and immutable files, so TIME TRAVEL to
+        pre-compaction snapshots still works; only the CURRENT pointer
+        moves to the single-dir layout.  Readers of the current snapshot
+        see identical rows (Spark re-writes through the same partition
+        spec).  The manifest records ``compacted_from`` for lineage."""
+        parent = self.manifest(name)
+        df = self.load(name)
+        man = self.write(name, df, partition_by=parent["partition_spec"] or None,
+                         mode="overwrite")
+        man["compacted_from"] = parent["snapshot_id"]
+        # re-publish the amended manifest (same id, adds the lineage field)
+        sid = man["snapshot_id"]
+        for target in (self._manifest(name, sid), self._manifest(name)):
+            tmp = target + ".inprogress"
+            with open(tmp, "w") as fh:
+                json.dump(man, fh)
+            os.replace(tmp, target)
+        return man
