@@ -342,3 +342,37 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     assert {r.fp for r in got} == batch
     assert len(got) == len(batch)  # exactly one survivor per fresh fingerprint
     assert all(r.text.startswith("fresh text ") for r in got)
+
+
+def test_streaming_decontaminate_matches_batch_complement(spark, tmp_path):
+    """Stateless stream-static decontamination: the availableNow drain
+    keeps exactly the pages the batch operator does NOT flag."""
+    from tosidewalk_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    pages = spark.range(30).selectExpr(
+        "CONCAT('https://s.example/p/', CAST(id AS STRING)) AS url",
+        "TIMESTAMP '2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, id) AS warc_ts",
+        # every 5th page embeds a benchmark 8-gram; the rest are clean
+        "CASE WHEN id % 5 = 0 THEN "
+        "CONCAT('pre alpha beta gamma delta epsilon zeta eta theta post ', CAST(id AS STRING)) "
+        "ELSE CONCAT('clean page text number ', CAST(id AS STRING)) END AS text")
+    src = str(tmp_path / "decon_src")
+    pages.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string").parquet(src)
+
+    out = jobs.streaming_decontaminate(stream, bench, w=8)
+    jobs.run_available_now(out, "decon_stream", str(tmp_path / "ckpt_decon"))
+    got = {r.url for r in spark.sql("SELECT * FROM decon_stream").collect()}
+
+    batch_pages = spark.read.parquet(src).selectExpr(
+        "CAST(REGEXP_EXTRACT(url, '/p/([0-9]+)', 1) AS BIGINT) AS doc_id",
+        "url", "text")
+    flagged = {r.doc_id for r in dedup.decontaminate(
+        batch_pages, bench, w=8).collect()}
+    want = {r.url for r in batch_pages.collect() if r.doc_id not in flagged}
+    assert got == want
+    assert flagged == {i for i in range(30) if i % 5 == 0}  # non-vacuous

@@ -176,3 +176,37 @@ def streaming_incremental_dedup(pages: DataFrame, corpus: DataFrame,
              .join(seen, "fp", "left_anti"))
     return (fresh.withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["fp"]))
+
+
+def streaming_decontaminate(pages: DataFrame, benchmark: DataFrame,
+                            w: int = 8, text_col: str = "text") -> DataFrame:
+    """Streaming twin of dedup.decontaminate: pages stream in, the
+    benchmark/eval set is STATIC, and any page sharing a word w-gram with
+    it is dropped before reaching the corpus sink.  STATELESS: the
+    benchmark's distinct w-gram hashes are a broadcast lookup and the
+    per-page gram explode + semi-probe + anti-decision happens within the
+    page's own row group — no watermark, no state store, so this filter
+    composes in front of streaming_incremental_dedup at line rate.
+
+    A page survives iff NONE of its w-grams appear in the benchmark (the
+    batch operator returns the flagged complement; tests assert the twin
+    relationship).  The verdict must be ROW-LOCAL to stay stateless — an
+    explode + semi-join + distinct + self-anti-join is not runnable on a
+    stream in append mode — so the benchmark collapses to a single-row
+    collect_set of gram hashes, broadcast-cross-joined onto the stream,
+    and the page's own gram array tests membership via arrays_overlap in
+    codegen.  The one-row array is the right size trade for an EVAL set
+    (thousands-to-millions of 8-byte hashes); a benchmark too large for
+    one broadcast row belongs in the batch operator's semi-join shape."""
+    from ..operators.dedup import _shingle_hashes, _spread
+    bench_arr = (_spread(benchmark)
+                 .select(F.explode(F.expr(_shingle_hashes(text_col, w)))
+                         .alias("gh"))
+                 .agg(F.collect_set("gh").alias("bench_ghs")))
+    keep = ~F.arrays_overlap(F.col("_ghs"), F.col("bench_ghs"))
+    return (pages.withColumn("_ghs", F.expr(_shingle_hashes(text_col, w)))
+            .crossJoin(F.broadcast(bench_arr))
+            # NULL text has no grams to match: keep it (coalesce, or the
+            # NULL verdict would silently drop the row)
+            .filter(F.coalesce(keep, F.lit(True)))
+            .drop("_ghs", "bench_ghs"))
