@@ -115,10 +115,33 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     present in ``labels`` (labels start as ids and min-propagation only
     moves existing labels around), so the self-join always finds the
     parent row.  Driver-side fixpoint loop (SURVEY.md §3.2); each round is
-    two shuffles; localCheckpoint cuts lineage per round."""
+    two shuffles; localCheckpoint cuts lineage per round.
+
+    One-hop MIN-CONTRACTION before the fixpoint (r4): map every node to
+    L(v) = min(v, min neighbor) and run the loop on the QUOTIENT graph
+    (distinct (L(u), L(v)) pairs, self-loops dropped).  Correct because
+    L(v) is v or a neighbor of v (contracting an edge preserves
+    components — the quotient's components pull back exactly), and the
+    global min node maps to itself so component ids are unchanged.  The
+    win: the round join touches the contracted distinct edge set instead
+    of the full multiplicity — a near-dup quasi-clique of k docs
+    (O(k²) verified pairs) collapses to ~one quotient node, so the graft
+    cluster graph shrinks ~100x (sf0.1: 1.3M sym rows -> ~10k quotient
+    rows), and R4's two-way chains halve.  The loop itself is unchanged,
+    including the non-convergence guard."""
     sym = (edges.selectExpr("src", "dst")
            .union(edges.selectExpr("dst AS src", "src AS dst"))
-           .localCheckpoint(eager=True))  # reused every round — scan once
+           .localCheckpoint(eager=True))  # contraction + loop reuse — scan once
+    contract = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
+                .select(F.col("src").alias("id"),
+                        F.least("src", "mn").alias("lbl"))
+                .localCheckpoint(eager=True))
+    sym = (sym
+           .join(contract.selectExpr("id AS src", "lbl AS lsrc"), "src")
+           .join(contract.selectExpr("id AS dst", "lbl AS ldst"), "dst")
+           .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+           .filter(F.col("src") != F.col("dst")).distinct()
+           .localCheckpoint(eager=True))  # symmetric: built from symmetric sym
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("component", F.col("id"))
@@ -156,7 +179,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
             f"connected_components did not converge within {max_rounds} rounds "
             f"(graph diameter beyond 2^{max_rounds}?) — refusing to return "
             f"partially merged components")
-    return labels
+    # pull the quotient components back to the original nodes; a label
+    # absent from the quotient graph means its whole component collapsed
+    # in the contraction step — it is its own component id
+    return (contract
+            .join(labels.selectExpr("id AS lbl", "component"), "lbl", "left")
+            .select("id", F.coalesce("component", "lbl").alias("component")))
 
 
 # --- R4 street segmentation cleanup / way joining -----------------------------
