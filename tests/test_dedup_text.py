@@ -26,6 +26,24 @@ def test_exact_dedup(spark):
     assert rows == {1: 2, 3: 1}
 
 
+def test_exact_dedup_null_vs_empty_text_distinct(spark):
+    """review r4: the polyhash NULL sentinel equals the empty-string hash
+    (both 0), so without the reserved -1 NULL fingerprint a NULL-text doc
+    and an empty-text doc would merge by construction and one would be
+    silently dropped as a 'duplicate'."""
+    d = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None), (4, "")], "doc_id long, text string")
+    rows = {r.canonical_doc_id: r.n_dupes for r in dedup.exact_dedup(d).collect()}
+    assert rows == {1: 2, 2: 2}  # NULLs together, empties together, not merged
+    # incremental: a NULL-text batch doc is not deduped away by an
+    # empty-text corpus doc (and vice versa)
+    batch = spark.createDataFrame([(10, None)], "doc_id long, text string")
+    corpus = spark.createDataFrame([(20, "")], "doc_id long, text string")
+    assert dedup.incremental_dedup(batch, corpus).count() == 1
+    assert dedup.incremental_dedup(
+        corpus.selectExpr("doc_id + 1 AS doc_id", "text"), batch).count() == 1
+
+
 def test_minhash_signature_props(spark):
     d = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d"), (3, "p q r s")], "doc_id long, text string")

@@ -244,18 +244,29 @@ def embedding_neardup_pairs(emb: DataFrame, cos_threshold: float = 0.95,
         "SQRT(AGGREGATE(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
     e = e.withColumn("bucket", F.expr(
         similarity.lsh_signature_expr("v", n_planes=similarity.NEARDUP_PLANES)))
+    # persist the signed vectors: the 16-plane signature (16 x 64-element
+    # aggregate lambdas per row) feeds THREE plan branches — the cap agg
+    # and both self-join sides — which share no exchange, so without the
+    # cache the dominant map-side cost runs 3x (review r4).  Scoped to
+    # the returned DataFrame via weakref, same pattern as knn_join.
+    import weakref
+
+    from .spatial import _safe_unpersist
+    e = e.persist()
     ok = (e.groupBy("bucket").agg(F.count("*").alias("bn"))
           .filter(F.col("bn") <= max_bucket).select("bucket"))
-    e = e.join(ok, "bucket", "left_semi")
-    a = e.select(F.col("vec_id").alias("vec_a"), "bucket",
-                 F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "bucket",
-                 F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    e2 = e.join(ok, "bucket", "left_semi")
+    a = e2.select(F.col("vec_id").alias("vec_a"), "bucket",
+                  F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e2.select(F.col("vec_id").alias("vec_b"), "bucket",
+                  F.col("v").alias("vb"), F.col("norm").alias("nb"))
     dot = F.expr("AGGREGATE(ZIP_WITH(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
-    return (a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-            .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
-            .filter(F.col("cosine") >= cos_threshold)
-            .select("vec_a", "vec_b", "bucket", "cosine"))
+    result = (a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+              .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+              .filter(F.col("cosine") >= cos_threshold)
+              .select("vec_a", "vec_b", "bucket", "cosine"))
+    weakref.finalize(result, _safe_unpersist, e)
+    return result
 
 
 # --- 62-bit simhash + banded Hamming-radius blocking --------------------------
@@ -362,16 +373,26 @@ def fingerprint62_sql(col: str = "text") -> str:
     hashes combined as h31 * (2^31-1) + h37.  Each base alone is 31-bit
     (kernel/cells.py HASH_P) — collidable at ~65k docs by the birthday
     bound — so collision-sensitive dedup must use this combined form.
-    DuckDB twin: fingerprint62_duckdb_sql."""
+
+    NULL text fingerprints to the reserved value -1 (the hash fold is
+    always >= 0): the polyhash template's NULL sentinel equals the
+    empty-string hash (both 0), so without the CASE a NULL-text doc and
+    an empty-text doc would merge BY CONSTRUCTION — not by a 62-bit
+    collision — and exact_dedup/incremental_dedup would silently drop
+    one of them (review r4).  -1 keeps the key non-NULL, so joins and
+    group-bys need no null-safe handling.  DuckDB twin:
+    fingerprint62_duckdb_sql."""
     h1 = sqlfns.polyhash_spark(col, mult=31)
     h2 = sqlfns.polyhash_spark(col, mult=37)
-    return f"(({h1}) * CAST({sqlfns.HASH_P} AS BIGINT) + ({h2}))"
+    return (f"(CASE WHEN {col} IS NULL THEN CAST(-1 AS BIGINT) "
+            f"ELSE ({h1}) * CAST({sqlfns.HASH_P} AS BIGINT) + ({h2}) END)")
 
 
 def fingerprint62_duckdb_sql(col: str = "text") -> str:
     h1 = sqlfns.polyhash_duckdb(col, mult=31)
     h2 = sqlfns.polyhash_duckdb(col, mult=37)
-    return f"(({h1}) * CAST({sqlfns.HASH_P} AS BIGINT) + ({h2}))"
+    return (f"(CASE WHEN {col} IS NULL THEN CAST(-1 AS BIGINT) "
+            f"ELSE ({h1}) * CAST({sqlfns.HASH_P} AS BIGINT) + ({h2}) END)")
 
 
 def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
@@ -521,12 +542,11 @@ def dedup_clusters(docs: DataFrame, max_hamming: int = 3,
                    .join(comp, "rep_id", "left")
                    .select("fp", F.coalesce("cluster_id", "rep_id")
                            .alias("cluster_id")))
-    # eqNullSafe: a NULL text fingerprints to NULL; a plain equi-join
-    # would silently drop those docs from the output
-    labeled = (fdocs.select("doc_id", "fp").alias("d")
-               .join(rep_cluster.alias("rc"),
-                     F.col("d.fp").eqNullSafe(F.col("rc.fp")))
-               .select("d.doc_id", "rc.cluster_id"))
+    # plain equi-join is safe: fingerprint62 is never NULL (NULL text
+    # maps to the reserved -1), so no doc can drop out of the join
+    labeled = (fdocs.select("doc_id", "fp")
+               .join(rep_cluster, "fp")
+               .select("doc_id", "cluster_id"))
     # window count instead of agg+join: one evaluation of the labeled
     # branch (the join form scanned docs + the anti-join twice — review r3)
     w = Window.partitionBy("cluster_id")

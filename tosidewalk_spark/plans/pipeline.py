@@ -196,7 +196,12 @@ def build_corpus(docs: DataFrame,
                          F.col("b.lang").alias("lang"),
                          F.col("b.n_tokens").alias("n_tokens")))
     if benchmark is not None:
-        contaminated = decontaminate(docs, benchmark).select("doc_id")
+        # scan the quality-KEPT set, not the raw corpus: the flags are
+        # only consumed via the anti-join against survivors ⊆ kept, so
+        # hashing w-grams of quality-rejected docs is pure waste (~half
+        # the corpus at quality_min=0.5 — review r4); the final corpus is
+        # identical either way
+        contaminated = decontaminate(kept, benchmark).select("doc_id")
         survivors = survivors.join(contaminated, "doc_id", "left_anti")
     sampled = TX.deterministic_sample(survivors, permille_by_lang)
     return (sampled.groupBy("lang")

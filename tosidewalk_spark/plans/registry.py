@@ -1936,12 +1936,19 @@ def q_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — identical semantics (same DuckDB oracle as incremental_dedup)
     but the corpus side joins exchange-free off its bucket layout; the
     plan property is asserted in tests/test_dedup_text.py."""
+    import os
+    import tempfile
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # per-invocation path + table name: a shared fixed path would let two
+    # concurrent sessions (driver + pytest) overwrite each other's bucket
+    # files mid-scan (review r4); mkdtemp is unique per call and the
+    # bucketed fp table is tiny
+    path = tempfile.mkdtemp(prefix="fp_corpus_oracle_")
+    table = f"fp_corpus_{os.path.basename(path).split('_')[-1]}"
     dedup.write_fingerprint_corpus(
-        docs.filter("doc_id % 7 != 3"), "fp_corpus_oracle",
-        "/tmp/tosidewalk_fp_corpus_oracle", n_buckets=16)
+        docs.filter("doc_id % 7 != 3"), table, path, n_buckets=16)
     return dedup.incremental_dedup_vs_table(
-        docs.filter("doc_id % 7 = 3"), spark, "fp_corpus_oracle")
+        docs.filter("doc_id % 7 = 3"), spark, table)
 
 
 QUERIES.update({
@@ -1988,5 +1995,13 @@ _TAIL = [
     "incremental_dedup_bucketed",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
+# the invariant that actually broke in round 3: every non-tail entry must
+# fit the driver's 50-entry window — registering a new operator without
+# extending _TAIL must fail HERE, not silently drop the 51st entry from
+# the driver's correctness run (review r4)
+assert len(QUERIES) - len(_TAIL) <= 50, (
+    f"{len(QUERIES) - len(_TAIL)} non-tail registry entries exceed the "
+    f"driver's 50-entry correctness window — demote a redundant variant "
+    f"to _TAIL")
 QUERIES = {**{k: v for k, v in QUERIES.items() if k not in _TAIL},
            **{k: QUERIES[k] for k in _TAIL}}

@@ -53,11 +53,13 @@ class Catalog:
         return sorted(out)
 
     def write(self, name: str, df: DataFrame, partition_by: list[str] | None = None,
-              mode: str = "overwrite") -> dict:
+              mode: str = "overwrite", extra: dict | None = None) -> dict:
         """Write a new snapshot.  `overwrite` starts a fresh file lineage;
         `append` adds a snap dir and carries the parent's dirs forward —
         the parent snapshot stays readable (immutable files, Iceberg-style).
-        Returns the new manifest."""
+        ``extra`` fields merge into the manifest BEFORE it publishes (so
+        e.g. compaction lineage is atomic with the snapshot, not a second
+        non-atomic re-publish — review r4).  Returns the new manifest."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = None
@@ -91,6 +93,7 @@ class Catalog:
             "partition_spec": partition_by or [],
             "snap_dirs": dirs,
             "files": sorted(f for d in dirs for f in self._snap_files(name, d)),
+            **(extra or {}),
         }
         tmp = self._manifest(name, snap_id) + ".inprogress"
         with open(tmp, "w") as fh:
@@ -148,17 +151,11 @@ class Catalog:
         pre-compaction snapshots still works; only the CURRENT pointer
         moves to the single-dir layout.  Readers of the current snapshot
         see identical rows (Spark re-writes through the same partition
-        spec).  The manifest records ``compacted_from`` for lineage."""
+        spec).  The manifest records ``compacted_from`` for lineage —
+        merged in BEFORE the snapshot publishes, so a crash can never
+        leave a published compaction without its lineage field."""
         parent = self.manifest(name)
         df = self.load(name)
-        man = self.write(name, df, partition_by=parent["partition_spec"] or None,
-                         mode="overwrite")
-        man["compacted_from"] = parent["snapshot_id"]
-        # re-publish the amended manifest (same id, adds the lineage field)
-        sid = man["snapshot_id"]
-        for target in (self._manifest(name, sid), self._manifest(name)):
-            tmp = target + ".inprogress"
-            with open(tmp, "w") as fh:
-                json.dump(man, fh)
-            os.replace(tmp, target)
-        return man
+        return self.write(name, df, partition_by=parent["partition_spec"] or None,
+                          mode="overwrite",
+                          extra={"compacted_from": parent["snapshot_id"]})
