@@ -303,6 +303,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
         docs, docs.filter("doc_id % 97 = 0"), w=4))
     bench("ngram_counts", lambda: text.ngram_counts(docs))
     bench("pii_scrub", lambda: text.pii_scrub(docs))
+    bench("url_dedup", lambda: text.url_dedup(synth.pages(spark, 1_000_000)))
+    bench("normalize_text", lambda: text.normalize_text(docs))
     bench("quality_score", lambda: text.quality_score(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(

@@ -340,6 +340,31 @@ def test_ngram_counts_top_k(spark):
     # verify deterministic tiebreak: 'b a','b c','b x' all 1/1 -> ngram asc picks 'b a'
 
 
+def test_url_dedup_canonicalization(spark):
+    d = spark.createDataFrame([
+        ("https://Site.Example/A/b?utm=x",),
+        ("HTTPS://site.example/A/b#frag",),
+        ("https://site.example/A/b",),
+        ("https://site.example/a/b",),      # different PATH case: distinct
+        ("https://other.example/x",),
+    ], "url string")
+    out = {r.canonical_url: (r.n_variants, r.first_url)
+           for r in text.url_dedup(d).collect()}
+    assert out["https://site.example/A/b"] == (3, "HTTPS://site.example/A/b#frag")
+    assert out["https://site.example/a/b"] == (1, "https://site.example/a/b")
+    assert out["https://other.example/x"][0] == 1
+
+
+def test_normalize_text_folds_case_and_punct(spark):
+    d = spark.createDataFrame(
+        [(1, "  Hello, WORLD!!  (x2)  "), (2, "already clean")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.norm_text, r.n_norm_chars)
+           for r in text.normalize_text(d).collect()}
+    assert out[1] == ("hello world x2", 14)
+    assert out[2] == ("already clean", 13)
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     d = spark.createDataFrame([
         (1, "mail me at jo.doe+x@site.example or call 555-123-4567 now"),

@@ -248,6 +248,43 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.expr(f"CAST({n_ph} AS INT)").alias("n_phones"))
 
 
+def url_dedup(pages: DataFrame) -> DataFrame:
+    """Crawl URL-level dedup: canonicalize (lowercase scheme+host, strip
+    query string and fragment) and collapse variants — the cheap first
+    dedup pass every crawl pipeline runs before touching content (the
+    same page arrives as http://Site.Example/a?utm_source=x and
+    http://site.example/a#top).  Path case is PRESERVED (paths are
+    case-sensitive per RFC 3986; only scheme+authority fold).
+
+    Output: (canonical_url, n_variants, first_url) with first_url = the
+    lexicographically smallest raw variant (deterministic winner).  One
+    map-side-combinable hash agg on the canonical string; regexes are
+    dialect-portable (no backslash classes) so the DuckDB twin matches
+    byte-for-byte."""
+    host = "REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1)"
+    rest = f"SUBSTRING(url, LENGTH({host}) + 1)"
+    canon = (f"CONCAT(LOWER({host}), REGEXP_REPLACE({rest}, '[?#].*', ''))")
+    return (pages.select(F.expr(canon).alias("canonical_url"), "url")
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("url").alias("first_url")))
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Text normalization for matching/sharding: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim — the
+    canonical form fed to fuzzy dedup when raw text differs only in
+    case/punctuation.  Pure codegen scan->project (LOWER + two
+    REGEXP_REPLACE + TRIM), no shuffle; patterns avoid backslash classes
+    so Spark (Java regex) and DuckDB (RE2) rewrite identical spans."""
+    norm = ("TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), "
+            "'[^a-z0-9 ]', ' '), '  *', ' '))")
+    return docs.select(
+        "doc_id",
+        F.expr(norm).alias("norm_text"),
+        F.expr(f"LENGTH({norm})").cast("long").alias("n_norm_chars"))
+
+
 def domain_stats(pages: DataFrame) -> DataFrame:
     """Per-domain corpus stats — the first grouping any web-crawl audit
     runs.  Domain = host part of the url (regexp in codegen; the DuckDB

@@ -1951,12 +1951,84 @@ def q_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter("doc_id % 7 = 3"), spark, table)
 
 
+# planted URL variants: four syntactic forms of the same canonical page
+# url derived from doc_id (identical construction in the oracle) — the
+# operator must fold case on scheme+host and strip query/fragment
+_URL_VARIANT_SPARK = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN CONCAT('https://site', CAST(doc_id % 50 AS STRING),
+                         '.example/p/', CAST(doc_id % 200 AS STRING))
+      WHEN 1 THEN CONCAT('https://SITE', CAST(doc_id % 50 AS STRING),
+                         '.EXAMPLE/p/', CAST(doc_id % 200 AS STRING), '?utm_source=feed')
+      WHEN 2 THEN CONCAT('HTTPS://Site', CAST(doc_id % 50 AS STRING),
+                         '.Example/p/', CAST(doc_id % 200 AS STRING), '#section')
+      ELSE CONCAT('https://site', CAST(doc_id % 50 AS STRING),
+                  '.example/p/', CAST(doc_id % 200 AS STRING), '?ref=a#b')
+    END"""
+
+_URL_VARIANT_DUCK = """
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example/p/' || CAST(doc_id % 200 AS VARCHAR)
+      WHEN 1 THEN 'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.EXAMPLE/p/' || CAST(doc_id % 200 AS VARCHAR) || '?utm_source=feed'
+      WHEN 2 THEN 'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.Example/p/' || CAST(doc_id % 200 AS VARCHAR) || '#section'
+      ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+           || '.example/p/' || CAST(doc_id % 200 AS VARCHAR) || '?ref=a#b'
+    END"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(F.expr(_URL_VARIANT_SPARK).alias("url"))
+    return text.url_dedup(pages)
+
+
+def o_url_dedup() -> str:
+    host = "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1)"
+    rest = f"SUBSTRING(url, LENGTH({host}) + 1)"
+    canon = f"LOWER({host}) || regexp_replace({rest}, '[?#].*', '', 'g')"
+    return f"""
+    WITH p AS (SELECT ({_URL_VARIANT_DUCK}) AS url FROM documents)
+    SELECT {canon} AS canonical_url, COUNT(*) AS n_variants,
+           MIN(url) AS first_url
+    FROM p GROUP BY 1
+    """
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every third doc gets uppercase + punctuation planted so the fold
+    and strip paths are exercised non-vacuously."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 3 = 0 THEN CONCAT(UPPER(text), '!! (End-Of-Doc)') "
+               "ELSE text END").alias("text"))
+    return text.normalize_text(planted)
+
+
+def o_normalize_text() -> str:
+    norm = ("TRIM(regexp_replace(regexp_replace(LOWER(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), '  *', ' ', 'g'))")
+    return f"""
+    WITH d2 AS (SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN UPPER(text) || '!! (End-Of-Doc)'
+                     ELSE text END AS text FROM documents)
+    SELECT doc_id, {norm} AS norm_text,
+           CAST(LENGTH({norm}) AS BIGINT) AS n_norm_chars
+    FROM d2
+    """
+
+
 QUERIES.update({
     "sequence_packing": (q_sequence_packing, o_sequence_packing),
     "decontaminate": (q_decontaminate, o_decontaminate),
     "ngram_counts": (q_ngram_counts, o_ngram_counts),
     "pii_scrub": (q_pii_scrub, o_pii_scrub),
     "incremental_dedup_bucketed": (q_incremental_dedup_bucketed, o_incremental_dedup),
+    "url_dedup": (q_url_dedup, o_url_dedup),
+    "normalize_text": (q_normalize_text, o_normalize_text),
 })
 
 # --- driver correctness window ordering ---------------------------------------
@@ -1992,7 +2064,7 @@ _TAIL = [
     "ann_topk", "lsh_topk", "g4_pip_join_rot", "tpch_q1",
     "broadcast_star_join", "multimodal_features", "extract_text_identity",
     "sequence_packing", "decontaminate", "ngram_counts", "pii_scrub",
-    "incremental_dedup_bucketed",
+    "incremental_dedup_bucketed", "url_dedup", "normalize_text",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
