@@ -374,8 +374,10 @@ def main() -> None:
         # disjoint-core legs (ADVICE.md r2): small leg on cores 24-25, big
         # on 8-15 — no core overlap with each other, same efficiency as the
         # overlapping official pair => the pairing, not core identity or
-        # cache residue, is what's measured
-        disjoint = scaling_pair("24-25", "8-15", SCALING_PAGES, rounds=1)
+        # cache residue, is what's measured.  TWO rounds since r4: the
+        # 1-round pair measured 0.935 and 0.698 on the same day purely on
+        # window noise — a single-sample leg cannot reject a window.
+        disjoint = scaling_pair("24-25", "8-15", SCALING_PAGES, rounds=2)
         official_round()
         while len(t_small) < SCALING_ROUNDS:  # extra rounds past the interleave points
             t_small.append(measured_session_pinned(small, SCALING_PAGES))
