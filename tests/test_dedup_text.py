@@ -347,12 +347,18 @@ def test_url_dedup_canonicalization(spark):
         ("https://site.example/A/b",),
         ("https://site.example/a/b",),      # different PATH case: distinct
         ("https://other.example/x",),
+        # path-less urls: the authority must stop at '?'/'#' too, or the
+        # query is case-folded into the "host" instead of stripped
+        ("https://Bare.Example?utm=x",),
+        ("HTTPS://bare.example#frag",),
+        ("https://bare.example",),
     ], "url string")
     out = {r.canonical_url: (r.n_variants, r.first_url)
            for r in text.url_dedup(d).collect()}
     assert out["https://site.example/A/b"] == (3, "HTTPS://site.example/A/b#frag")
     assert out["https://site.example/a/b"] == (1, "https://site.example/a/b")
     assert out["https://other.example/x"][0] == 1
+    assert out["https://bare.example"][0] == 3
 
 
 def test_normalize_text_folds_case_and_punct(spark):

@@ -261,7 +261,11 @@ def url_dedup(pages: DataFrame) -> DataFrame:
     map-side-combinable hash agg on the canonical string; regexes are
     dialect-portable (no backslash classes) so the DuckDB twin matches
     byte-for-byte."""
-    host = "REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1)"
+    # authority stops at '/', '?' OR '#': with plain [^/]+ a PATH-LESS url
+    # ('https://site.example?utm=x') swallows the query into the "host",
+    # so it is case-folded instead of stripped and bare-domain variants
+    # never collapse (review r4)
+    host = "REGEXP_EXTRACT(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)"
     rest = f"SUBSTRING(url, LENGTH({host}) + 1)"
     canon = (f"CONCAT(LOWER({host}), REGEXP_REPLACE({rest}, '[?#].*', ''))")
     return (pages.select(F.expr(canon).alias("canonical_url"), "url")

@@ -1941,10 +1941,15 @@ def q_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # per-invocation path + table name: a shared fixed path would let two
     # concurrent sessions (driver + pytest) overwrite each other's bucket
-    # files mid-scan (review r4); mkdtemp is unique per call and the
-    # bucketed fp table is tiny
+    # files mid-scan (review r4).  The table name is the FULL mkdtemp
+    # basename — tempfile's suffix alphabet includes '_', so slicing at
+    # '_' could truncate the unique part or collide on a degenerate name
+    # (second review pass); basename chars are all identifier-legal.
+    # One tiny dir + catalog entry intentionally outlives the call: the
+    # returned DataFrame reads the table lazily, so it cannot be dropped
+    # here (bounded: one per driver/pytest invocation).
     path = tempfile.mkdtemp(prefix="fp_corpus_oracle_")
-    table = f"fp_corpus_{os.path.basename(path).split('_')[-1]}"
+    table = os.path.basename(path)
     dedup.write_fingerprint_corpus(
         docs.filter("doc_id % 7 != 3"), table, path, n_buckets=16)
     return dedup.incremental_dedup_vs_table(
@@ -1961,7 +1966,7 @@ _URL_VARIANT_SPARK = """
       WHEN 1 THEN CONCAT('https://SITE', CAST(doc_id % 50 AS STRING),
                          '.EXAMPLE/p/', CAST(doc_id % 200 AS STRING), '?utm_source=feed')
       WHEN 2 THEN CONCAT('HTTPS://Site', CAST(doc_id % 50 AS STRING),
-                         '.Example/p/', CAST(doc_id % 200 AS STRING), '#section')
+                         '.Example?utm=home#section')
       ELSE CONCAT('https://site', CAST(doc_id % 50 AS STRING),
                   '.example/p/', CAST(doc_id % 200 AS STRING), '?ref=a#b')
     END"""
@@ -1973,7 +1978,7 @@ _URL_VARIANT_DUCK = """
       WHEN 1 THEN 'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
                   || '.EXAMPLE/p/' || CAST(doc_id % 200 AS VARCHAR) || '?utm_source=feed'
       WHEN 2 THEN 'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR)
-                  || '.Example/p/' || CAST(doc_id % 200 AS VARCHAR) || '#section'
+                  || '.Example?utm=home#section'
       ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
            || '.example/p/' || CAST(doc_id % 200 AS VARCHAR) || '?ref=a#b'
     END"""
@@ -1986,7 +1991,7 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_url_dedup() -> str:
-    host = "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1)"
+    host = "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)"
     rest = f"SUBSTRING(url, LENGTH({host}) + 1)"
     canon = f"LOWER({host}) || regexp_replace({rest}, '[?#].*', '', 'g')"
     return f"""

@@ -93,8 +93,14 @@ class Catalog:
             "partition_spec": partition_by or [],
             "snap_dirs": dirs,
             "files": sorted(f for d in dirs for f in self._snap_files(name, d)),
-            **(extra or {}),
         }
+        clash = set(extra or {}) & set(manifest)
+        if clash:
+            # an extra key shadowing a core field would publish a manifest
+            # whose id/file-listing disagrees with what was written —
+            # corrupt at read time with no error at write time (review r4)
+            raise ValueError(f"extra keys collide with manifest fields: {sorted(clash)}")
+        manifest.update(extra or {})
         tmp = self._manifest(name, snap_id) + ".inprogress"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
