@@ -1,0 +1,117 @@
+"""Cross-engine fuzz of the shared SQL templates: the SAME template
+string evaluated by Spark and DuckDB, against the numpy kernel twin,
+over seeded-random inputs.
+
+This attacks the oracle-circularity risk from a third angle (VERDICT.md
+r3 'What's wrong' #5): the fixture-based oracle pairs prove engine ==
+oracle on the synthetic cities/corpora; this file proves the shared
+arithmetic itself is bit-identical across all three evaluators for
+RANDOM inputs — any engine-specific rounding, cast, or precedence
+difference in the templates would surface here first.
+
+Only the documented bit-identical templates are fuzzed (+-*/ sqrt and
+the Horner poly-cos are IEEE exact-rounded everywhere); haversine_sql
+intentionally is NOT — it uses libm SIN/ASIN whose ulp may differ, which
+is why value-compared oracle queries round it or use poly-cos forms.
+"""
+import duckdb
+import numpy as np
+import pandas as pd
+
+from tosidewalk_spark.functions import sqlfns
+from tosidewalk_spark.kernel import cells, geom
+from tosidewalk_spark.operators import dedup
+
+N = 500
+RNG = np.random.default_rng(20260817)
+
+
+def _frame() -> pd.DataFrame:
+    lat = RNG.uniform(-60, 60, N)
+    lng = RNG.uniform(-179, 179, N)
+    lat2 = lat + RNG.uniform(-0.02, 0.02, N)
+    lng2 = lng + RNG.uniform(-0.02, 0.02, N)
+    plat = lat + RNG.uniform(-0.01, 0.01, N)
+    plng = lng + RNG.uniform(-0.01, 0.01, N)
+    words = ["".join(RNG.choice(list("abcdefghijklmnopqrstuvwxyz0123456789 "),
+                                size=RNG.integers(0, 60))) for _ in range(N)]
+    return pd.DataFrame({"lat": lat, "lng": lng, "lat2": lat2, "lng2": lng2,
+                         "plat": plat, "plng": plng, "s": words,
+                         "i": np.arange(N, dtype=np.int64)})
+
+
+EXPRS = {
+    "cell9": sqlfns.cell_sql("lat", "lng", 9),
+    "cell12": sqlfns.cell_sql("lat", "lng", 12),
+    "par": sqlfns.parent_sql(sqlfns.cell_sql("lat", "lng", 12), 12, 7),
+    "cl": sqlfns.coslat_sql("lat"),
+    "eqd": sqlfns.equirect_dist_sql("lat", "lng", "lat2", "lng2"),
+    "segd": sqlfns.seg_dist_sql("plat", "plng", "lat", "lng", "lat2", "lng2"),
+}
+
+
+def _norm(row) -> tuple:
+    return tuple(repr(v) if isinstance(v, float) else int(v) for v in row)
+
+
+def test_shared_templates_bit_identical_spark_duckdb_numpy(spark):
+    pdf = _frame()
+    sel = ", ".join(f"{e} AS {k}" for k, e in EXPRS.items())
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("fuzz")
+    got_spark = [
+        _norm((r.cell9, r.cell12, r.par, r.cl, r.eqd, r.segd))
+        for r in spark.sql(f"SELECT {sel} FROM fuzz ORDER BY i").collect()]
+
+    con = duckdb.connect()
+    con.register("fuzz", pdf)
+    got_duck = [_norm(r) for r in con.execute(
+        f"SELECT {sel} FROM fuzz ORDER BY i").fetchall()]
+    assert got_spark == got_duck
+
+    # numpy kernel leg (where a twin exists)
+    k_cell9 = cells.cell(pdf.lat.values, pdf.lng.values, 9)
+    k_cell12 = cells.cell(pdf.lat.values, pdf.lng.values, 12)
+    k_par = cells.parent(k_cell12, 7)
+    k_cl = geom.coslat(pdf.lat.values)
+    k_eqd = geom.equirect_m(pdf.lat.values, pdf.lng.values,
+                            pdf.lat2.values, pdf.lng2.values)
+    k_segd = geom.point_segment_dist_m(
+        pdf.plat.values, pdf.plng.values, pdf.lat.values, pdf.lng.values,
+        pdf.lat2.values, pdf.lng2.values)
+    got_np = [
+        _norm((int(a), int(b), int(c), float(d), float(e), float(f)))
+        for a, b, c, d, e, f in zip(k_cell9, k_cell12, k_par, k_cl, k_eqd, k_segd)]
+    assert got_spark == got_np
+
+
+def test_hash_templates_bit_identical_spark_duckdb_python(spark):
+    pdf = _frame()[["i", "s"]]
+    exprs_spark = {
+        "h31": sqlfns.polyhash_spark("s", mult=31),
+        "h37": sqlfns.polyhash_spark("s", mult=37),
+        "fp62": dedup.fingerprint62_sql("s"),
+    }
+    exprs_duck = {
+        "h31": sqlfns.polyhash_duckdb("s", mult=31),
+        "h37": sqlfns.polyhash_duckdb("s", mult=37),
+        "fp62": dedup.fingerprint62_duckdb_sql("s"),
+    }
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("fuzzh")
+    sel_s = ", ".join(f"{e} AS {k}" for k, e in exprs_spark.items())
+    got_spark = [(r.h31, r.h37, r.fp62) for r in
+                 spark.sql(f"SELECT {sel_s} FROM fuzzh ORDER BY i").collect()]
+
+    con = duckdb.connect()
+    con.register("fuzzh", pdf)
+    sel_d = ", ".join(f"{e} AS {k}" for k, e in exprs_duck.items())
+    got_duck = [tuple(int(x) for x in r) for r in con.execute(
+        f"SELECT {sel_d} FROM fuzzh ORDER BY i").fetchall()]
+    assert got_spark == got_duck
+
+    # python kernel leg: hash63 is the base-31 fold
+    def py31(s):
+        return cells.hash63(s)
+    for (h31, _h37, _fp), s in zip(got_spark, pdf.s.tolist()):
+        assert h31 == py31(s)

@@ -105,10 +105,14 @@ def seg_dist_sql(plat: str, plng: str, alat: str, alng: str,
     py = f"((({plat}) - ({alat})) * {M})"
     seg2 = f"({mx} * {mx} + {my} * {my} + 1e-300)"
     t = f"LEAST(GREATEST(({px} * {mx} + {py} * {my}) / {seg2}, 0.0e0), 1.0e0)"
-    return (
-        f"(SQRT(POWER({px} - ({t}) * {mx}, 2) "
-        f"+ POWER({py} - ({t}) * {my}, 2)))"
-    )
+    # (e)*(e), NOT POWER(e, 2): libm pow is not exact-rounded and Spark
+    # vs DuckDB disagreed by 1 ulp on fuzzed inputs (caught by
+    # tests/test_cross_engine_fuzz.py); multiplication is IEEE
+    # exact-rounded everywhere and matches the numpy twin's ex*ex.
+    # Codegen/CSE dedupes the repeated subexpression.
+    ex = f"({px} - ({t}) * {mx})"
+    ey = f"({py} - ({t}) * {my})"
+    return f"(SQRT({ex} * {ex} + {ey} * {ey}))"
 
 
 def buffer_corners_sql(alat: str, alng: str, blat: str, blng: str,

@@ -190,8 +190,11 @@ def pip_join(points: DataFrame, buffers: DataFrame,
     inside = (f"({t_u}) > 0.0e0 AND ({t_u}) < 1.0e0 "
               f"AND ({ex} * {ex} + {ey} * {ey}) < ({hw} * {hw})")
     t_c = f"LEAST(GREATEST(({px} * mx + {py} * my) / s2, 0.0e0), 1.0e0)"
-    dist = (f"SQRT(POWER({px} - ({t_c}) * mx, 2) "
-            f"+ POWER({py} - ({t_c}) * my, 2))")
+    # (e)*(e), not POWER(e,2): libm pow is off-by-ulp across engines
+    # (cross-engine fuzz); matches sqlfns.seg_dist_sql and the numpy twin
+    cx = f"({px} - ({t_c}) * mx)"
+    cy = f"({py} - ({t_c}) * my)"
+    dist = f"SQRT({cx} * {cx} + {cy} * {cy})"
     return (cand.filter(F.expr(inside))
             .select("url", "entity", "lat", "lng", "cell9", *passthrough,
                     "way_id", "segment_id", F.expr(dist).alias("dist_m")))
@@ -260,8 +263,10 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
     px = "((lng - alng) * cm)"
     py = f"((lat - alat) * {M})"
     t_c = f"LEAST(GREATEST(({px} * mx + {py} * my) / s2, 0.0e0), 1.0e0)"
-    dist_expr = F.expr(f"SQRT(POWER({px} - ({t_c}) * mx, 2) "
-                       f"+ POWER({py} - ({t_c}) * my, 2))")
+    # (e)*(e), not POWER(e,2) — see seg_dist_sql (cross-engine fuzz)
+    kx = f"({px} - ({t_c}) * mx)"
+    ky = f"({py} - ({t_c}) * my)"
+    dist_expr = F.expr(f"SQRT({kx} * {kx} + {ky} * {ky})")
     wd = Window.partitionBy("url", "entity").orderBy("segment_id")
     wk = Window.partitionBy("url", "entity").orderBy("dist_m", "way_id", "segment_id")
     cols = ["url", "entity", "lat", "lng", "cell9",
