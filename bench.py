@@ -37,6 +37,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from tosidewalk_spark.operators import dedup, network as N, sidewalks as SW  # noqa: E402
 from tosidewalk_spark.operators import similarity, spatial as SP, text  # noqa: E402
+from tosidewalk_spark.operators import temporal as TP  # noqa: E402
 from tosidewalk_spark.plans import pipeline as PL  # noqa: E402
 from tosidewalk_spark.session import get_spark  # noqa: E402
 from tosidewalk_spark.sources import synth  # noqa: E402
@@ -250,6 +251,7 @@ def parquet_scan_leg(spark, buffers, n_pages: int) -> dict:
 def run_queries(spark, buffers) -> dict[str, float]:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timings: dict[str, float] = {}
 
     def bench(name, df_fn):
@@ -306,6 +308,21 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("url_dedup", lambda: text.url_dedup(synth.pages(spark, 1_000_000)))
     bench("normalize_text", lambda: text.normalize_text(docs))
     bench("quality_score", lambda: text.quality_score(docs))
+    # r4 second wave: repetition filters, boilerplate stripper (planted
+    # line structure as in the oracle), the as-of join, fuzzy-dedup apply
+    bench("repetition_stats", lambda: text.repetition_stats(docs))
+    bench("remove_boilerplate", lambda: text.remove_boilerplate(
+        docs.selectExpr(
+            "doc_id",
+            "CONCAT('site', CAST(doc_id % 997 AS STRING), '.example') AS domain",
+            "CONCAT('nav header', CHR(10), 'body: ', text, CHR(10), "
+            "'(c) footer') AS text")))
+    bench("asof_join", lambda: TP.asof_join(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'view'").withColumnRenamed(
+            "event_id", "view_event_id"),
+        on=["user_id"], tiebreak="view_event_id"))
+    bench("dedup_keep", lambda: dedup.dedup_keep(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

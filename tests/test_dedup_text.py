@@ -403,3 +403,76 @@ def test_dedup_clusters_giant_exact_group_survives_band_cap(spark):
     # hamming check (it does for this fixture: one-token suffix)
     assert all(out[i][0] == 1 for i in range(1, 21))
     assert out[1][1] >= 20
+
+
+def test_repetition_stats(spark):
+    d = spark.createDataFrame([
+        (1, "a b a b a b"),     # 2-grams: 'a b' x3, 'b a' x2 -> all duplicated
+        (2, "u v w x"),         # all 2-grams unique
+        (3, "solo"),            # single token: no 2-grams
+        (4, ""),                # empty text
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_stats(d).collect()}
+    assert out[1].n_tokens == 6
+    assert out[1].uniq_token_frac == round(2 / 6, 6)
+    assert out[1].top_2gram_frac == 0.6        # 3 of 5
+    assert out[1].dup_2gram_frac == 1.0        # 5 of 5
+    assert out[2].n_tokens == 4
+    assert out[2].uniq_token_frac == 1.0
+    assert out[2].top_2gram_frac == round(1 / 3, 6)
+    assert out[2].dup_2gram_frac == 0.0
+    for i in (3, 4):
+        assert out[i].top_2gram_frac == 0.0
+        assert out[i].dup_2gram_frac == 0.0
+    assert out[3].n_tokens == 1 and out[4].n_tokens == 0
+
+
+def test_remove_boilerplate_threshold_and_domain_isolation(spark):
+    nl = "\n"
+    rows = [(i, "a.example",
+             nl.join(["nav bar", f"body {i}", "footer"])) for i in range(3)]
+    # 'nav bar' also appears in ONE doc of b.example — under threshold
+    # there, so domain isolation must keep it
+    rows.append((10, "b.example", nl.join(["nav bar", "body ten"])))
+    rows.append((11, "b.example", "body eleven"))
+    d = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {r.doc_id: r for r in
+           text.remove_boilerplate(d, min_docs=3).collect()}
+    for i in range(3):  # df=3 nav+footer dropped, unique body kept
+        assert out[i].clean_text == f"body {i}"
+        assert (out[i].n_lines_kept, out[i].n_lines_dropped) == (1, 2)
+    assert out[10].clean_text == nl.join(["nav bar", "body ten"])
+    assert out[10].n_lines_dropped == 0
+    assert out[11].clean_text == "body eleven"
+
+
+def test_asof_join_semantics(spark):
+    from tosidewalk_spark.operators import temporal
+    left = spark.createDataFrame(
+        [(1, 100, 5), (1, 250, 6), (1, 50, 7), (2, 300, 8)],
+        "k long, ts long, lv long")
+    right = spark.createDataFrame(
+        [(1, 100, 11), (1, 200, 12), (3, 10, 13)],
+        "k long, ts long, rv long")
+    out = {(r.k, r.ts): r.rv for r in temporal.asof_join(
+        left, right, on=["k"], payload={"rv": "rv"}).collect()}
+    assert out[(1, 100)] == 11   # equal ts matches (<= semantics)
+    assert out[(1, 250)] == 12   # latest preceding
+    assert out[(1, 50)] is None  # nothing at-or-before
+    assert out[(2, 300)] is None # key absent on the right
+    # tiebreak: two right rows at the same (k, ts) -> LARGEST tb wins,
+    # and the payload struct stays atomic (both columns from that row)
+    right2 = spark.createDataFrame(
+        [(1, 100, 11, 1), (1, 100, 21, 2)], "k long, ts long, rv long, tb long")
+    out2 = {(r.k, r.ts): (r.rv, r.rtb) for r in temporal.asof_join(
+        left, right2, on=["k"], payload={"rv": "rv", "tb": "rtb"},
+        tiebreak="tb").collect()}
+    assert out2[(1, 250)] == (21, 2)
+
+
+def test_dedup_keep_collapses_clusters(spark):
+    rows = [(i, "same text in every doc here") for i in range(5)]
+    rows.append((9, "another page entirely different words"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_collapsed for r in dedup.dedup_keep(d).collect()}
+    assert out == {0: 5, 9: 1}

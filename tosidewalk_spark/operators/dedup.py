@@ -552,3 +552,22 @@ def dedup_clusters(docs: DataFrame, max_hamming: int = 3,
     w = Window.partitionBy("cluster_id")
     return labeled.select("doc_id", "cluster_id",
                           F.count("*").over(w).alias("cluster_size"))
+
+
+def dedup_keep(docs: DataFrame, max_hamming: int = 3,
+               max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """The APPLY step of fuzzy dedup: collapse every near-duplicate
+    cluster (``dedup_clusters`` semantics — exact-dup pre-collapse +
+    banded simhash64 graph + transitive closure) to its canonical
+    representative and return the kept documents.
+
+    The representative is the cluster's min doc_id, which IS the
+    cluster_id by construction, so keeping is the row filter
+    ``doc_id == cluster_id`` — no extra shuffle beyond the clustering
+    itself.  ``n_collapsed`` reports how many documents each kept row
+    absorbed (1 = it was unique), the number a corpus-size accounting
+    audit wants next to every survivor."""
+    clusters = dedup_clusters(docs, max_hamming=max_hamming,
+                              max_bucket=max_bucket)
+    return (clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id", F.col("cluster_size").alias("n_collapsed")))

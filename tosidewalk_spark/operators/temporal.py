@@ -1,0 +1,83 @@
+"""Temporal joins Spark does not ship natively: the as-of join.
+
+The reference pipeline has no temporal operators (SURVEY.md §2A "not
+present" list — no as-of/interval joins); this module ADDS the one a
+web-crawl training pipeline keeps reaching for: match every left row to
+the LATEST right row at-or-before its timestamp per key (snapshot
+attribution — "which page version / which preceding view does this
+event see?").
+
+Spark has no ASOF JOIN operator (SPARK-22947 is the long-open ask), and
+the naive theta-join `l.ts >= r.ts` + per-left-row max is a cross
+product per key.  The scale-correct DataFrame expression is the
+union-marker plan:
+
+  1. align both sides into one relation with a `_side` marker
+     (right = 0, left = 1) and the right-side payload packed into ONE
+     struct column (NULL on left rows);
+  2. a single window per key ordered by (ts, _side, right-tiebreak):
+     `LAST(payload IGNORE NULLS)` over UNBOUNDED PRECEDING..CURRENT ROW
+     carries the most recent right payload forward onto every left row;
+  3. keep the left rows.
+
+Cost: ONE shuffle of left ∪ right on the join key — no per-key cross
+product, no range explosion, partial ordering done by the sort within
+each hash partition.  Skewed keys salt exactly like any other window
+(the caller can pre-bucket ts into the key for pathological single-key
+streams).  `_side` = 0-before-1 at equal timestamps gives `right.ts <=
+left.ts` semantics, matching DuckDB's `ASOF LEFT JOIN ... ON r.ts <=
+l.ts` (the oracle twin in plans/registry.py).  The payload struct keeps
+the match ATOMIC: all carried columns come from the same right row even
+when several right rows share a timestamp (broken by `tiebreak`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              payload: dict[str, str] | None = None,
+              tiebreak: str | None = None) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of
+    join, LEFT semantics: unmatched left rows keep NULL payload).
+
+    ``payload`` maps right-side column -> output alias; defaults to every
+    right column except the key and timestamp.  ``tiebreak`` names a
+    right column that deterministically orders right rows sharing
+    (key, ts) — the LARGEST wins, matching "latest snapshot wins".
+    """
+    if payload is None:
+        skip = set(on) | {right_ts}
+        payload = {c: c for c in right.columns if c not in skip}
+    pay_struct = F.struct(*[F.col(c).alias(a) for c, a in payload.items()])
+
+    left_cols = [c for c in left.columns]
+    r_rows = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
+        pay_struct.alias("_pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left_cols if c not in on])
+    l_rows = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_rows.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r_rows.schema["_pay"].dataType).alias("_pay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in on])
+
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col("_ts"), F.col("_side"), F.col("_tb").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (r_rows.unionByName(l_rows)
+               .withColumn("_match", F.last("_pay", ignorenulls=True).over(w))
+               .filter(F.col("_side") == 1))
+    out = [F.col(c) for c in on]
+    out += [F.col(f"_l_{c}").alias(c) for c in left_cols if c not in on]
+    out += [F.col(f"_match.{a}").alias(a) for a in payload.values()]
+    return carried.select(*out)

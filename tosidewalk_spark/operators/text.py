@@ -289,6 +289,87 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         F.expr(f"LENGTH({norm})").cast("long").alias("n_norm_chars"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals — the quality filters that catch
+    machine-generated / boilerplate pages C4-style heuristics miss:
+
+    - ``uniq_token_frac``: distinct tokens / tokens (low = looping text);
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram /
+      all 2-gram occurrences (Gopher's "top n-gram fraction");
+    - ``dup_2gram_frac``: occurrences belonging to 2-grams that appear
+      more than once in the doc / all occurrences ("duplicate n-grams").
+
+    Plan (one scan, no join): distinct-token fraction is row-local
+    (``array_distinct`` in codegen); the gram signals explode 2-gram
+    positions and run TWO stacked hash aggregations — (doc_id, gram)
+    then (doc_id) — both map-side combinable, both keyed by doc-grain
+    keys that are well-spread at web scale.  ``explode_outer`` keeps
+    docs with < 2 tokens (their gram aggregates count 0 rows), so no
+    join back to the corpus is needed; the row-local stats ride the
+    first aggregation as FIRST() (constant within a doc's group).
+    Fractions are ROUND(...,6) so the DuckDB twin hashes identically."""
+    t = _tokens()
+    grams = (f"CASE WHEN SIZE({t}) >= 2 THEN "
+             f"TRANSFORM(SEQUENCE(0, SIZE({t}) - 2), "
+             f"i -> CONCAT_WS(' ', SLICE({t}, i + 1, 2))) "
+             f"ELSE CAST(ARRAY() AS ARRAY<STRING>) END")
+    ex = docs.select(
+        "doc_id",
+        F.expr(f"CAST(SIZE({t}) AS BIGINT)").alias("nt"),
+        F.expr(f"CAST(SIZE(ARRAY_DISTINCT({t})) AS BIGINT)").alias("nu"),
+        F.explode_outer(F.expr(grams)).alias("gram"))
+    per_gram = (ex.groupBy("doc_id", "gram")
+                .agg(F.count("gram").alias("c"),
+                     F.first("nt").alias("nt"), F.first("nu").alias("nu")))
+    per_doc = (per_gram.groupBy("doc_id")
+               .agg(F.first("nt").alias("nt"), F.first("nu").alias("nu"),
+                    F.sum("c").alias("n2"), F.max("c").alias("mx"),
+                    F.sum(F.when(F.col("c") >= 2, F.col("c"))
+                          .otherwise(F.lit(0))).alias("dup")))
+    return per_doc.select(
+        "doc_id",
+        F.col("nt").alias("n_tokens"),
+        F.expr("ROUND(CAST(nu AS DOUBLE) / GREATEST(nt, 1), 6)").alias("uniq_token_frac"),
+        F.expr("ROUND(CAST(mx AS DOUBLE) / GREATEST(n2, 1), 6)").alias("top_2gram_frac"),
+        F.expr("ROUND(CAST(dup AS DOUBLE) / GREATEST(n2, 1), 6)").alias("dup_2gram_frac"))
+
+
+def remove_boilerplate(pages: DataFrame, min_docs: int = 3) -> DataFrame:
+    """Per-domain template-line removal — the nav/footer stripper every
+    web-crawl pipeline runs after extraction: a LINE of text that recurs
+    in >= ``min_docs`` distinct documents of the SAME domain is template
+    chrome, not content, and is dropped from every document.
+
+    Input: (doc_id, domain, text) with newline-separated lines.
+
+    Plan built for the 100 TB shape: the per-(domain, line) document-
+    frequency aggregation is the only corpus-wide shuffle (two-phase,
+    map-side combined, keyed by the naturally well-spread (domain, line)
+    pair).  Frequent lines are then collapsed to ONE array per domain —
+    a domain's template set is bounded by its page layout, not its page
+    count — and that small table is BROADCAST back; each document drops
+    its boilerplate with a row-local array ``FILTER``, so the corpus
+    itself never shuffles and line order is trivially preserved (no
+    posexplode + re-sort round trip)."""
+    lines = "SPLIT(text, CHR(10))"  # CHR(10), not a literal '\n' in SQL
+    ex = pages.select("doc_id", "domain",
+                      F.explode(F.expr(lines)).alias("line"))
+    freq = (ex.groupBy("domain", "line")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .filter(F.col("df") >= min_docs)
+            .groupBy("domain")
+            .agg(F.collect_set("line").alias("bl")))
+    kept = ("FILTER(" + lines + ", l -> NOT COALESCE(ARRAY_CONTAINS(bl, l)"
+            ", FALSE))")
+    return (pages.join(F.broadcast(freq), "domain", "left")
+            .select(
+                "doc_id", "domain",
+                F.expr(f"CONCAT_WS(CHR(10), {kept})").alias("clean_text"),
+                F.expr(f"CAST(SIZE({kept}) AS INT)").alias("n_lines_kept"),
+                F.expr(f"CAST(SIZE({lines}) - SIZE({kept}) AS INT)")
+                .alias("n_lines_dropped")))
+
+
 def domain_stats(pages: DataFrame) -> DataFrame:
     """Per-domain corpus stats — the first grouping any web-crawl audit
     runs.  Domain = host part of the url (regexp in codegen; the DuckDB
