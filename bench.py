@@ -323,6 +323,14 @@ def run_queries(spark, buffers) -> dict[str, float]:
             "event_id", "view_event_id"),
         on=["user_id"], tiebreak="view_event_id"))
     bench("dedup_keep", lambda: dedup.dedup_keep(docs))
+    bench("interval_join", lambda: TP.interval_join(
+        ev.filter("event_type = 'click'").selectExpr("event_id", "user_id", "ts"),
+        ev.filter("event_type = 'error'").selectExpr(
+            "event_id AS err_event_id", "user_id", "ts AS err_start",
+            "ts + INTERVAL 30 MINUTES AS err_end"),
+        on=["user_id"], left_ts="ts", right_start="err_start",
+        right_end="err_end", bucket_s=1800))
+    bench("cdc_chunks", lambda: text.cdc_chunks(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

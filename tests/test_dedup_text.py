@@ -476,3 +476,47 @@ def test_dedup_keep_collapses_clusters(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.n_collapsed for r in dedup.dedup_keep(d).collect()}
     assert out == {0: 5, 9: 1}
+
+
+def test_interval_join_bounds_and_buckets(spark):
+    from tosidewalk_spark.operators import temporal
+    left = spark.createDataFrame(
+        [(1, 0.0), (1, 100.0), (1, 500.0), (1, 501.0), (2, 100.0)],
+        "k long, ts double")
+    right = spark.createDataFrame(
+        [(1, 100.0, 500.0, 7), (2, 9000.0, 9100.0, 8)],
+        "k long, s double, e double, rid long")
+    # bucket_s=60: the [100, 500] interval spans 8 buckets; every
+    # qualifying pair must appear EXACTLY once despite the explosion
+    out = [(r.ts, r.rid) for r in temporal.interval_join(
+        left, right, on=["k"], left_ts="ts", right_start="s",
+        right_end="e", bucket_s=60).collect()]
+    assert sorted(out) == [(100.0, 7), (500.0, 7)]  # inclusive both ends
+
+
+def test_cdc_chunks_properties(spark):
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat naps beside a warm stone wall in the late afternoon sun")
+    d = spark.createDataFrame(
+        [(1, base), (2, "Z" + base), (3, "short"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    rows = text.cdc_chunks(d, w=8, mod=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_no, r.chunk_len, r.chunk_fp))
+    for v in by_doc.values():
+        v.sort()
+    # chunks tile the document: lengths sum to the text length
+    assert sum(c[1] for c in by_doc[1]) == len(base)
+    assert sum(c[1] for c in by_doc[2]) == len(base) + 1
+    # the defining CDC property: a 1-char prefix insertion leaves every
+    # chunk after the first boundary IDENTICAL (boundaries move with
+    # content) — exact dedup on chunk_fp still matches the shared tail
+    fps1 = [c[2] for c in by_doc[1]]
+    fps2 = [c[2] for c in by_doc[2]]
+    assert len(fps1) >= 3  # non-trivial chunking at this w/mod
+    assert set(fps1[1:]) <= set(fps2)
+    # text shorter than the window w -> one chunk covering everything
+    assert by_doc[3] == [(0, 5, by_doc[3][0][2])]
+    # empty and NULL text -> zero chunks
+    assert 4 not in by_doc and 5 not in by_doc

@@ -81,3 +81,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     out += [F.col(f"_l_{c}").alias(c) for c in left_cols if c not in on]
     out += [F.col(f"_match.{a}").alias(a) for a in payload.values()]
     return carried.select(*out)
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: list[str],
+                  left_ts: str, right_start: str, right_end: str,
+                  bucket_s: int = 3600) -> DataFrame:
+    """Point-in-interval join: every (left, right) pair on the same key
+    with ``right_start <= left_ts <= right_end`` — the other temporal
+    join Spark lacks (an ON-clause range predicate alone degenerates to
+    a per-key cross product + filter).
+
+    Scale plan — time-bucket equi-join: each right interval explodes to
+    the fixed-width buckets it touches (`sequence` of epoch // bucket_s,
+    pure codegen), each left row maps to exactly ONE bucket, and the join
+    runs as a plain hash equi-join on (key..., bucket) with the exact
+    range predicate as a post-filter.  Each qualifying pair is produced
+    exactly once (one bucket per left row), so no dedup pass.  The
+    shuffle key gains the bucket, which simultaneously SPREADS a hot key
+    over its time range — the salt falls out of the plan.  Explosion is
+    bounded by interval_length / bucket_s; pick ``bucket_s`` near the
+    typical interval length so most intervals land in 1–2 buckets.
+
+    Both timestamp columns may be TIMESTAMP or numeric epoch seconds;
+    right columns whose names collide with left's must be aliased by the
+    caller beforehand (the output carries all columns of both sides)."""
+    def _epoch(col: str, df: DataFrame) -> F.Column:
+        if str(df.schema[col].dataType).startswith("Timestamp"):
+            # cast through TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ
+            # (the type parquet event times arrive as)
+            return F.unix_micros(F.col(col).cast("timestamp")) / 1_000_000.0
+        return F.col(col).cast("double")
+
+    l = left.withColumn(
+        "_bucket", F.floor(_epoch(left_ts, left) / bucket_s).cast("long"))
+    r = right.withColumn(
+        "_bucket", F.explode(F.sequence(
+            F.floor(_epoch(right_start, right) / bucket_s).cast("long"),
+            F.floor(_epoch(right_end, right) / bucket_s).cast("long"))))
+    joined = l.join(r, on + ["_bucket"])
+    return (joined.filter((F.col(left_ts) >= F.col(right_start))
+                          & (F.col(left_ts) <= F.col(right_end)))
+            .drop("_bucket"))

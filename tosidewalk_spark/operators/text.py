@@ -334,6 +334,55 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.expr("ROUND(CAST(dup AS DOUBLE) / GREATEST(n2, 1), 6)").alias("dup_2gram_frac"))
 
 
+def cdc_chunks(docs: DataFrame, w: int = 8, mod: int = 16) -> DataFrame:
+    """Content-defined chunking (the rsync/FastCDC family): cut each
+    document where the rolling hash of the last ``w`` characters is
+    ``0 mod mod`` — boundaries move WITH the content, so two page
+    versions differing by one insertion still share every chunk outside
+    the edit region.  Chunk-fingerprint dedup across versions/mirrors
+    falls out as a plain aggregation on ``chunk_fp``.
+
+    Output: (doc_id, chunk_no, chunk_len, chunk_fp) — fingerprints, not
+    chunk text (the corpus does not get copied through the shuffle).
+
+    The boundary hash is the SHARED polyhash template (base 31), so the
+    whole operator has a closed-form DuckDB twin; it is evaluated per
+    position over w chars (O(w·n) per doc, all inside codegen/HOFs, no
+    python).  A production byte-level variant would compute the true
+    O(n) incremental Rabin fingerprint in a mapInPandas pass — the
+    plumbing is the same, only the boundary predicate moves.  NULL text
+    folds to '' (zero chunks); min/max chunk-size clamps of FastCDC are
+    intentionally omitted (documented simplification — the expected
+    chunk length is ``mod`` characters)."""
+    ph = sqlfns.polyhash_spark(f"SUBSTRING(_t, p - {w - 1}, {w})")
+    bounds = (
+        f"CASE WHEN LENGTH(_t) < {w} THEN CAST(ARRAY() AS ARRAY<BIGINT>) "
+        f"ELSE FILTER(SEQUENCE(CAST({w} AS BIGINT), CAST(LENGTH(_t) AS BIGINT)), "
+        f"p -> ({ph}) % {mod} = 0) END")
+    cuts = (
+        "CASE WHEN ELEMENT_AT(_cuts0, -1) = LENGTH(_t) THEN _cuts0 "
+        "ELSE CONCAT(_cuts0, ARRAY(CAST(LENGTH(_t) AS BIGINT))) END")
+    chunks = (
+        "CASE WHEN SIZE(_cuts) >= 2 THEN "
+        "TRANSFORM(SEQUENCE(1, SIZE(_cuts) - 1), "
+        "i -> SUBSTRING(_t, ELEMENT_AT(_cuts, i) + 1, "
+        "CAST(ELEMENT_AT(_cuts, i + 1) - ELEMENT_AT(_cuts, i) AS INT))) "
+        "ELSE CAST(ARRAY() AS ARRAY<STRING>) END")
+    staged = (docs
+              .select("doc_id", F.expr("COALESCE(text, '')").alias("_t"))
+              .withColumn("_bounds", F.expr(bounds))
+              .withColumn("_cuts0",
+                          F.expr("CONCAT(ARRAY(CAST(0 AS BIGINT)), _bounds)"))
+              .withColumn("_cuts", F.expr(cuts)))
+    fp = sqlfns.polyhash_spark("chunk")
+    return (staged
+            .select("doc_id", "_t",
+                    F.posexplode(F.expr(chunks)).alias("chunk_no", "chunk"))
+            .select("doc_id", "chunk_no",
+                    F.expr("CAST(LENGTH(chunk) AS BIGINT)").alias("chunk_len"),
+                    F.expr(f"CAST({fp} AS BIGINT)").alias("chunk_fp")))
+
+
 def remove_boilerplate(pages: DataFrame, min_docs: int = 3) -> DataFrame:
     """Per-domain template-line removal — the nav/footer stripper every
     web-crawl pipeline runs after extraction: a LINE of text that recurs

@@ -2174,11 +2174,77 @@ def o_dedup_keep() -> str:
             f"({o_dedup_clusters()}) WHERE doc_id = cluster_id")
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (clicks landing inside 30-minute error
+    windows per user) via the time-bucket equi-join plan; the DuckDB
+    oracle is the straight theta join — again an INDEPENDENT derivation,
+    not our own template re-run."""
+    from ..operators import temporal
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "event_id", "user_id", "ts")
+    errors = ev.filter("event_type = 'error'").selectExpr(
+        "event_id AS err_event_id", "user_id", "ts AS err_start",
+        "ts + INTERVAL 30 MINUTES AS err_end")
+    j = temporal.interval_join(clicks, errors, on=["user_id"],
+                               left_ts="ts", right_start="err_start",
+                               right_end="err_end", bucket_s=1800)
+    return j.select("event_id", "user_id", "ts",
+                    "err_event_id", "err_start")
+
+
+def o_interval_join() -> str:
+    return """
+    SELECT c.event_id, c.user_id, c.ts,
+           e.event_id AS err_event_id, e.ts AS err_start
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.cdc_chunks(docs, w=8, mod=16)
+
+
+def o_cdc_chunks() -> str:
+    ph = sqlfns.polyhash_duckdb("substr(t, CAST(p - 7 AS INT), 8)")
+    fp = sqlfns.polyhash_duckdb("sub")
+    return f"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+    b AS (SELECT doc_id, t,
+                 list_filter(range(8, length(t) + 1),
+                             p -> ({ph}) % 16 = 0) AS bounds
+          FROM d),
+    c0 AS (SELECT doc_id, t,
+                  list_prepend(CAST(0 AS BIGINT), bounds) AS cuts0 FROM b),
+    c AS (SELECT doc_id, t,
+                 CASE WHEN cuts0[-1] = length(t) THEN cuts0
+                      ELSE list_append(cuts0, CAST(length(t) AS BIGINT))
+                 END AS cuts
+          FROM c0),
+    ch AS (SELECT doc_id, t, cuts, unnest(range(1, len(cuts))) AS i FROM c),
+    s AS (SELECT doc_id, i,
+                 substr(t, CAST(cuts[CAST(i AS INT)] + 1 AS INT),
+                        CAST(cuts[CAST(i AS INT) + 1]
+                             - cuts[CAST(i AS INT)] AS INT)) AS sub
+          FROM ch)
+    SELECT doc_id, CAST(i - 1 AS INT) AS chunk_no,
+           CAST(length(sub) AS BIGINT) AS chunk_len,
+           CAST({fp} AS BIGINT) AS chunk_fp
+    FROM s
+    """
+
+
 QUERIES.update({
     "repetition_stats": (q_repetition_stats, o_repetition_stats),
     "remove_boilerplate": (q_remove_boilerplate, o_remove_boilerplate),
     "asof_join": (q_asof_join, o_asof_join),
     "dedup_keep": (q_dedup_keep, o_dedup_keep),
+    "interval_join": (q_interval_join, o_interval_join),
+    "cdc_chunks": (q_cdc_chunks, o_cdc_chunks),
 })
 
 # --- driver correctness window ordering ---------------------------------------
@@ -2216,6 +2282,7 @@ _TAIL = [
     "sequence_packing", "decontaminate", "ngram_counts", "pii_scrub",
     "incremental_dedup_bucketed", "url_dedup", "normalize_text",
     "repetition_stats", "remove_boilerplate", "asof_join", "dedup_keep",
+    "interval_join", "cdc_chunks",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
