@@ -1012,14 +1012,41 @@ def o_r18_way_lengths() -> str:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (no SQL oracle): multimodal binary-column plumbing —
-    deterministic fake features over synthesized media."""
+    """Full SQL oracle (upgraded from the r2 rows-only L1-sum check): the
+    fake payload is REPEAT(last-8-chars(url), 16), so the numpy
+    byte-histogram feature has the closed form
+        f[j] = count of chars c in right(url, 8) with ascii(c) % 8 = j,
+    normalized by 8 — and k/8 is exactly representable in binary, so the
+    ROUND(.,6) in the UDF and the oracle cannot diverge for ANY value.
+    Components are emitted as separate columns (f0..f7) so the driver's
+    value hash compares every entry, not an aggregate of them."""
     from ..operators import multimodal
     pages = synth.pages(spark, 200)
     media = multimodal.synth_media(pages)
     feats = multimodal.extract_features(media)
-    return feats.select("url", "media_type",
-                        F.expr("ROUND(AGGREGATE(feature, CAST(0.0 AS DOUBLE), (a, x) -> a + x), 3)").alias("feature_l1"))
+    sel = [F.expr(f"ELEMENT_AT(feature, {j + 1})").alias(f"f{j}")
+           for j in range(8)]
+    return feats.select("url", "media_type", *sel)
+
+
+def o_multimodal_features() -> str:
+    comps = ",\n           ".join(
+        f"ROUND(len(list_filter(range(1, 9), "
+        f"k -> ascii(substr(r8, CAST(k AS INT), 1)) % 8 = {j})) / 8.0, 6) "
+        f"AS f{j}" for j in range(8))
+    return f"""
+    WITH p AS (SELECT 'https://site' || CAST(id % 997 AS VARCHAR)
+                      || '.example/p/' || CAST(id AS VARCHAR) AS url
+               FROM range(0, 200) t(id)),
+    m AS (SELECT url,
+                 list_extract(['image','audio','video'],
+                              CAST(length(url) % 3 AS INT) + 1) AS media_type,
+                 right(url, 8) AS r8
+          FROM p)
+    SELECT url, media_type,
+           {comps}
+    FROM m
+    """
 
 
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1810,7 +1837,7 @@ QUERIES.update({
     "simhash_pairs": (q_simhash_pairs, o_simhash_pairs),
     "lsh_topk": (q_lsh_topk, o_lsh_topk),
     "r18_way_lengths": (q_r18_way_lengths, o_r18_way_lengths),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, o_multimodal_features),
     "extract_text_identity": (q_extract_text, None),
     "r4_way_join": (q_r4_way_join, o_r4_way_join),
     "r6_parallel_pairs": (q_r6_parallel_pairs, o_r6_parallel_pairs),
@@ -2266,9 +2293,11 @@ QUERIES.update({
 #   g4_pip_join_rot        rotated variant of g4_pip_join
 #   tpch_q1                agg-only; tpch_q3/q5 cover agg+join shapes
 #   broadcast_star_join    join shape covered by tpch_q3/q5
-#   multimodal_features / extract_text_identity
-#                          rows-only checks; multimodal_resize and
-#                          extract_text_oracle carry the full oracles
+#   multimodal_features    full closed-form oracle since r4 (histogram
+#                          components vs right-8-chars closed form);
+#                          multimodal_resize carries the pixel oracle
+#   extract_text_identity  rows-only; extract_text_oracle carries the
+#                          full oracle
 # The r4 training-pipeline additions (sequence_packing, decontaminate,
 # ngram_counts, pii_scrub) also sit past the window rather than displace
 # a §2 operator's driver row; decontaminate is additionally composite-
