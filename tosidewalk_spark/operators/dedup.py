@@ -337,6 +337,19 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
     (VERDICT.md r2 'What's wrong' #2) — band buckets larger than
     ``max_bucket`` are dropped before the self-join, same discipline as
     minhash_lsh_pairs."""
+    return _simhash_verified_pairs_multi(
+        docs, max_hamming, max_bucket).distinct()
+
+
+def _simhash_verified_pairs_multi(docs: DataFrame, max_hamming: int,
+                                  max_bucket: int) -> DataFrame:
+    """Body of simhash_neardup_pairs WITHOUT the final cross-band
+    distinct: each verified pair appears once per agreeing band (<= 4x).
+    For consumers that only need CONNECTIVITY (dedup_clusters), the
+    distinct is a wasted wide shuffle of the whole verified pair set —
+    the CC contraction's groupBy-min absorbs edge multiplicity in its
+    map-side combine instead.  Pair-listing consumers get the distinct
+    via simhash_neardup_pairs."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 4x16-bit band pigeonhole "
@@ -365,7 +378,7 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3,
             .filter(F.col("doc_a") < F.col("doc_b"))
             .withColumn("hamming", F.expr("CAST(BIT_COUNT(sh_a ^ sh_b) AS INT)"))
             .filter(F.col("hamming") <= max_hamming))
-    return cand.select("doc_a", "doc_b", "hamming").distinct()
+    return cand.select("doc_a", "doc_b", "hamming")
 
 
 def fingerprint62_sql(col: str = "text") -> str:
@@ -521,9 +534,19 @@ def dedup_clusters(docs: DataFrame, max_hamming: int = 3,
     Output: (doc_id, cluster_id, cluster_size) with cluster_id = min
     doc_id in the cluster — the canonical representative a pipeline keeps
     when collapsing each cluster to one document."""
+    import weakref
+
     from .network import connected_components
+    from .spatial import _safe_unpersist
+    # pinned: fdocs feeds the pair graph AND the final labeling, reps
+    # feeds the band graph AND the rep->cluster join — without the
+    # persists the _spread + fingerprint62 scan re-ran up to 3x through
+    # the CC loop's lineage; the weakref scopes both caches to the
+    # returned DataFrame as in knn_join.  Together with the non-distinct
+    # pair stream below: 22.4 -> 11.8 s at sf0.1 (same-session pair)
     fdocs = _spread(docs).select(
-        "doc_id", "text", F.expr(fingerprint62_sql("text")).alias("fp"))
+        "doc_id", "text", F.expr(fingerprint62_sql("text")).alias("fp")
+    ).persist()
     # struct-min: the representative is the MIN doc_id of each exact-dup
     # group, carrying its text (identical within the group) — map-side
     # combinable, so the shuffle moves ~one text per distinct fp per
@@ -531,10 +554,15 @@ def dedup_clusters(docs: DataFrame, max_hamming: int = 3,
     reps = (fdocs.groupBy("fp")
             .agg(F.min(F.struct("doc_id", "text")).alias("r"))
             .select("fp", F.col("r.doc_id").alias("doc_id"),
-                    F.col("r.text").alias("text")))
-    pairs = simhash_neardup_pairs(reps.select("doc_id", "text"),
-                                  max_hamming=max_hamming,
-                                  max_bucket=max_bucket)
+                    F.col("r.text").alias("text"))
+            .persist())
+    # non-distinct pair stream: CC only needs connectivity, and its
+    # contraction groupBy-min absorbs the <= 4x per-band multiplicity in
+    # map-side combine — the cross-band distinct would be a full extra
+    # shuffle of the verified pair set (656k pairs at sf0.1) for nothing
+    pairs = _simhash_verified_pairs_multi(reps.select("doc_id", "text"),
+                                          max_hamming=max_hamming,
+                                          max_bucket=max_bucket)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges).select(
         F.col("id").alias("rep_id"), F.col("component").alias("cluster_id"))
@@ -550,8 +578,11 @@ def dedup_clusters(docs: DataFrame, max_hamming: int = 3,
     # window count instead of agg+join: one evaluation of the labeled
     # branch (the join form scanned docs + the anti-join twice — review r3)
     w = Window.partitionBy("cluster_id")
-    return labeled.select("doc_id", "cluster_id",
-                          F.count("*").over(w).alias("cluster_size"))
+    result = labeled.select("doc_id", "cluster_id",
+                            F.count("*").over(w).alias("cluster_size"))
+    weakref.finalize(result, _safe_unpersist, fdocs)
+    weakref.finalize(result, _safe_unpersist, reps)
+    return result
 
 
 def dedup_keep(docs: DataFrame, max_hamming: int = 3,
