@@ -246,8 +246,9 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
       operator is a single Catalyst plan (AQE broadcasts the tiny settled-
       key side of the semi/anti joins at runtime).
 
-    Only phase-1's top-k rows (<= k per point) are persisted for reuse
-    across the three consumers — never the raw candidate set."""
+    Only phase-1's top-k rows (<= k per point; for k=1 exactly one row
+    per point, matched or not) are persisted for reuse across the
+    consumers — never the raw candidate set."""
     s = cells.cell_size_deg(res)
     # conservative meters-per-cell lower bound (lng edge at |lat|<=60)
     edge_min_m = s * geom.M_PER_DEG * 0.5
@@ -309,22 +310,47 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
         return (dedup.withColumn("knn_rank", F.row_number().over(wk))
                 .filter(F.col("knn_rank") <= k))
 
-    phase1 = topk(pts, first_radius).persist()
     bound = first_radius * edge_min_m
     if k == 1:
-        # struct-min phase 1 emits EXACTLY one row per point that had any
-        # candidate, so "k candidates and k-th dist <= bound" degenerates
-        # to a row filter — the settled aggregation and the semi-join
-        # (two shuffles on (url, entity)) are provably redundant.
-        done = phase1.filter(F.col("dist_m") <= bound)
-        settled = done.select("url", "entity")
+        # k=1 phase 1 keeps EVERY point: the probe rows LEFT-join the
+        # broadcast segment cover (unmatched rows survive with NULL
+        # segment), the struct-min rides a WHEN so unmatched rows
+        # contribute nothing, and lat/lng/cell9 come back as FIRST()
+        # (constant per point).  Settledness then degenerates to a row
+        # FILTER on this persisted aggregate — the r3 shape still
+        # anti-joined pts against the settled set, i.e. two corpus-wide
+        # shuffles on (url, entity) purely to find the zero-candidate
+        # points phase 1 had dropped (review r4: 4.3 -> ~2 s at sf0.1).
+        cand = (pts.withColumn("cell", F.explode(_probe_cells_expr(res, first_radius)))
+                .join(F.broadcast(sc), "cell", "left")
+                .select("url", "entity", "lat", "lng", "cell9",
+                        "way_id", "segment_id", dist_expr.alias("dist_m")))
+        phase1 = (cand.groupBy("url", "entity")
+                  .agg(F.min(F.when(F.col("segment_id").isNotNull(),
+                                    F.struct("dist_m", "way_id", "segment_id")))
+                       .alias("b"),
+                       F.first("lat").alias("lat"),
+                       F.first("lng").alias("lng"),
+                       F.first("cell9").alias("cell9"))
+                  .persist())
+        done = (phase1.filter(F.col("b").isNotNull()
+                              & (F.col("b.dist_m") <= bound))
+                .select("url", "entity", "lat", "lng", "cell9",
+                        F.col("b.way_id").alias("way_id"),
+                        F.col("b.segment_id").alias("segment_id"),
+                        F.col("b.dist_m").alias("dist_m"),
+                        F.lit(1).alias("knn_rank")))
+        stragglers = (phase1.filter(F.col("b").isNull()
+                                    | (F.col("b.dist_m") > bound))
+                      .select("url", "entity", "lat", "lng", "cell9"))
     else:
+        phase1 = topk(pts, first_radius).persist()
         settled = (phase1.groupBy("url", "entity")
                    .agg(F.max("dist_m").alias("kth"), F.count("*").alias("n"))
                    .filter((F.col("n") == k) & (F.col("kth") <= bound))
                    .select("url", "entity"))
         done = phase1.join(settled, ["url", "entity"], "left_semi")
-    stragglers = pts.join(settled, ["url", "entity"], "left_anti")
+        stragglers = pts.join(settled, ["url", "entity"], "left_anti")
     phase2 = topk(stragglers, max(max_ring, first_radius))
     result = done.select(*cols).unionByName(phase2.select(*cols))
     # Scope the phase-1 cache to the result: DataFrame persist is never
