@@ -331,6 +331,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
         on=["user_id"], left_ts="ts", right_start="err_start",
         right_end="err_end", bucket_s=1800))
     bench("cdc_chunks", lambda: text.cdc_chunks(docs))
+    bench("substring_dedup", lambda: dedup.substring_dedup(docs, k=6))
+    bench("quantize_embeddings", lambda: similarity.quantize_embeddings(emb))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

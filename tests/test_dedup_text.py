@@ -520,3 +520,72 @@ def test_cdc_chunks_properties(spark):
     assert by_doc[3] == [(0, 5, by_doc[3][0][2])]
     # empty and NULL text -> zero chunks
     assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_substring_dedup_cross_doc_and_within_doc(spark):
+    d = spark.createDataFrame([
+        (1, "a b c d e f x y z"),          # keeper of the shared 6-gram
+        (2, "p q a b c d e f w"),          # later occurrence -> span removed
+        (3, "m n o p q r m n o p q r"),    # within-doc repeat at pos 1 and 7
+        (4, "one two"),                    # shorter than k -> pass-through
+        (5, ""), (6, None),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.substring_dedup(d, k=6).collect()}
+    assert len(out) == 6  # every doc survives, even empty/NULL
+    # globally-first occurrence keeps its words
+    assert out[1].clean_text == "a b c d e f x y z"
+    assert out[1].n_words_removed == 0
+    # the later cross-doc occurrence loses exactly the k-gram span
+    assert out[2].clean_text == "p q w"
+    assert out[2].n_words == 9 and out[2].n_words_removed == 6
+    # within-doc repeat: second occurrence removed, first kept
+    assert out[3].clean_text == "m n o p q r"
+    assert out[3].n_words == 12 and out[3].n_words_removed == 6
+    # sub-k docs have no grams and pass through unchanged
+    assert out[4].clean_text == "one two" and out[4].n_words_removed == 0
+    for i in (5, 6):
+        assert out[i].n_words == 0 and out[i].clean_text == ""
+
+
+def test_substring_dedup_overlapping_gram_spans_union(spark):
+    # doc 11 shares '1 2 3 4 5 6' with doc 10 (removed at 11) and
+    # '4 5 6 7 8 9' with doc 12's keeper copy? No: doc 11 is the FIRST
+    # for that gram, so only the first span is cut and the union must
+    # not double-count the overlap words 4 5 6.
+    d = spark.createDataFrame([
+        (10, "1 2 3 4 5 6"),
+        (11, "1 2 3 4 5 6 7 8 9"),
+        (12, "z z z 4 5 6 7 8 9"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.substring_dedup(d, k=6).collect()}
+    assert out[10].n_words_removed == 0          # keeper of '1 2 3 4 5 6'
+    # doc 11 loses 1..6 (dup of doc 10) but KEEPS 4 5 6 7 8 9 (it is the
+    # keeper for that gram) minus the overlap already cut: spans union
+    assert out[11].clean_text == "7 8 9"
+    assert out[11].n_words_removed == 6
+    # doc 12's copy of '4 5 6 7 8 9' is the later occurrence -> removed
+    assert out[12].clean_text == "z z z"
+    assert out[12].n_words_removed == 6
+
+
+def test_quantize_embeddings_codes_and_edges(spark):
+    d = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5]), (2, [0.0, 0.0]), (3, [-2.0])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(d, bits=8).collect()}
+    r1 = out[1]
+    assert r1.n_dims == 3 and r1.scale == 1.0
+    assert r1.code_max == 127 and r1.code_min == -127
+    # 0.5 * 127 + 0.5 = 64.0 -> floor 64
+    assert r1.code_sum == 127 - 127 + 64
+    assert 0.0 < r1.rmse < 0.01
+    # all-zero vector: scale clamps, codes are 0, rmse exactly 0
+    r2 = out[2]
+    assert r2.scale == 0.0 and r2.code_sum == 0
+    assert r2.code_min == 0 and r2.code_max == 0 and r2.rmse == 0.0
+    # single negative extreme hits -qmax exactly
+    r3 = out[3]
+    assert r3.scale == 2.0 and r3.code_min == -127 and r3.rmse == 0.0
+    # narrower codebooks: bits=4 -> qmax = 7
+    out4 = {r.vec_id: r for r in similarity.quantize_embeddings(d, bits=4).collect()}
+    assert out4[1].code_max == 7 and out4[1].code_min == -7

@@ -602,3 +602,75 @@ def dedup_keep(docs: DataFrame, max_hamming: int = 3,
                               max_bucket=max_bucket)
     return (clusters.filter(F.col("doc_id") == F.col("cluster_id"))
             .select("doc_id", F.col("cluster_size").alias("n_collapsed")))
+
+
+def substring_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+    """EXACT SUBSTRING dedup (the Lee et al. 2022 'Deduplicating Training
+    Data' operator, at word grain): any word ``k``-gram that occurs more
+    than once ANYWHERE in the corpus — across documents or repeated
+    inside one — is removed from every occurrence except the globally
+    first, and the surviving words are stitched back into the document.
+    This is the span-level complement of document-level fuzzy dedup:
+    boilerplate paragraphs shared by otherwise-distinct pages get cut
+    out without dropping the pages.
+
+    Semantics (mirrored exactly by the DuckDB twin):
+    - occurrences of a k-gram are keyed by ``doc_id * 2^20 + pos`` (word
+      position; docs are bounded far below 2^20 words — a production
+      byte-grain variant would key by a struct) and the MIN key is the
+      keeper;
+    - a removed occurrence masks its whole span [pos, pos+k-1]; spans
+      from different duplicated grams union (so the keeper occurrence
+      can still lose words to OTHER grams' removals — same behavior as
+      the reference algorithm's span merge);
+    - documents shorter than k words have no grams and pass through
+      unchanged; reconstruction is space-normalized (token join).
+
+    Scale shape: the corpus text never enters a shuffle — grams leave
+    the scan as 8-byte polynomial hashes with positions, the duplicate
+    detection is ONE map-side-combinable aggregation keyed by gram hash
+    (count + min fold), removal spans shuffle by doc_id, and the final
+    text rebuild is a row-local array FILTER after one equi-join back to
+    the corpus.  Ubiquitous boilerplate grams make the occurrence join
+    skewed on gh — AQE's skew-join split handles it; the aggregation
+    itself is immune (partial combine).  Collisions: a 63-bit polyhash
+    collision removes a non-duplicated span (recall stays perfect,
+    precision ~1 - n_grams^2 / 2^63); Lee et al.'s suffix-array build is
+    replaced by the hash-grain equivalent because sorting 100 TB of
+    suffixes is strictly more shuffle than hashing their k-prefixes."""
+    t = _tokens("COALESCE(text, '')")  # NULL text => zero tokens, not SIZE()=-1
+    gram = f"CONCAT_WS(' ', SLICE(_toks, CAST(p AS INT), {k}))"
+    gh = sqlfns.polyhash_spark("_g")
+    occ = (_spread(docs)
+           .select("doc_id", F.expr(t).alias("_toks"))
+           .select("doc_id",
+                   F.explode(F.expr(
+                       f"CASE WHEN SIZE(_toks) >= {k} THEN "
+                       f"TRANSFORM(SEQUENCE(CAST(1 AS BIGINT), CAST(SIZE(_toks) - {k} + 1 AS BIGINT)), "
+                       f"p -> STRUCT(p AS p, {gram} AS _g)) "
+                       f"ELSE CAST(ARRAY() AS ARRAY<STRUCT<p: BIGINT, _g: STRING>>) END"
+                   )).alias("o"))
+           .select("doc_id", F.col("o.p").alias("p"),
+                   F.expr(f"CAST({gh.replace('_g', 'o._g')} AS BIGINT)").alias("gh")))
+    occ = occ.withColumn("okey", F.expr("doc_id * CAST(1048576 AS BIGINT) + p"))
+    dup = (occ.groupBy("gh")
+           .agg(F.min("okey").alias("keep_key"), F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= 2))
+    removals = (occ.join(dup, "gh")
+                .filter(F.col("okey") != F.col("keep_key"))
+                .groupBy("doc_id")
+                .agg(F.collect_list("p").alias("_ps")))
+    covered = (f"ARRAY_DISTINCT(FLATTEN(TRANSFORM(_ps, "
+               f"p -> SEQUENCE(p, p + {k} - 1))))")
+    kept = ("FILTER(TRANSFORM(SEQUENCE(1, GREATEST(SIZE(_toks), 1)), "
+            "i -> CASE WHEN i <= SIZE(_toks) AND NOT ARRAY_CONTAINS(_cov, CAST(i AS BIGINT)) "
+            "THEN ELEMENT_AT(_toks, CAST(i AS INT)) END), x -> x IS NOT NULL)")
+    return (docs.select("doc_id", F.expr(t).alias("_toks"))
+            .join(removals, "doc_id", "left")
+            .withColumn("_cov", F.expr(
+                f"COALESCE({covered}, CAST(ARRAY() AS ARRAY<BIGINT>))"))
+            .select(
+                "doc_id",
+                F.expr("CAST(SIZE(_toks) AS BIGINT)").alias("n_words"),
+                F.expr("CAST(SIZE(_cov) AS BIGINT)").alias("n_words_removed"),
+                F.expr(f"CONCAT_WS(' ', {kept})").alias("clean_text")))

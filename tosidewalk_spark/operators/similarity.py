@@ -252,3 +252,50 @@ def gemm_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "corpus_id", "label", "cosine", "rank"))
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Scalar (symmetric per-vector max-abs) quantization of the
+    embedding column to ``bits``-bit integer codes — the standard 4x
+    memory/IO reduction in front of billion-vector ANN serving: codes
+    live in the index, the float vectors stay in cold storage for the
+    re-rank pass.  Returns the audit row a quantization job emits per
+    vector, all scalars so the DuckDB twin hashes exactly:
+
+        (vec_id, n_dims, scale, code_min, code_max, code_sum, rmse)
+
+    where code_i = floor(x_i / scale * qmax + 0.5) with qmax =
+    2^(bits-1) - 1 (the floor(+0.5) tie rule is used INSTEAD of ROUND
+    because it is bit-identical across engines; plain ROUND is
+    HALF_UP on BigDecimal in Spark but not in DuckDB), scale =
+    max(|x_i|) clamped to 1e-30 (all-zero vectors quantize to all-zero
+    codes, not NaN), and rmse is the reconstruction error
+    sqrt(mean((x_i - code_i * scale / qmax)^2)) rounded to 6 places.
+
+    Scale shape: one scan, zero shuffles, zero python — every fold is a
+    codegen array AGGREGATE over the (already widened-to-double) vector.
+    Float32 parquet values widen to double EXACTLY in both engines, and
+    every arithmetic step (|x| max fold, /, *, floor, squared-error sum
+    in storage order, libm sqrt) is an IEEE-exact or correctly-rounded
+    double op with identical association, so the twin matches bit-for-
+    bit without tolerance."""
+    qmax = (1 << (bits - 1)) - 1
+    v = _as_double("embedding")
+    code = f"CAST(FLOOR(x / _scale * {qmax} + 0.5D) AS INT)"
+    recon = f"(x - CAST({code} AS DOUBLE) * _scale / {qmax})"
+    return (emb
+            .select("vec_id", F.expr(v).alias("_v"))
+            .withColumn("_scale", F.expr(
+                "GREATEST(AGGREGATE(_v, CAST(0 AS DOUBLE), "
+                "(a, x) -> GREATEST(a, ABS(x))), 1e-30D)"))
+            .select(
+                "vec_id",
+                F.expr("CAST(SIZE(_v) AS BIGINT)").alias("n_dims"),
+                F.expr("ROUND(_scale, 6)").alias("scale"),
+                F.expr(f"ARRAY_MIN(TRANSFORM(_v, x -> {code}))").alias("code_min"),
+                F.expr(f"ARRAY_MAX(TRANSFORM(_v, x -> {code}))").alias("code_max"),
+                F.expr(f"AGGREGATE(_v, CAST(0 AS BIGINT), "
+                       f"(a, x) -> a + CAST({code} AS BIGINT))").alias("code_sum"),
+                F.expr(f"ROUND(SQRT(AGGREGATE(_v, CAST(0 AS DOUBLE), "
+                       f"(a, x) -> a + {recon} * {recon}) "
+                       f"/ GREATEST(SIZE(_v), 1)), 6)").alias("rmse")))

@@ -2274,6 +2274,89 @@ QUERIES.update({
     "cdc_chunks": (q_cdc_chunks, o_cdc_chunks),
 })
 
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=6: the synthetic corpus has ~24 docs sharing a duplicated 6-gram
+    at sf0.01 (k=8 catches the same set; k=4 touches ~half the corpus),
+    so both the removal and the pass-through paths are exercised."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.substring_dedup(docs, k=6)
+
+
+def o_substring_dedup() -> str:
+    k = 6
+    t = _duck_tokens("COALESCE(text, '')")
+    gram = (f"array_to_string(list_slice(t, CAST(p AS INT), "
+            f"CAST(p + {k - 1} AS INT)), ' ')")
+    gh = sqlfns.polyhash_duckdb("g")
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS t FROM documents),
+    pos AS (SELECT doc_id, t,
+                   CASE WHEN len(t) >= {k} THEN range(1, len(t) - {k} + 2)
+                        ELSE [] END AS ps
+            FROM d),
+    occ0 AS (SELECT doc_id, t, unnest(ps) AS p FROM pos),
+    occ AS (SELECT doc_id, p, {gram} AS g,
+                   doc_id * 1048576 + p AS okey
+            FROM occ0),
+    oh AS (SELECT doc_id, p, okey, CAST({gh} AS BIGINT) AS gh FROM occ),
+    dup AS (SELECT gh, MIN(okey) AS keep_key
+            FROM oh GROUP BY gh HAVING COUNT(*) >= 2),
+    rem AS (SELECT o.doc_id, o.p
+            FROM oh o JOIN dup USING (gh) WHERE o.okey <> dup.keep_key),
+    cov AS (SELECT doc_id,
+                   list_distinct(flatten(list(range(p, p + {k})))) AS cv
+            FROM rem GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_words,
+           CAST(COALESCE(len(cov.cv), 0) AS BIGINT) AS n_words_removed,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(1, len(d.t) + 1),
+                           i -> NOT COALESCE(list_contains(cov.cv, i), FALSE)),
+               i -> d.t[CAST(i AS INT)]), ' '), '') AS clean_text
+    FROM d LEFT JOIN cov USING (doc_id)
+    """
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.quantize_embeddings(emb, bits=8)
+
+
+def o_quantize_embeddings() -> str:
+    qmax = 127
+    v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    code = f"CAST(FLOOR(x / s * {qmax} + 0.5) AS INT)"
+    recon = f"(x - CAST({code} AS DOUBLE) * s / {qmax})"
+    return f"""
+    WITH e AS (SELECT vec_id, {v} AS v FROM embeddings),
+    sc AS (SELECT vec_id, v,
+                  GREATEST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(v, x -> ABS(x))),
+                       (a, x) -> GREATEST(a, x)), 1e-30) AS s
+           FROM e)
+    SELECT vec_id,
+           CAST(len(v) AS BIGINT) AS n_dims,
+           ROUND(s, 6) AS scale,
+           list_min(list_transform(v, x -> {code})) AS code_min,
+           list_max(list_transform(v, x -> {code})) AS code_max,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(v, x -> CAST({code} AS BIGINT))),
+               (a, x) -> a + x) AS code_sum,
+           ROUND(SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(v, x -> {recon} * {recon})),
+               (a, x) -> a + x) / GREATEST(len(v), 1)), 6) AS rmse
+    FROM sc
+    """
+
+
+QUERIES.update({
+    "substring_dedup": (q_substring_dedup, o_substring_dedup),
+    "quantize_embeddings": (q_quantize_embeddings, o_quantize_embeddings),
+})
+
 # --- driver correctness window ordering ---------------------------------------
 # The round-3 driver evaluated only the FIRST 50 QUERIES entries in insertion
 # order, silently skipping the 11 past that point — including four SURVEY §2
@@ -2311,7 +2394,7 @@ _TAIL = [
     "sequence_packing", "decontaminate", "ngram_counts", "pii_scrub",
     "incremental_dedup_bucketed", "url_dedup", "normalize_text",
     "repetition_stats", "remove_boilerplate", "asof_join", "dedup_keep",
-    "interval_join", "cdc_chunks",
+    "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
