@@ -333,6 +333,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("cdc_chunks", lambda: text.cdc_chunks(docs))
     bench("substring_dedup", lambda: dedup.substring_dedup(docs, k=6))
     bench("quantize_embeddings", lambda: similarity.quantize_embeddings(emb))
+    bench("quantized_topk", lambda: similarity.quantized_topk(
+        emb, emb.filter("vec_id % 25 = 0"), k=5, shortlist=4))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

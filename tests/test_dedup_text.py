@@ -589,3 +589,36 @@ def test_quantize_embeddings_codes_and_edges(spark):
     # narrower codebooks: bits=4 -> qmax = 7
     out4 = {r.vec_id: r for r in similarity.quantize_embeddings(d, bits=4).collect()}
     assert out4[1].code_max == 7 and out4[1].code_min == -7
+
+
+def test_quantized_topk_reranks_coarse_inversion(spark):
+    # Planted inversion: A's tiny relevant component quantizes to code 0
+    # (0.0039 * 127 + 0.5 < 1) so its coarse int-dot with q is 0, while
+    # B's larger-but-less-aligned component survives quantization — the
+    # coarse pass ranks B first, the exact re-rank must restore A.
+    emb = spark.createDataFrame([
+        (0, "q", [0.0, 1.0, 1.0, 0.0]),
+        (1, "A", [1.0, 0.0039, 0.0039, 0.0]),   # exact cos ~0.0055, coarse 0
+        (2, "B", [1.0, 0.0059, 0.0, 0.0]),      # exact cos ~0.0042, coarse 127
+        (3, "C", [0.0, 0.0, 0.0, 1.0]),         # orthogonal filler
+        (4, "Z", [0.0, 0.0, 0.0, 0.0]),         # all-zero: clamps, no NaN
+    ], "vec_id long, label string, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    out = similarity.quantized_topk(emb, q, k=2, shortlist=2).collect()
+    assert [(r.corpus_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+    assert out[0].cosine > out[1].cosine > 0
+    # with the shortlist squeezed to 1, the coarse inversion is exposed:
+    # only B is re-ranked, proving the coarse pass really ordered B first
+    narrow = similarity.quantized_topk(emb, q, k=1, shortlist=1).collect()
+    assert [(r.corpus_id, r.rank) for r in narrow] == [(2, 1)]
+    # wide shortlist == brute force on the nonzero vectors (brute_force
+    # has no norm clamp, so the zero vector would ANSI-divide-by-zero it)
+    nz = emb.filter("vec_id != 4")
+    wide = sorted(map(tuple, similarity.quantized_topk(nz, q, k=3, shortlist=4).collect()))
+    want = sorted(map(tuple, similarity.brute_force_topk(nz, q, k=3).collect()))
+    assert wide == want
+    # zero vector through the CLAMPED path: finite 0.0 cosine, never NaN
+    # (and never a divide-by-zero error under ANSI mode)
+    full = similarity.quantized_topk(emb, q, k=4, shortlist=4).collect()
+    zrow = [r for r in full if r.corpus_id == 4]
+    assert len(zrow) == 1 and zrow[0].cosine == 0.0

@@ -299,3 +299,75 @@ def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
                 F.expr(f"ROUND(SQRT(AGGREGATE(_v, CAST(0 AS DOUBLE), "
                        f"(a, x) -> a + {recon} * {recon}) "
                        f"/ GREATEST(SIZE(_v), 1)), 6)").alias("rmse")))
+
+
+def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   shortlist: int = 4, bits: int = 8) -> DataFrame:
+    """Quantized-coarse / exact-re-rank top-k — the serving shape behind
+    ``quantize_embeddings``: the index holds ``bits``-bit integer codes
+    (plus two per-vector scalars: the max-abs ``scale`` and the float
+    norm, stored at quantization time), the coarse pass ranks every
+    candidate by an INTEGER code dot product, and only a per-query
+    shortlist of ``shortlist * k`` rows ever touches the float vectors
+    again — via a point-lookup equi-join back to the cold float table,
+    exactly how a 10^9-vector deployment re-ranks without paging the full
+    float matrix.
+
+    Coarse score: ``s = int_dot(qcodes, ccodes) * cscale / cn`` — the
+    per-query constants (qscale, qn, 1/qmax^2) drop out of a per-query
+    ranking, and each remaining step (BIGINT dot fold, one double
+    multiply, one divide on the 1e-30-clamped norm) is exact-rounded with
+    identical association in Spark and DuckDB, so the shortlist SET is
+    engine-deterministic (ties break by corpus_id).  The exact re-rank
+    recomputes true rounded cosine on the shortlist, output schema
+    matches the other top-k operators.
+
+    Scale shape: code construction is map-side in the corpus scan (at
+    scale: a materialized bucketed table, 4x smaller IO than floats); the
+    coarse pass is the ONLY full-corpus pass and moves int codes, not
+    doubles; the float join touches |Q| * shortlist * k rows.  Recall is
+    governed by ``shortlist``: 8-bit codes perturb cosines by ~1e-3, so
+    any result whose true rank-k margin exceeds the quantization noise is
+    recovered — the unit test plants a coarse-ordering inversion and
+    checks the re-rank repairs it."""
+    qmax = (1 << (bits - 1)) - 1
+    v = _as_double("embedding")
+    scale = ("GREATEST(AGGREGATE(_v, CAST(0 AS DOUBLE), "
+             "(a, x) -> GREATEST(a, ABS(x))), 1e-30D)")
+    codes = f"TRANSFORM(_v, x -> CAST(FLOOR(x / _scale * {qmax} + 0.5D) AS BIGINT))"
+    c = (emb.select(F.col("vec_id").alias("corpus_id"), "label",
+                    F.expr(v).alias("_v"))
+         .withColumn("_scale", F.expr(scale))
+         .select("corpus_id", "label",
+                 F.expr(codes).alias("ccodes"),
+                 F.col("_scale").alias("cscale"),
+                 F.expr(f"GREATEST({_norm('_v')}, 1e-30D)").alias("cn")))
+    q = (queries.select(F.col("vec_id").alias("query_id"),
+                        F.expr(v).alias("_v"))
+         .withColumn("_scale", F.expr(scale))
+         .select("query_id",
+                 F.expr(codes).alias("qcodes"),
+                 F.expr(f"GREATEST({_norm('_v')}, 1e-30D)").alias("qn")))
+    int_dot = F.expr("AGGREGATE(ZIP_WITH(qcodes, ccodes, (x, y) -> x * y), "
+                     "CAST(0 AS BIGINT), (a, x) -> a + x)")
+    coarse = (q.crossJoin(c)
+              .filter(F.col("query_id") != F.col("corpus_id"))
+              .withColumn("s", F.expr("CAST(1 AS DOUBLE)") * int_dot
+                          * F.col("cscale") / F.col("cn")))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("s"), "corpus_id")
+    short = (coarse.withColumn("crank", F.row_number().over(wc))
+             .filter(F.col("crank") <= shortlist * k)
+             .select("query_id", "corpus_id", "label", "qn"))
+    floats = emb.select(F.col("vec_id").alias("corpus_id"),
+                        F.expr(v).alias("cv"))
+    qfloats = queries.select(F.col("vec_id").alias("query_id"),
+                             F.expr(v).alias("qv"))
+    dot = F.expr("AGGREGATE(ZIP_WITH(qv, cv, (x, y) -> x * y), "
+                 "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    rer = (short.join(floats, "corpus_id").join(qfloats, "query_id")
+           .withColumn("cosine", F.round(
+               dot / (F.col("qn") * F.expr(f"GREATEST({_norm('cv')}, 1e-30D)")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (rer.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "corpus_id", "label", "cosine", "rank"))

@@ -2352,9 +2352,62 @@ def o_quantize_embeddings() -> str:
     """
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse int8-code search + exact float re-rank
+    (similarity.quantized_topk); every arithmetic step of the coarse
+    ranking is engine-exact, so the shortlist SET (not just the final
+    ranks) is pinned by the twin."""
+    from ..operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.quantized_topk(emb, emb.filter("vec_id % 25 = 0"),
+                                     k=5, shortlist=4)
+
+
+def o_quantized_topk() -> str:
+    qmax, k, short = 127, 5, 20
+    v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    scale = ("GREATEST(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(v, x -> ABS(x))), (a, x) -> GREATEST(a, x)), 1e-30)")
+    codes = f"list_transform(v, x -> CAST(FLOOR(x / s * {qmax} + 0.5) AS BIGINT))"
+    int_dot = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+               "list_transform(range(1, len(q.codes) + 1), "
+               "i -> q.codes[i] * c.codes[i])), (a, x) -> a + x)")
+    dot = _duck_dot("fq.v", "fc.v")
+    return f"""
+    WITH e AS (SELECT vec_id, label, {v} AS v FROM embeddings),
+    sc AS (SELECT vec_id, label, v, {scale} AS s FROM e),
+    coded AS (SELECT vec_id, label, {codes} AS codes, s,
+                     GREATEST({_duck_norm('v')}, 1e-30) AS n
+              FROM sc),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY CAST({int_dot} AS DOUBLE) * c.s / c.n DESC,
+                        c.vec_id) AS crank
+      FROM coded q JOIN coded c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 25 = 0),
+    short AS (SELECT query_id, corpus_id, label FROM coarse
+              WHERE crank <= {short})
+    SELECT query_id, corpus_id, label, cosine, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT s.query_id, s.corpus_id, s.label,
+             ROUND({dot} / (GREATEST({_duck_norm('fq.v')}, 1e-30)
+                            * GREATEST({_duck_norm('fc.v')}, 1e-30)), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY s.query_id
+               ORDER BY ROUND({dot} / (GREATEST({_duck_norm('fq.v')}, 1e-30)
+                            * GREATEST({_duck_norm('fc.v')}, 1e-30)), 6) DESC,
+                        s.corpus_id) AS rank
+      FROM short s
+      JOIN e fq ON fq.vec_id = s.query_id
+      JOIN e fc ON fc.vec_id = s.corpus_id
+    ) WHERE rank <= {k}
+    """
+
+
 QUERIES.update({
     "substring_dedup": (q_substring_dedup, o_substring_dedup),
     "quantize_embeddings": (q_quantize_embeddings, o_quantize_embeddings),
+    "quantized_topk": (q_quantized_topk, o_quantized_topk),
 })
 
 # --- driver correctness window ordering ---------------------------------------
@@ -2395,6 +2448,7 @@ _TAIL = [
     "incremental_dedup_bucketed", "url_dedup", "normalize_text",
     "repetition_stats", "remove_boilerplate", "asof_join", "dedup_keep",
     "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
+    "quantized_topk",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
