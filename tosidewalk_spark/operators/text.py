@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..functions import sqlfns
+from .dedup import _spread
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
@@ -213,7 +214,7 @@ def ngram_counts(docs: DataFrame, w: int = 2, top_k: int = 100) -> DataFrame:
              f"TRANSFORM(SEQUENCE(0, SIZE({t}) - {w}), "
              f"i -> CONCAT_WS(' ', SLICE({t}, i + 1, {w}))) "
              f"ELSE CAST(ARRAY() AS ARRAY<STRING>) END")
-    ex = docs.select("doc_id", F.explode(F.expr(grams)).alias("ngram"))
+    ex = _spread(docs).select("doc_id", F.explode(F.expr(grams)).alias("ngram"))
     agg = (ex.groupBy("ngram")
            .agg(F.count("*").alias("n_total"),
                 F.countDistinct("doc_id").alias("n_docs")))
@@ -313,7 +314,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
              f"TRANSFORM(SEQUENCE(0, SIZE({t}) - 2), "
              f"i -> CONCAT_WS(' ', SLICE({t}, i + 1, 2))) "
              f"ELSE CAST(ARRAY() AS ARRAY<STRING>) END")
-    ex = docs.select(
+    ex = _spread(docs).select(
         "doc_id",
         F.expr(f"CAST(SIZE({t}) AS BIGINT)").alias("nt"),
         F.expr(f"CAST(SIZE(ARRAY_DISTINCT({t})) AS BIGINT)").alias("nu"),
@@ -368,7 +369,7 @@ def cdc_chunks(docs: DataFrame, w: int = 8, mod: int = 16) -> DataFrame:
         "i -> SUBSTRING(_t, ELEMENT_AT(_cuts, i) + 1, "
         "CAST(ELEMENT_AT(_cuts, i + 1) - ELEMENT_AT(_cuts, i) AS INT))) "
         "ELSE CAST(ARRAY() AS ARRAY<STRING>) END")
-    staged = (docs
+    staged = (_spread(docs)
               .select("doc_id", F.expr("COALESCE(text, '')").alias("_t"))
               .withColumn("_bounds", F.expr(bounds))
               .withColumn("_cuts0",
