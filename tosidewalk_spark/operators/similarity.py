@@ -364,7 +364,12 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                              F.expr(v).alias("qv"))
     dot = F.expr("AGGREGATE(ZIP_WITH(qv, cv, (x, y) -> x * y), "
                  "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
-    rer = (short.join(floats, "corpus_id").join(qfloats, "query_id")
+    # the shortlist (|Q| * shortlist * k rows) is ALWAYS the small side —
+    # pin it as the broadcast build so the cold float table is probed
+    # in place (statistics at test scale would happily broadcast the
+    # floats instead, the exact inversion of the 100 TB shape)
+    rer = (floats.join(F.broadcast(short), "corpus_id")
+           .join(F.broadcast(qfloats), "query_id")
            .withColumn("cosine", F.round(
                dot / (F.col("qn") * F.expr(f"GREATEST({_norm('cv')}, 1e-30D)")), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
