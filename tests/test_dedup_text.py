@@ -225,6 +225,35 @@ def test_deterministic_sample(spark, docs):
     assert 0 < s1.filter("lang = 'en'").count() < docs.filter("lang = 'en'").count()
 
 
+def test_stratified_quota(spark, docs):
+    """Exact per-stratum budgets: quota counts hit exactly, the monotone
+    hash prefilter is RESULT-invariant (vs prefilter=False ground truth),
+    membership is parallelism-invariant, and a starved cutoff fails LOUD
+    instead of silently under-filling a stratum."""
+    q = {"en": 25, "de": 10**6}  # de quota > stratum: whole-stratum path
+    a = sorted(map(tuple, text.stratified_quota(docs, q).collect()))
+    b = sorted(map(tuple,
+                   text.stratified_quota(docs, q, prefilter=False).collect()))
+    assert a == b  # the h < cutoff prefilter is a prefix of the sort order
+    from collections import Counter
+    per_lang = Counter(lang for _, lang, _ in a)
+    n_de = docs.filter("lang = 'de'").count()
+    assert per_lang == {"en": 25, "de": n_de}
+    c = sorted(map(tuple,
+                   text.stratified_quota(docs.repartition(7), q).collect()))
+    assert c == a  # deterministic across parallelism
+    # caller-provided counts skip the counting job but keep exactness
+    n_en = docs.filter("lang = 'en'").count()
+    d = sorted(map(tuple, text.stratified_quota(
+        docs, q, counts_by_lang={"en": n_en, "de": n_de}).collect()))
+    assert d == a
+    # starvation guard: overstated counts shrink the cutoff below quota
+    import pytest as _pt
+    with _pt.raises(Exception, match="starved stratum"):
+        text.stratified_quota(docs, {"en": 25},
+                              counts_by_lang={"en": 10**9}).collect()
+
+
 def test_token_histogram(spark):
     d = spark.createDataFrame(
         [(1, "en", "a b c"), (2, "en", "a"), (3, "de", "")],

@@ -431,3 +431,101 @@ def domain_stats(pages: DataFrame) -> DataFrame:
             .groupBy("domain")
             .agg(F.count("*").alias("n_pages"),
                  F.countDistinct("lang").alias("n_langs")))
+
+
+def _quota_case(quota_by_lang: dict[str, int], default: int) -> str:
+    if not quota_by_lang:
+        return str(int(default))
+    return ("CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {int(q)}"
+        for lg, q in sorted(quota_by_lang.items()))
+        + f" ELSE {int(default)} END")
+
+
+def stratified_quota(docs: DataFrame,
+                     quota_by_lang: dict[str, int],
+                     default_quota: int = 0,
+                     prefilter: bool = True,
+                     safety: int = 4,
+                     counts_by_lang: dict[str, int] | None = None
+                     ) -> DataFrame:
+    """EXACT per-stratum document budgets — the data-mixing shape where a
+    training recipe says "exactly 30B fr docs, exactly 120B en docs", not
+    a proportion.  Complements deterministic_sample (proportional, zero
+    shuffle): membership here is the quota-K prefix of each stratum under
+    the deterministic (polyhash(doc_id), doc_id) total order, so the kept
+    SET is reproducible across runs, engines and parallelism, and the
+    DuckDB twin is the identical ROW_NUMBER() ... QUALIFY.
+
+    Scale shape: ranking a 100 TB stratum to keep its first K rows must
+    not sort the stratum.  Because the hash is uniform on [0, HASH_P),
+    the K smallest (h, doc_id) all satisfy h < cutoff for any cutoff with
+    at least K survivors — h < cutoff is a PREFIX of the sort order (a
+    PMOD-bucket prefilter would not be: pmod is not monotone in h).  So
+    with per-stratum counts n we prefilter at
+    cutoff = HASH_P * min(1, safety*K/n), a codegen row filter right
+    above the scan that keeps ~safety*K rows per stratum, and only rank
+    the survivors.  The prefilter is RESULT-INVARIANT (asserted below and
+    unit-tested against prefilter=False); safety=4 puts the starvation
+    probability below exp(-K) for uniform hashes.
+
+    counts_by_lang: pass catalog/audit stats (e.g. from domain_stats) to
+    skip the counting pass; None runs one map-side-combinable
+    groupBy(lang).count() job — the collect is a documented small side
+    (rows = number of languages).
+
+    Starvation guard: an undersized cutoff (bad counts, adversarial ids)
+    cannot silently under-fill a stratum — a per-stratum ASSERT_TRUE
+    compares kept count to LEAST(quota, n) and fails the JOB, matching
+    the loud-failure discipline of the CC non-convergence guard."""
+    from pyspark.sql import Window
+
+    h = sqlfns.polyhash_spark("CAST(doc_id AS STRING)")
+    quota = _quota_case(quota_by_lang, default_quota)
+    # langs with quota 0 never rank: codegen filter at the scan
+    base = docs.filter(F.expr(f"({quota}) > 0")).withColumn(
+        "_h", F.expr(h))
+    guard_expected: str | None = None
+    if prefilter:
+        if counts_by_lang is None:
+            counts_by_lang = {r["lang"]: r["n"] for r in
+                              base.groupBy("lang")
+                              .agg(F.count("*").alias("n")).collect()}
+        cutoff_by_lang = {}
+        p = sqlfns.HASH_P
+        for lg, n in counts_by_lang.items():
+            k = int(quota_by_lang.get(lg, default_quota))
+            cutoff_by_lang[lg] = (
+                p if k <= 0 or safety * k >= n
+                else (p * safety * k) // n + 1)
+        if cutoff_by_lang:
+            cutoff = ("CASE " + " ".join(
+                f"WHEN lang = '{lg}' THEN CAST({c} AS BIGINT)"
+                for lg, c in sorted(cutoff_by_lang.items()))
+                # a lang absent from caller-provided counts is ranked in
+                # full (cutoff = HASH_P passes every row) — never dropped
+                + f" ELSE CAST({p} AS BIGINT) END")
+            base = base.filter(F.expr(f"_h < ({cutoff})"))
+        guard_expected = ("CASE " + " ".join(
+            f"WHEN lang = '{lg}' THEN LEAST(CAST({quota} AS BIGINT), "
+            f"CAST({int(n)} AS BIGINT))"
+            for lg, n in sorted(counts_by_lang.items()))
+            # unknown stratum size: nothing to assert against
+            + " ELSE CAST(-1 AS BIGINT) END")
+    w = Window.partitionBy("lang").orderBy(F.col("_h").asc(),
+                                           F.col("doc_id").asc())
+    kept = (base.withColumn("rk", F.row_number().over(w))
+            .filter(F.expr(f"rk <= ({quota})")))
+    if guard_expected is not None:
+        # the kept set is <= K rows per stratum; the count window reuses
+        # the rank window's partitioning (no extra exchange)
+        kept = (kept.withColumn(
+            "_kept_n", F.count("*").over(Window.partitionBy("lang")))
+            .filter(F.expr(
+                f"ASSERT_TRUE(({guard_expected}) = -1 OR "
+                f"_kept_n = ({guard_expected}), CONCAT("
+                f"'stratified_quota: prefilter starved stratum ', lang, "
+                f"' (kept ', CAST(_kept_n AS STRING), '); raise safety or "
+                f"fix counts_by_lang')) IS NULL"))
+            .drop("_kept_n"))
+    return kept.select("doc_id", "lang", "rk")

@@ -2404,10 +2404,37 @@ def o_quantized_topk() -> str:
     """
 
 
+_STRAT_QUOTAS = {"en": 100, "fr": 40, "zh": 20, "de": 1000}  # de > stratum: whole-stratum path
+
+
+def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum budgets under the deterministic (hash, doc_id)
+    order (text.stratified_quota) — prefilter on, so the driver row also
+    exercises the result-invariance of the monotone hash cutoff."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.stratified_quota(docs, _STRAT_QUOTAS)
+
+
+def o_stratified_quota() -> str:
+    h = sqlfns.polyhash_duckdb("CAST(doc_id AS VARCHAR)")
+    quota = ("CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {q}"
+        for lg, q in sorted(_STRAT_QUOTAS.items())) + " ELSE 0 END")
+    return f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {h}, doc_id) AS rk
+      FROM documents WHERE ({quota}) > 0
+    ) WHERE rk <= ({quota})
+    """
+
+
 QUERIES.update({
     "substring_dedup": (q_substring_dedup, o_substring_dedup),
     "quantize_embeddings": (q_quantize_embeddings, o_quantize_embeddings),
     "quantized_topk": (q_quantized_topk, o_quantized_topk),
+    "stratified_quota": (q_stratified_quota, o_stratified_quota),
 })
 
 # --- driver correctness window ordering ---------------------------------------
@@ -2448,7 +2475,7 @@ _TAIL = [
     "incremental_dedup_bucketed", "url_dedup", "normalize_text",
     "repetition_stats", "remove_boilerplate", "asof_join", "dedup_keep",
     "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
-    "quantized_topk",
+    "quantized_topk", "stratified_quota",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
