@@ -337,6 +337,7 @@ def run_queries(spark, buffers) -> dict[str, float]:
         emb, emb.filter("vec_id % 25 = 0"), k=5, shortlist=4))
     bench("stratified_quota", lambda: text.stratified_quota(
         docs, {"en": 1000, "de": 400, "fr": 200}))
+    bench("global_shuffle", lambda: text.global_shuffle(docs, n_shards=64))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

@@ -254,6 +254,28 @@ def test_stratified_quota(spark, docs):
                               counts_by_lang={"en": 10**9}).collect()
 
 
+def test_global_shuffle(spark, docs):
+    """(shard, pos) is a total order covering every doc exactly once:
+    pos is contiguous 1..n within each shard, shard < n_shards, and the
+    assignment is identical across parallelism (no RNG, no sampled
+    boundaries — the repartitionByRange failure mode)."""
+    out = text.global_shuffle(docs, n_shards=8).collect()
+    assert len(out) == docs.count()
+    assert len({r.doc_id for r in out}) == len(out)  # a permutation
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard[r.shard].append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = text.global_shuffle(docs.repartition(11), n_shards=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text.global_shuffle(docs, n_shards=0)
+
+
 def test_token_histogram(spark):
     d = spark.createDataFrame(
         [(1, "en", "a b c"), (2, "en", "a"), (3, "de", "")],

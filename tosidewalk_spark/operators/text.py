@@ -529,3 +529,37 @@ def stratified_quota(docs: DataFrame,
                 f"fix counts_by_lang')) IS NULL"))
             .drop("_kept_n"))
     return kept.select("doc_id", "lang", "rk")
+
+
+def global_shuffle(docs: DataFrame, n_shards: int = 64) -> DataFrame:
+    """Reproducible corpus-wide shuffle — the training-order op: every doc
+    gets a shard and a position such that reading shards in order yields
+    a fixed pseudo-random permutation of the corpus, identical across
+    runs, engines and parallelism.  shard = floor(n_shards * h / HASH_P)
+    (h = polyhash(doc_id), uniform on [0, HASH_P)) is a DETERMINISTIC
+    range bucketing — unlike repartitionByRange, whose sampled boundaries
+    change run to run — and pos is the (h, doc_id) rank within the shard,
+    so (shard, pos) is a total order with no RNG anywhere.  One shuffle
+    (the rank window); the shard file write in a real pipeline is
+    partitionBy("shard") on this frame.  Shards are balanced by hash
+    uniformity (~n/n_shards ± sqrt), and a hot shard never exceeds the
+    per-shard sort memory because pos ranks WITHIN the shard only —
+    n_shards scales with the corpus, keeping each window partition at a
+    fixed target size (e.g. 100 TB / 4 GB => ~25k shards)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = sqlfns.polyhash_spark("CAST(doc_id AS STRING)")
+    p = sqlfns.HASH_P
+    # exact BIGINT arithmetic (n_shards * h < 2^46 for any sane shard
+    # count) — float division here would hit the CAST-rounding split
+    # between engines (Spark truncates, DuckDB rounds); _h < P makes
+    # shard < n_shards by construction
+    shard = f"CAST((CAST({int(n_shards)} AS BIGINT) * _h) DIV {p} AS INT)"
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(),
+                                            F.col("doc_id").asc())
+    return (docs.withColumn("_h", F.expr(h))
+            .withColumn("shard", F.expr(shard))
+            .withColumn("pos", F.row_number().over(w))
+            .select("doc_id", "shard", "pos"))

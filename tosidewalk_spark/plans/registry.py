@@ -2430,11 +2430,33 @@ def o_stratified_quota() -> str:
     """
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus-wide shuffle (text.global_shuffle): every doc
+    gets a deterministic (shard, pos) so shard-order reading is a fixed
+    pseudo-random permutation — no RNG, no sampled range boundaries."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.global_shuffle(docs, n_shards=16)
+
+
+def o_global_shuffle() -> str:
+    h = sqlfns.polyhash_duckdb("CAST(doc_id AS VARCHAR)")
+    p = sqlfns.HASH_P
+    return f"""
+    SELECT doc_id,
+           CAST((CAST(16 AS BIGINT) * h) // {p} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY (CAST(16 AS BIGINT) * h) // {p}
+               ORDER BY h, doc_id) AS INT) AS pos
+    FROM (SELECT doc_id, {h} AS h FROM documents)
+    """
+
+
 QUERIES.update({
     "substring_dedup": (q_substring_dedup, o_substring_dedup),
     "quantize_embeddings": (q_quantize_embeddings, o_quantize_embeddings),
     "quantized_topk": (q_quantized_topk, o_quantized_topk),
     "stratified_quota": (q_stratified_quota, o_stratified_quota),
+    "global_shuffle": (q_global_shuffle, o_global_shuffle),
 })
 
 # --- driver correctness window ordering ---------------------------------------
@@ -2475,7 +2497,7 @@ _TAIL = [
     "incremental_dedup_bucketed", "url_dedup", "normalize_text",
     "repetition_stats", "remove_boilerplate", "asof_join", "dedup_keep",
     "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
-    "quantized_topk", "stratified_quota",
+    "quantized_topk", "stratified_quota", "global_shuffle",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
