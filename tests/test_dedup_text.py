@@ -276,6 +276,23 @@ def test_global_shuffle(spark, docs):
         text.global_shuffle(docs, n_shards=0)
 
 
+def test_length_quantiles(spark, docs):
+    """Values equal numpy's method='linear' quantiles (the same (n-1)*p
+    formula) per lang; non-dyadic p rejected loudly."""
+    out = {r.lang: r for r in text.length_quantiles(docs).collect()}
+    import numpy as np
+    pdf = docs.select("lang", "n_chars").toPandas()
+    for lg, grp in pdf.groupby("lang"):
+        v = np.sort(grp["n_chars"].to_numpy(dtype=np.float64))
+        got = out[lg]
+        assert got.n_docs == len(v)
+        for p, field in ((0.25, "q25"), (0.5, "q5"), (0.75, "q75")):
+            want = float(np.quantile(v, p, method="linear"))
+            assert got[field] == pytest.approx(want, abs=1e-9), (lg, p)
+    with pytest.raises(ValueError, match="dyadic"):
+        text.length_quantiles(docs, ps=(0.3,))
+
+
 def test_token_histogram(spark):
     d = spark.createDataFrame(
         [(1, "en", "a b c"), (2, "en", "a"), (3, "de", "")],

@@ -563,3 +563,49 @@ def global_shuffle(docs: DataFrame, n_shards: int = 64) -> DataFrame:
             .withColumn("shard", F.expr(shard))
             .withColumn("pos", F.row_number().over(w))
             .select("doc_id", "shard", "pos"))
+
+
+def length_quantiles(docs: DataFrame, col: str = "n_chars",
+                     ps: tuple[float, ...] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """EXACT per-lang quantiles of a numeric column (default: the stored
+    n_chars) — the length-distribution row of every dataset card.  Uses
+    the standard (n-1)*p linear interpolation, but NOT the engine's
+    percentile aggregate: engines disagree in internal summation order,
+    so instead the formula is written out ONCE as SQL text and run
+    verbatim on both engines (the repo's templated-exactness pattern).
+    For dyadic p (k/2^m — 0.25/0.5/0.75), (n-1)*p and the interpolation
+    fraction are EXACTLY representable doubles, so the whole expression
+    performs the same two IEEE roundings on both engines and the DuckDB
+    twin is bit-identical, not approximately equal.
+
+    Plan: one rank window per lang (the audit runs on metadata columns,
+    never text) + a conditional-agg pick of the two bracketing order
+    statistics per quantile — no full sort ever leaves the window stage,
+    and the agg is map-side combinable over the ranked rows."""
+    for p in ps:
+        # dyadic check: p * 2^20 integral <=> p = k/2^m, m <= 20
+        if p <= 0 or p >= 1 or (p * (1 << 20)) != int(p * (1 << 20)):
+            raise ValueError(
+                f"p={p} is not dyadic in (0,1): bit-identical cross-engine "
+                f"interpolation needs exactly-representable fractions")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col(col).asc(),
+                                           F.col("doc_id").asc())
+    ranked = (docs.select("lang", "doc_id", col)
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(Window.partitionBy("lang"))))
+    aggs = [F.count("*").alias("n_docs")]
+    posts = []
+    for p in ps:
+        tag = str(p).replace("0.", "q")
+        idx = f"(CAST(n - 1 AS DOUBLE) * {p!r})"
+        lo = f"MAX(CASE WHEN rk - 1 = CAST(FLOOR({idx}) AS BIGINT) THEN CAST({col} AS DOUBLE) END)"
+        hi = f"MAX(CASE WHEN rk - 1 = CAST(CEIL({idx}) AS BIGINT) THEN CAST({col} AS DOUBLE) END)"
+        frac = f"({idx} - FLOOR({idx}))"
+        aggs += [F.expr(lo).alias(f"_lo_{tag}"), F.expr(hi).alias(f"_hi_{tag}"),
+                 F.expr(f"MAX({frac})").alias(f"_f_{tag}")]
+        posts.append(F.expr(
+            f"_lo_{tag} + _f_{tag} * (_hi_{tag} - _lo_{tag})").alias(tag))
+    return (ranked.groupBy("lang").agg(*aggs)
+            .select("lang", "n_docs", *posts))

@@ -2430,6 +2430,37 @@ def o_stratified_quota() -> str:
     """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-lang length quantiles (text.length_quantiles): the
+    (n-1)*p interpolation written as ONE shared SQL template so both
+    engines perform identical IEEE roundings — bit-exact, not approx."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.length_quantiles(docs)
+
+
+def o_length_quantiles() -> str:
+    cols = []
+    for p in (0.25, 0.5, 0.75):
+        tag = str(p).replace("0.", "q")
+        idx = f"(CAST(n - 1 AS DOUBLE) * {p!r})"
+        lo = (f"MAX(CASE WHEN rk - 1 = CAST(FLOOR({idx}) AS BIGINT) "
+              f"THEN CAST(n_chars AS DOUBLE) END)")
+        hi = (f"MAX(CASE WHEN rk - 1 = CAST(CEIL({idx}) AS BIGINT) "
+              f"THEN CAST(n_chars AS DOUBLE) END)")
+        frac = f"MAX(({idx} - FLOOR({idx})))"
+        cols.append(f"{lo} + {frac} * ({hi} - {lo}) AS {tag}")
+    return f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, {", ".join(cols)}
+    FROM ranked GROUP BY lang
+    """
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible corpus-wide shuffle (text.global_shuffle): every doc
     gets a deterministic (shard, pos) so shard-order reading is a fixed
@@ -2457,6 +2488,7 @@ QUERIES.update({
     "quantized_topk": (q_quantized_topk, o_quantized_topk),
     "stratified_quota": (q_stratified_quota, o_stratified_quota),
     "global_shuffle": (q_global_shuffle, o_global_shuffle),
+    "length_quantiles": (q_length_quantiles, o_length_quantiles),
 })
 
 # --- driver correctness window ordering ---------------------------------------
@@ -2498,6 +2530,7 @@ _TAIL = [
     "repetition_stats", "remove_boilerplate", "asof_join", "dedup_keep",
     "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
     "quantized_topk", "stratified_quota", "global_shuffle",
+    "length_quantiles",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
