@@ -252,6 +252,15 @@ def test_stratified_quota(spark, docs):
     with _pt.raises(Exception, match="starved stratum"):
         text.stratified_quota(docs, {"en": 25},
                               counts_by_lang={"en": 10**9}).collect()
+    # NULL-lang stratum with default_quota > 0: must be ranked in full
+    # (never rendered as the literal 'None' CASE arm), quota still exact
+    nl = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, "en", "z")],
+        "doc_id long, lang string, text string")
+    got = text.stratified_quota(nl, {"en": 5}, default_quota=1).collect()
+    by_lang = {r.lang: r for r in got}
+    assert len([r for r in got if r.lang is None]) == 1
+    assert by_lang["en"].rk == 1
 
 
 def test_global_shuffle(spark, docs):

@@ -491,6 +491,12 @@ def stratified_quota(docs: DataFrame,
             counts_by_lang = {r["lang"]: r["n"] for r in
                               base.groupBy("lang")
                               .agg(F.count("*").alias("n")).collect()}
+        # a NULL-lang stratum would render as the literal 'None' in the
+        # generated CASE arms (colliding with a real "None" lang and
+        # matching no NULL row); NULL lang only reaches here when
+        # default_quota > 0 — rank it in full via the ELSE arms instead
+        counts_by_lang = {lg: n for lg, n in counts_by_lang.items()
+                          if lg is not None}
         cutoff_by_lang = {}
         p = sqlfns.HASH_P
         for lg, n in counts_by_lang.items():
