@@ -57,8 +57,17 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 # unshared region; legs are affinity-pinned (sched_setaffinity before the
 # JVM starts) and rounds are INTERLEAVED so a multi-minute host-noise
 # window cannot bias one leg (min per leg over all rounds).
-SCALING_CORES = (int(os.environ.get("SPARK_GRAFT_SCALING_SMALL", "2")),
-                 int(os.environ.get("SPARK_GRAFT_SCALING_BIG", "8")))
+# The official legs are pinned AWAY from cores 0-1 since late r4: core 0
+# carries ~2x the IRQ traffic of high cores on this host
+# (/proc/interrupts: 8.5M on cpu0 vs ~4M on cpu16-31), and in BOTH
+# sustained-load r4 runs the high-core disjoint pair beat the cores-0-1
+# official pair measured minutes apart (0.88 vs 0.734; 0.849 vs 0.767) —
+# pinning the 2-core leg to 0-1 made the SMALL leg absorb IRQ+housekeeping
+# competition that the 8-core leg amortizes, biasing efficiency DOWN.
+# "16-17" vs "8-15" keeps N vs 4N, mutual disjointness, and distance from
+# core 0.  Ranges or plain counts both parse (_parse_cores).
+SCALING_CORES = (os.environ.get("SPARK_GRAFT_SCALING_SMALL", "16-17"),
+                 os.environ.get("SPARK_GRAFT_SCALING_BIG", "8-15"))
 # official-pair sample rounds, spread across the scaling phase (see main).
 # r3 lesson: 4 interleaved rounds were still not enough on this host — the
 # DRIVER's official pair landed every small-leg sample in a noisy window
