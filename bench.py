@@ -399,6 +399,22 @@ def run_queries(spark, buffers) -> dict[str, float]:
         docs, {"en": 1000, "de": 400, "fr": 200}))
     bench("global_shuffle", lambda: text.global_shuffle(docs, n_shards=64))
     bench("length_quantiles", lambda: text.length_quantiles(docs))
+    # r4 third wave: retrieval, bloom pre-screen, per-domain top-k
+    from tosidewalk_spark.operators import search as SRCH
+    bench("inverted_index", lambda: SRCH.inverted_index(docs))
+    bench("tfidf_topk", lambda: SRCH.tfidf_topk(
+        docs,
+        docs.filter("doc_id % 97 = 0").selectExpr(
+            "doc_id AS query_id",
+            f"EXPLODE(SLICE({text._tokens()}, 1, 8)) AS term"),
+        k=5))
+    bench("bloom_dedup", lambda: dedup.bloom_dedup(
+        docs.filter("doc_id % 7 = 3"), docs.filter("doc_id % 7 != 3")))
+    bench("domain_topk", lambda: text.domain_topk(
+        docs.selectExpr(
+            "doc_id",
+            "CONCAT('site', CAST(doc_id % 997 AS STRING), '.example') AS domain",
+            "lang", "text"), k=3))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

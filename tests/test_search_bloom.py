@@ -1,0 +1,95 @@
+"""Unit tests for the r4 third-wave operators: inverted index, tf-idf
+retrieval, Bloom pre-screen dedup, per-domain top-k."""
+from pyspark.sql import Window, functions as F
+
+from tosidewalk_spark.operators import dedup, search, text
+
+
+def test_inverted_index_tf_df(spark):
+    d = spark.createDataFrame(
+        [(1, "apple apple pear"), (2, "apple kiwi"), (3, "kiwi  kiwi")],
+        "doc_id long, text string")
+    rows = {(r.term, r.doc_id): (r.tf, r.df)
+            for r in search.inverted_index(d).collect()}
+    assert rows[("apple", 1)] == (2, 2)   # tf counts repeats, df counts docs
+    assert rows[("apple", 2)] == (1, 2)
+    assert rows[("pear", 1)] == (1, 1)
+    assert rows[("kiwi", 3)] == (2, 2)    # double-space split yields no '' term
+    assert len(rows) == 5
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    # 'rare' appears in one doc, 'common' in all four with equal tf:
+    # idf = 1e6/df makes the rare-term doc win for a two-term query
+    d = spark.createDataFrame(
+        [(1, "common rare"), (2, "common x"), (3, "common y"),
+         (4, "common z")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(7, "common"), (7, "rare")],
+                              "query_id long, term string")
+    top = search.tfidf_topk(d, q, k=4).orderBy("rank").collect()
+    assert top[0].doc_id == 1 and top[0].n_terms_hit == 2
+    # doc 1: 1e6/4 + 1e6/1 = 1250000; docs 2-4: 250000 each
+    assert top[0].score_fx == 1_250_000
+    assert {r.score_fx for r in top[1:]} == {250_000}
+    # ties among docs 2-4 break by doc_id ascending
+    assert [r.doc_id for r in top[1:]] == [2, 3, 4]
+
+
+def test_tfidf_repeated_query_term_counts_once(spark):
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    q = spark.createDataFrame([(1, "a"), (1, "a")],
+                              "query_id long, term string")
+    rows = search.tfidf_topk(d, q, k=1).collect()
+    assert len(rows) == 1 and rows[0].n_terms_hit == 1
+
+
+def test_bloom_contract_and_false_positives(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(40)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "corpus doc 7"),      # exact dup
+         (101, "genuinely new A"),
+         (102, "genuinely new B")], "doc_id long, text string")
+    # m_bits=8 with 40 corpus docs: essentially every bit set -> the new
+    # docs are near-certain false positives; the dup must flag maybe=true
+    rows = {r.doc_id: (r.bloom_maybe, r.exact_dup)
+            for r in dedup.bloom_dedup(batch, corpus, m_bits=8).collect()}
+    assert rows[100] == (True, True)
+    # one-sided contract: bloom_maybe=false implies exact_dup=false
+    assert all(maybe or not exact for maybe, exact in rows.values())
+    assert any(maybe and not exact for maybe, exact in rows.values())
+
+
+def test_bloom_no_false_negatives_large_m(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(200 + i, f"doc {i}") for i in range(0, 50, 7)] +
+        [(300, "brand new")], "doc_id long, text string")
+    rows = {r.doc_id: (r.bloom_maybe, r.exact_dup)
+            for r in dedup.bloom_dedup(batch, corpus).collect()}
+    # every exact dup MUST be bloom_maybe=true (no false negatives, ever)
+    for doc_id, (maybe, exact) in rows.items():
+        if exact:
+            assert maybe, doc_id
+    assert all(exact for d, (_, exact) in rows.items() if d != 300)
+    # 2 x 50 positions in 2^20 bits: the new doc is ~never a false positive
+    assert rows[300] == (False, False)
+
+
+def test_domain_topk_matches_single_window(spark, docs_sf001=None):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = docs.selectExpr(
+        "doc_id",
+        "CONCAT('s', CAST(doc_id % 3 AS STRING)) AS domain", "lang", "text")
+    two_phase = {(r.domain, r.doc_id, r.rk)
+                 for r in text.domain_topk(planted, k=4).collect()}
+    q = text.quality_score(planted.select("doc_id", "lang", "text")).select(
+        "doc_id", "quality")
+    w = Window.partitionBy("domain").orderBy(F.desc("quality"), F.asc("doc_id"))
+    single = (planted.select("domain", "doc_id").join(q, "doc_id")
+              .withColumn("rk", F.row_number().over(w).cast("int"))
+              .filter(F.col("rk") <= 4))
+    expected = {(r.domain, r.doc_id, r.rk) for r in single.collect()}
+    assert two_phase == expected and len(expected) == 12

@@ -674,3 +674,59 @@ def substring_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
                 F.expr("CAST(SIZE(_toks) AS BIGINT)").alias("n_words"),
                 F.expr("CAST(SIZE(_cov) AS BIGINT)").alias("n_words_removed"),
                 F.expr(f"CONCAT_WS(' ', {kept})").alias("clean_text")))
+
+
+def bloom_dedup(new_docs: DataFrame, corpus: DataFrame,
+                m_bits: int = 1 << 20) -> DataFrame:
+    """Bloom-filter pre-screen for incremental dedup: probe each batch doc
+    against a k=2 Bloom filter of the corpus fingerprints, and carry the
+    exact verdict alongside so the false-positive rate is auditable.
+
+    At 10^12 corpus docs the exact anti-join (incremental_dedup) must
+    shuffle or broadcast the full distinct-fingerprint table; the Bloom
+    bitset is the standard first gate — m_bits is FIXED (independent of
+    corpus size), so the filter is a constant-size broadcast no matter how
+    the corpus grows, and every bloom_maybe=false doc skips the exact
+    join.  Here the bitset is a RELATION of set bit positions (<= m_bits
+    rows, deduplicated by a hash agg) rather than a packed bitmap: the
+    join against it IS the bit probe, Catalyst broadcasts it when small,
+    and the construction stays engine-exact for the DuckDB twin.  A packed
+    ``array<long>`` bitmap + broadcast variable is a mechanical swap that
+    changes no semantics (same positions, same verdicts).
+
+    The two probe positions come from the two INDEPENDENT polynomial bases
+    (31 and 37) that make up fingerprint62 — not two affine salts of one
+    base, which would collide together (ADVICE r2).  NULL text hashes to
+    the reserved fingerprint -1 (fingerprint62_sql); its probe positions
+    are pinned to (0, 0) via the same CASE so NULL and '' stay distinct.
+
+    Output: (doc_id, bloom_maybe, exact_dup).  The Bloom contract is
+    one-sided: bloom_maybe=false => exact_dup=false (guaranteed-new, no
+    exact probe needed); bloom_maybe=true & exact_dup=false rows are the
+    false positives (expected rate ~(n_set/m_bits)^2)."""
+    h1 = sqlfns.polyhash_spark("text", mult=31)
+    h2 = sqlfns.polyhash_spark("text", mult=37)
+    p1 = (f"(CASE WHEN text IS NULL THEN CAST(0 AS BIGINT) "
+          f"ELSE ({h1}) % {m_bits} END)")
+    p2 = (f"(CASE WHEN text IS NULL THEN CAST(0 AS BIGINT) "
+          f"ELSE ({h2}) % {m_bits} END)")
+    fp = fingerprint62_sql("text")
+    bits = (_spread(corpus)
+            .select(F.explode(F.array(F.expr(p1), F.expr(p2))).alias("pos"))
+            .distinct())
+    seen = _spread(corpus).select(F.expr(fp).alias("fp")).distinct()
+    probes = _spread(new_docs).select(
+        "doc_id", F.expr(fp).alias("fp"),
+        F.explode(F.array(F.expr(p1), F.expr(p2))).alias("pos"))
+    # LEFT join + count of matched DISTINCT positions == 2 <=> both bits
+    # set; a doc whose two positions coincide contributes one distinct
+    # position and needs exactly that one matched
+    hit = (probes.join(bits.withColumn("_set", F.lit(1)), "pos", "left")
+           .groupBy("doc_id", "fp")
+           .agg((F.count_distinct(F.when(F.col("_set").isNotNull(),
+                                         F.col("pos"))) ==
+                 F.count_distinct("pos")).alias("bloom_maybe")))
+    exact = seen.withColumn("_dup", F.lit(1))
+    return (hit.join(exact, "fp", "left")
+            .select("doc_id", "bloom_maybe",
+                    F.expr("_dup IS NOT NULL").alias("exact_dup")))

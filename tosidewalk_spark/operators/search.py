@@ -1,0 +1,80 @@
+"""Full-text retrieval over the web-page corpus: inverted-index build and
+tf-idf ranked search, Spark-first.
+
+The reference pipeline (tongning/ToSidewalk) has no search surface; these
+are graft-side corpus operators in the standard IR shapes (inverted file +
+ranked retrieval — public textbook material: Manning/Raghavan/Schütze ch.1,
+Zobel & Moffat 2006).  Design for 10^12 pages:
+
+- The index is a RELATION, not a per-term collected list: ``(term, doc_id,
+  tf, df)`` clustered by term.  A ``collect_list`` posting array would put
+  a hot term's entire posting list in one aggregation buffer — stop words
+  at corpus scale are gigabytes per term.  As a relation the hot term is
+  just many rows, spilled and scanned like any other data; on disk you
+  ``bucketBy(term)`` it (same seam as dedup.write_fingerprint_corpus) so
+  query-time term lookups are partition-pruned point reads.
+- Scoring avoids LN(): idf enters as the RATIONAL factor 1e6/df.  Ranking
+  by sum(tf * N/df) is order-equivalent to textbook tf-idf for a fixed
+  corpus (N multiplies every term equally) and every arithmetic step is
+  IEEE exact-rounded (one divide, one multiply) — LN is libm and drifts
+  by ulps between engines (the POWER(x,2) lesson, BENCH/BASELINE.md).
+- Per-term partial scores are quantized to BIGINT (floor(x*1 + 0.5) on an
+  already-×1e6 value) BEFORE the per-(query, doc) SUM: a double SUM across
+  rows is addition-order-dependent under parallel aggregation; a BIGINT
+  SUM is order-free, so the score — and therefore the top-k SET — is
+  deterministic at any parallelism and engine-exact vs the DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import _spread
+from .text import _tokens
+
+
+def inverted_index(docs: DataFrame) -> DataFrame:
+    """Build the inverted file: one row per (term, doc_id) with the term
+    frequency and the term's document frequency.
+
+    Plan: tokenize in-scan (HOF runs interpreted -> _spread guards the
+    one-file input, no-op at scale) -> explode -> ONE map-side-combinable
+    hash agg keyed (term, doc_id) -> window COUNT over term for df.  The
+    window's term-hash exchange is the same clustering you want on disk
+    (bucketBy(term)), so at scale the second shuffle IS the index layout,
+    not overhead."""
+    ex = _spread(docs).select(
+        "doc_id", F.explode(F.expr(_tokens())).alias("term"))
+    tf = ex.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"))
+    w = Window.partitionBy("term")
+    return tf.select(
+        "term", "doc_id", "tf",
+        F.count("*").over(w).cast("long").alias("df"))
+
+
+def tfidf_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Ranked retrieval: top-k docs per query by the rational tf-idf
+    score_fx = SUM over matched terms of floor(tf * (1e6 / df) + 0.5).
+
+    ``queries``: (query_id, term) — the per-query term multiset is
+    DISTINCT-ed so repeated query terms don't double-count.  The query
+    table is the classic broadcast side (thousands of terms vs a
+    trillion-row posting relation); the posting join is an equi-join on
+    term, so it partition-prunes against a term-bucketed on-disk index.
+    Ties break by doc_id ascending — the top-k SET is deterministic."""
+    idx = inverted_index(docs)
+    q = queries.select("query_id", "term").distinct()
+    scored = (idx.join(F.broadcast(q), "term")
+              .select("query_id", "doc_id",
+                      F.expr("CAST(FLOOR(CAST(tf AS DOUBLE) * (1e6 / "
+                             "CAST(df AS DOUBLE)) + 0.5e0) AS BIGINT)")
+                      .alias("part_fx"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("part_fx").alias("score_fx"),
+                   F.count("*").cast("long").alias("n_terms_hit")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fx"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score_fx", "n_terms_hit", "rank"))

@@ -615,3 +615,34 @@ def length_quantiles(docs: DataFrame, col: str = "n_chars",
             f"_lo_{tag} + _f_{tag} * (_hi_{tag} - _lo_{tag})").alias(tag))
     return (ranked.groupBy("lang").agg(*aggs)
             .select("lang", "n_docs", *posts))
+
+
+def domain_topk(pages: DataFrame, k: int = 3, n_salt: int = 16) -> DataFrame:
+    """Top-k pages per domain by the composite quality score — the 'best
+    pages per site' reduction a corpus curator runs before sampling.
+
+    Exact two-phase top-k, skew-capped: a single window over domain puts a
+    hot domain's entire page set through one task's sort buffer (the dense
+    urban cell of the text world).  Phase 1 windows over (domain, salt)
+    where salt = doc_id % n_salt, keeping rank <= k per salted group —
+    every global top-k row survives because it is top-k within its own
+    salt bucket too (rank can only shrink when rows are removed).  Phase 2
+    re-windows over domain on the <= n_salt*k survivors per domain.  Same
+    result as the one-shot window at any parallelism; the heavy exchange
+    carries (domain, salt) keys so no task sees more than ~1/n_salt of a
+    hot domain.  Ties break (quality DESC, doc_id ASC) — deterministic
+    top-k SET.  `pages` needs (doc_id, domain, lang, text)."""
+    from pyspark.sql import Window
+    q = quality_score(pages.select("doc_id", "lang", "text")).select(
+        "doc_id", "quality")
+    base = pages.select("doc_id", "domain").join(q, "doc_id").select(
+        "domain", "doc_id", "quality",
+        F.expr(f"CAST(doc_id % {n_salt} AS INT)").alias("_salt"))
+    order = (F.desc("quality"), F.asc("doc_id"))
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*order)
+    survivors = (base.withColumn("_r1", F.row_number().over(w1))
+                 .filter(F.col("_r1") <= k))
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (survivors.withColumn("rk", F.row_number().over(w2).cast("int"))
+            .filter(F.col("rk") <= k)
+            .select("domain", "doc_id", "quality", "rk"))

@@ -2491,6 +2491,311 @@ QUERIES.update({
     "length_quantiles": (q_length_quantiles, o_length_quantiles),
 })
 
+# --- r4 third wave: retrieval + bloom pre-screen + per-domain top-k -----------
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import search
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.inverted_index(docs)
+
+
+def o_inverted_index() -> str:
+    t = _duck_tokens()
+    return f"""
+    WITH ex AS (SELECT doc_id, unnest({t}) AS term FROM documents),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ex GROUP BY 1, 2)
+    SELECT term, doc_id, tf,
+           CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+    FROM tf
+    """
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries = the first 8 tokens of every 97th doc, so every query term
+    is guaranteed at least one corpus hit and rare-vs-common term weighting
+    is exercised against the full corpus (scores are raw tf·idf sums, not
+    length-normalized, so the source doc need not rank first)."""
+    from ..operators import search
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter("doc_id % 97 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.expr(f"SLICE({text._tokens()}, 1, 8)")).alias("term"))
+    return search.tfidf_topk(docs, queries, k=5)
+
+
+def o_tfidf_topk() -> str:
+    t = _duck_tokens()
+    part = ("CAST(FLOOR(CAST(tf AS DOUBLE) * (1e6 / CAST(df AS DOUBLE))"
+            " + 0.5e0) AS BIGINT)")
+    return f"""
+    WITH ex AS (SELECT doc_id, unnest({t}) AS term FROM documents),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM ex GROUP BY 1, 2),
+    idx AS (SELECT term, doc_id, tf,
+                   CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+            FROM tf),
+    q AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id, unnest(list_slice({t}, 1, 8)) AS term
+            FROM documents WHERE doc_id % 97 = 0)),
+    sc AS (SELECT q.query_id, idx.doc_id,
+                  SUM({part}) AS score_fx,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+           FROM idx JOIN q USING (term) GROUP BY 1, 2)
+    SELECT query_id, doc_id, score_fx, n_terms_hit, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_fx DESC, doc_id) AS rank FROM sc)
+    WHERE rank <= 5
+    """
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same batch/corpus split as incremental_dedup, plus PLANTED exact
+    duplicates: every 97th corpus doc is re-keyed (doc_id + 10^6) into the
+    batch with its text unchanged, so all three reachable verdicts appear
+    at sf0.01 — (true, true) planted dups, (true, false) bloom false
+    positives (m_bits=1024 puts ~half the bits set), (false, false)
+    genuinely new.  (false, true) is impossible by the Bloom contract and
+    its absence is asserted in tests/test_search_bloom.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 7 != 3")
+    batch = docs.filter("doc_id % 7 = 3").select("doc_id", "text").unionByName(
+        corpus.filter("doc_id % 97 = 1").selectExpr(
+            "doc_id + 1000000 AS doc_id", "text"))
+    return dedup.bloom_dedup(batch, corpus, m_bits=1024)
+
+
+def o_bloom_dedup() -> str:
+    m = 1024
+    h1 = sqlfns.polyhash_duckdb("text", mult=31)
+    h2 = sqlfns.polyhash_duckdb("text", mult=37)
+    p1 = (f"(CASE WHEN text IS NULL THEN CAST(0 AS BIGINT) "
+          f"ELSE ({h1}) % {m} END)")
+    p2 = (f"(CASE WHEN text IS NULL THEN CAST(0 AS BIGINT) "
+          f"ELSE ({h2}) % {m} END)")
+    fp = dedup.fingerprint62_duckdb_sql("text")
+    return f"""
+    WITH c AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 3),
+    b AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM c
+          WHERE doc_id % 97 = 1),
+    bits AS (SELECT DISTINCT pos FROM
+               (SELECT unnest([{p1}, {p2}]) AS pos FROM c)),
+    seen AS (SELECT DISTINCT {fp} AS fp FROM c),
+    pr AS (SELECT doc_id, {fp} AS fp, unnest([{p1}, {p2}]) AS pos FROM b),
+    hit AS (SELECT pr.doc_id, pr.fp,
+                   COUNT(DISTINCT CASE WHEN bits.pos IS NOT NULL
+                                       THEN pr.pos END)
+                     = COUNT(DISTINCT pr.pos) AS bloom_maybe
+            FROM pr LEFT JOIN bits ON pr.pos = bits.pos
+            GROUP BY 1, 2)
+    SELECT hit.doc_id, hit.bloom_maybe, (seen.fp IS NOT NULL) AS exact_dup
+    FROM hit LEFT JOIN seen ON hit.fp = seen.fp
+    """
+
+
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven planted domains over the corpus; k=3 with the salted
+    two-phase plan — identical output to a single domain window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.selectExpr(
+        "doc_id",
+        "CONCAT('site', CAST(doc_id % 7 AS STRING), '.example') AS domain",
+        "lang", "text")
+    return text.domain_topk(planted, k=3)
+
+
+def o_domain_topk() -> str:
+    return f"""
+    WITH qual AS ({o_quality()}),
+    p AS (SELECT doc_id,
+                 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS domain
+          FROM documents)
+    SELECT domain, doc_id, quality, CAST(rk AS INT) AS rk
+    FROM (SELECT p.domain, q.doc_id, q.quality,
+                 ROW_NUMBER() OVER (PARTITION BY p.domain
+                   ORDER BY q.quality DESC, q.doc_id) AS rk
+          FROM qual q JOIN p USING (doc_id))
+    WHERE rk <= 3
+    """
+
+
+QUERIES.update({
+    "inverted_index": (q_inverted_index, o_inverted_index),
+    "tfidf_topk": (q_tfidf_topk, o_tfidf_topk),
+    "bloom_dedup": (q_bloom_dedup, o_bloom_dedup),
+    "domain_topk": (q_domain_topk, o_domain_topk),
+})
+
+
+# --- wave-2 composed audits (driver-visible rows for tail operators) ----------
+# The driver evaluates only the FIRST 50 QUERIES entries, and round 4 added 19
+# real training-pipeline operators past that window (pytest-oracle-green but
+# invisible to CORRECTNESS_r{N}.json — exactly the r3 failure mode, VERDICT.md
+# 'Next round' #1, recurring at the next scale).  Each audit entry below runs a
+# GROUP of tail operators end-to-end and reduces every output column of each
+# one to engine-pinned BIGINT checksums — row count, per-column null count,
+# SUM and SUM-of-squares for integers, length-sum and content-polyhash-sum for
+# strings, and a fixed-point SUM (floor(x*1e6+0.5), the engine-agreed tie
+# rule) for the already-bit-identical rounded doubles.  The DuckDB twin is the
+# UNION ALL of the operators' EXISTING oracle SQL wrapped in the identical
+# metric template, so a single flipped value, dropped row, or NULL anywhere in
+# any grouped operator's full output changes at least one audit row.  The
+# full-fidelity row-by-row comparison still runs for every grouped operator in
+# tests/test_oracle.py (all registry pairs); the audits make the same
+# verdict land in the driver's 50-entry window at a cost of 4 slots instead
+# of 19.  Timestamp columns are skipped with a bijection argument: in
+# asof_join/interval_join every compared event id functionally determines its
+# timestamp in the generator, so hashing the ids pins the timestamps.
+
+_AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
+    # op -> [(column, kind)]; kind: i=integer, s=string, d=rounded double
+    "normalize_text": [("doc_id", "i"), ("norm_text", "s"),
+                       ("n_norm_chars", "i")],
+    "pii_scrub": [("doc_id", "i"), ("text_scrubbed", "s"),
+                  ("n_emails", "i"), ("n_phones", "i")],
+    "url_dedup": [("canonical_url", "s"), ("n_variants", "i"),
+                  ("first_url", "s")],
+    "remove_boilerplate": [("doc_id", "i"), ("domain", "s"),
+                           ("clean_text", "s"), ("n_lines_kept", "i"),
+                           ("n_lines_dropped", "i")],
+    "ngram_counts": [("ngram", "s"), ("n_total", "i"), ("n_docs", "i")],
+    "substring_dedup": [("doc_id", "i"), ("n_words", "i"),
+                        ("n_words_removed", "i"), ("clean_text", "s")],
+    "cdc_chunks": [("doc_id", "i"), ("chunk_no", "i"), ("chunk_len", "i"),
+                   ("chunk_fp", "i")],
+    "dedup_keep": [("doc_id", "i"), ("n_collapsed", "i")],
+    "decontaminate": [("doc_id", "i"), ("n_hits", "i")],
+    "repetition_stats": [("doc_id", "i"), ("n_tokens", "i"),
+                         ("uniq_token_frac", "d"), ("top_2gram_frac", "d"),
+                         ("dup_2gram_frac", "d")],
+    "sequence_packing": [("doc_id", "i"), ("shard", "s"), ("n_tokens", "i"),
+                         ("seq_id", "i"), ("seq_offset", "i")],
+    "stratified_quota": [("doc_id", "i"), ("lang", "s"), ("rk", "i")],
+    "global_shuffle": [("doc_id", "i"), ("shard", "i"), ("pos", "i")],
+    "length_quantiles": [("lang", "s"), ("n_docs", "i"), ("q25", "d"),
+                         ("q5", "d"), ("q75", "d")],
+    "asof_join": [("event_id", "i"), ("user_id", "i"), ("cents", "i"),
+                  ("view_event_id", "i"), ("view_cents", "i")],
+    "interval_join": [("event_id", "i"), ("user_id", "i"),
+                      ("err_event_id", "i")],
+    "quantize_embeddings": [("vec_id", "i"), ("n_dims", "i"), ("scale", "d"),
+                            ("code_min", "i"), ("code_max", "i"),
+                            ("code_sum", "i"), ("rmse", "d")],
+    "quantized_topk": [("query_id", "i"), ("corpus_id", "i"), ("label", "i"),
+                       ("cosine", "d"), ("rank", "i")],
+    "inverted_index": [("term", "s"), ("doc_id", "i"), ("tf", "i"),
+                       ("df", "i")],
+    "tfidf_topk": [("query_id", "i"), ("doc_id", "i"), ("score_fx", "i"),
+                   ("n_terms_hit", "i"), ("rank", "i")],
+    "bloom_dedup": [("doc_id", "i"), ("bloom_maybe", "b"),
+                    ("exact_dup", "b")],
+    "domain_topk": [("domain", "s"), ("doc_id", "i"), ("quality", "d"),
+                    ("rk", "i")],
+}
+
+# overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
+# holds to ~4e9 rows; the squared term is reduced mod 1000003 first, so
+# SUM((c%m)^2) <= 1e12 * rows holds to ~9e6 rows — far above the sf0.01
+# driver scale and asserted cheap here rather than discovered in ANSI mode.
+_AUDIT_SQ_MOD = 1000003
+
+
+def _audit_metrics(spec: list[tuple[str, str]], engine: str) -> list[tuple[str, str]]:
+    """(metric_name, SQL) pairs — IDENTICAL math on both engines; only the
+    string-polyhash template is dialect-specific (the fuzz-tested pair in
+    functions/sqlfns.py)."""
+    ph = sqlfns.polyhash_spark if engine == "spark" else sqlfns.polyhash_duckdb
+    ms: list[tuple[str, str]] = []
+    m = _AUDIT_SQ_MOD
+    for col, kind in spec:
+        if kind == "i":
+            ms.append((f"sum_{col}",
+                       f"CAST(COALESCE(SUM({col}), 0) AS BIGINT)"))
+            ms.append((f"sq_{col}",
+                       f"CAST(COALESCE(SUM(({col} % {m}) * ({col} % {m})), 0)"
+                       f" AS BIGINT)"))
+        elif kind == "s":
+            ms.append((f"len_{col}",
+                       f"CAST(COALESCE(SUM(CAST(LENGTH({col}) AS BIGINT)), 0)"
+                       f" AS BIGINT)"))
+            ms.append((f"ph_{col}",
+                       f"CAST(COALESCE(SUM({ph(col)}), 0) AS BIGINT)"))
+        elif kind == "b":
+            ms.append((f"nt_{col}",
+                       f"CAST(COALESCE(SUM(CAST({col} AS INT)), 0)"
+                       f" AS BIGINT)"))
+        else:  # "d": in-query-rounded double, bit-identical across engines,
+            # fixed-point folded with the floor(x*1e6+0.5) tie rule (ROUND
+            # is HALF_UP-on-BigDecimal in Spark but not DuckDB)
+            ms.append((f"fx_{col}",
+                       f"CAST(COALESCE(SUM(CAST(FLOOR({col} * 1e6 + 0.5e0)"
+                       f" AS BIGINT)), 0) AS BIGINT)"))
+        ms.append((f"nn_{col}", f"CAST(COUNT({col}) AS BIGINT)"))
+    ms.append(("n_rows", "CAST(COUNT(*) AS BIGINT)"))
+    return ms
+
+
+def _audit_spark(df: DataFrame, op: str) -> DataFrame:
+    ms = _audit_metrics(_AUDIT_SPECS[op], "spark")
+    wide = df.agg(*[F.expr(sql).alias(name) for name, sql in ms])
+    pairs = ", ".join(f"'{name}', {name}" for name, _ in ms)
+    return wide.selectExpr(
+        f"'{op}' AS op", f"stack({len(ms)}, {pairs}) AS (metric, value)")
+
+
+def _audit_group_query(ops: list[str]):
+    qfns = {op: QUERIES[op][0] for op in ops}
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for op in ops:
+            part = _audit_spark(qfns[op](spark, sf_dir), op)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return q
+
+
+def _audit_group_oracle(ops: list[str]):
+    ofns = {op: QUERIES[op][1] for op in ops}
+
+    def o() -> str:
+        ctes, branches = [], []
+        for op in ops:
+            ms = _audit_metrics(_AUDIT_SPECS[op], "duck")
+            agg = ", ".join(f"{sql} AS {name}" for name, sql in ms)
+            # MATERIALIZED: the UNION ALL below reads a_<op> once per
+            # metric — without it DuckDB may inline the whole operator
+            # twin into every branch
+            ctes.append(f"r_{op} AS MATERIALIZED ({ofns[op]()})")
+            ctes.append(f"a_{op} AS MATERIALIZED (SELECT {agg} FROM r_{op})")
+            branches.extend(
+                f"SELECT '{op}' AS op, '{name}' AS metric, {name} AS value"
+                f" FROM a_{op}" for name, _ in ms)
+        return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(branches)
+
+    return o
+
+
+_AUDIT_GROUPS = {
+    "wave2_text_audit": ["normalize_text", "pii_scrub", "url_dedup",
+                         "remove_boilerplate", "ngram_counts",
+                         "inverted_index", "tfidf_topk", "domain_topk"],
+    "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
+                          "decontaminate", "repetition_stats",
+                          "bloom_dedup"],
+    "wave2_mixing_audit": ["sequence_packing", "stratified_quota",
+                           "global_shuffle", "length_quantiles"],
+    "wave2_temporal_ann_audit": ["asof_join", "interval_join",
+                                 "quantize_embeddings", "quantized_topk"],
+}
+for _g, _gops in _AUDIT_GROUPS.items():
+    assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
+    QUERIES[_g] = (_audit_group_query(_gops), _audit_group_oracle(_gops))
+
+
 # --- driver correctness window ordering ---------------------------------------
 # The round-3 driver evaluated only the FIRST 50 QUERIES entries in insertion
 # order, silently skipping the 11 past that point — including four SURVEY §2
@@ -2515,22 +2820,33 @@ QUERIES.update({
 #                          multimodal_resize carries the pixel oracle
 #   extract_text_identity  rows-only; extract_text_oracle carries the
 #                          full oracle
-# The r4 training-pipeline additions (sequence_packing, decontaminate,
-# ngram_counts, pii_scrub) also sit past the window rather than displace
-# a §2 operator's driver row; decontaminate is additionally composite-
-# covered IN-window through corpus_build's decontamination stage.
+# The r4 training-pipeline additions sit past the window as full-fidelity
+# entries, but each is ALSO driver-visible through its wave2_*_audit group
+# (above) — the audits buy 19 operators' checksummed driver rows for 4
+# window slots.  Four more variants were demoted to fund those slots:
+#   tpch_q5                tpch_q3 (in window) covers the agg+join shape;
+#                          q5's wider star join stays pytest-verified
+#   token_histogram        bucketed-count variant of token_stats (in
+#                          window); two-key agg shape covered by
+#                          domain_stats (in window)
+#   deterministic_sample   composite inside corpus_build's sample stage
+#                          (in window)
+#   simhash                32-bit signature variant; simhash64_neardup (in
+#                          window) covers signature + banding + verify
 # ALL entries remain registered — the tail entries stay oracle-verified
 # by the in-repo pytest harness (tests/test_oracle.py runs EVERY pair).
 _TAIL = [
     "fingerprint", "minhash_signatures", "simhash_pairs", "jaccard_pairs",
     "ann_topk", "lsh_topk", "g4_pip_join_rot", "tpch_q1",
     "broadcast_star_join", "multimodal_features", "extract_text_identity",
+    "tpch_q5", "token_histogram", "deterministic_sample", "simhash",
     "sequence_packing", "decontaminate", "ngram_counts", "pii_scrub",
     "incremental_dedup_bucketed", "url_dedup", "normalize_text",
     "repetition_stats", "remove_boilerplate", "asof_join", "dedup_keep",
     "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
     "quantized_topk", "stratified_quota", "global_shuffle",
-    "length_quantiles",
+    "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
+    "domain_topk",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
