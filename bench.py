@@ -415,6 +415,11 @@ def run_queries(spark, buffers) -> dict[str, float]:
             "doc_id",
             "CONCAT('site', CAST(doc_id % 997 AS STRING), '.example') AS domain",
             "lang", "text"), k=3))
+    # r4 fourth wave: web-graph PageRank + LM fluency
+    from tosidewalk_spark.operators import graph as GR
+    bench("pagerank", lambda: GR.pagerank(GR.link_graph(docs), n_iter=5))
+    bench("lm_fluency", lambda: text.lm_fluency(
+        docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

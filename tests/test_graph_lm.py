@@ -1,0 +1,87 @@
+"""Unit tests for the r4 fourth-wave operators: fixed-point PageRank over
+the deterministic link graph, and reference-corpus bigram LM fluency."""
+from pyspark.sql import functions as F
+
+from tosidewalk_spark.operators import graph, text
+
+SCALE = graph.PR_SCALE
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_two_cycle_exact_fixpoint(spark):
+    # a <-> b: init 5e8 each IS the fixpoint (base 75e6 + 85%*5e8 = 5e8),
+    # closed form, so every iteration count returns exactly scale/2 each
+    for k in (1, 3, 5):
+        rows = {r.node_id: r.rank_fx
+                for r in graph.pagerank(
+                    _edges(spark, [(0, 1), (1, 0)]), n_iter=k).collect()}
+        assert rows == {0: SCALE // 2, 1: SCALE // 2}
+
+
+def test_pagerank_no_inlinks_node_sits_at_teleport_base(spark):
+    # a->b, b->a, c->a: c receives nothing, so after >=1 round its rank is
+    # exactly the teleport base = 15% * scale / (100% * 3)
+    out = {r.node_id: r for r in graph.pagerank(
+        _edges(spark, [(0, 1), (1, 0), (2, 0)]), n_iter=3).collect()}
+    base = (15 * SCALE) // (100 * 3)
+    assert out[2].rank_fx == base
+    assert out[0].rank_fx > out[1].rank_fx > out[2].rank_fx
+    assert out[2].out_deg == 1 and out[0].out_deg == 1
+
+
+def test_pagerank_parallel_edges_vote_twice(spark):
+    # a links to b twice and to c once: outdeg(a)=3, b gets 2 shares
+    out = {r.node_id: r.rank_fx for r in graph.pagerank(
+        _edges(spark, [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]),
+        n_iter=4).collect()}
+    assert out[1] > out[2]
+
+
+def test_pagerank_mass_conserved_on_link_graph(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pr = graph.pagerank(graph.link_graph(docs), n_iter=5)
+    agg = pr.agg(F.sum("rank_fx").alias("s"),
+                 F.count("*").alias("n"),
+                 F.min("out_deg").alias("mn")).collect()[0]
+    # floor leak only: total mass stays within a loose 1% of scale and
+    # never exceeds it; no dangling nodes by construction
+    assert SCALE * 0.99 <= agg.s <= SCALE
+    assert agg.mn >= 1
+    assert agg.n == docs.count()
+
+
+def test_lm_fluency_closed_form(spark):
+    # ref "a b a b a c": c2 = {ab:2, ba:2, ac:1}, c1 = {a:3, b:2}, V=3
+    ref = spark.createDataFrame([(0, "a b a b a c")],
+                                "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b"),       # p(ab) = (2+1)/(3+3) = 1/2
+         (2, "c c"),       # OOV bigram, OOV w1: p = 1/(0+3) = 1/3
+         (3, "x"),         # no bigrams
+         (4, None)],       # NULL text: no bigrams, kept
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.n_oov, r.score_fx)
+           for r in text.lm_fluency(docs, ref).collect()}
+    s = text.LM_SCALE
+    assert out[1] == (1, 0, s // 2)
+    assert out[2] == (1, 1, (s + 1) // 3)   # floor(1e12/3 + 0.5)
+    assert out[3] == (0, 0, 0)
+    assert out[4] == (0, 0, 0)
+    assert len(out) == 4
+
+
+def test_lm_fluency_fluent_beats_shuffled(spark):
+    # the score's purpose: reference-like ordering outscores a
+    # rare-transition ordering of the same tokens
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat the cat sat on the mat")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "mat the on sat cat the")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.score_fx
+           for r in text.lm_fluency(docs, ref).collect()}
+    assert out[1] > out[2]

@@ -1,0 +1,166 @@
+"""Web-graph operators: deterministic link-graph derivation and
+fixed-point PageRank.
+
+The reference pipeline (tongning/ToSidewalk) has no web-graph surface;
+PageRank is the canonical webtext-corpus ranking signal (Page et al. 1999;
+Common Crawl publishes host-level ranks computed exactly this way) and a
+standard quality prior for training-data curation.  Design notes for 10^12
+pages / 10^13 edges:
+
+- **Power iteration as K chained join+agg rounds**, K fixed: each round is
+  one equi-join of the rank vector against the edge relation on ``src``
+  plus one hash aggregation on ``dst`` — the classic Spark PageRank shape,
+  except the rank table is re-derived from the node relation every round
+  (LEFT join) so sink pages that receive no links keep the teleport mass.
+  At scale the edge relation is the 100 TB side and the rank vector the
+  small side; partition both by node id (bucketBy) and every round's join
+  is co-located, leaving the dst aggregation as the only real shuffle.
+- **All arithmetic is BIGINT fixed-point** (``scale`` = 1e9 of total mass).
+  A double rank vector would make the per-dst SUM addition-order-dependent
+  under parallel aggregation — a different answer at every parallelism and
+  an un-oracle-able one.  Integer division (floor, positive operands) and
+  BIGINT SUM are exact and associative, so ranks are bit-identical at any
+  core count and across engines (the DuckDB twin unrolls the same K
+  rounds).  Headroom: total mass 1e9, damping multiply ×85 ≤ 8.5e10,
+  far under int64.
+- **Leaked mass is deliberate**: floor-division drops < outdeg units of
+  mass per node per round, and dangling nodes (none in the derived graph
+  — every page links out by construction) would drop their whole rank.
+  PageRank-with-leak keeps the ORDER of ranks (what a curation pipeline
+  consumes) and buys exact determinism; the classic renormalisation is a
+  one-line follow-up agg if true probabilities are ever needed.
+
+No reference parity to cite: /root/reference is empty this round
+(SURVEY.md §0); the operator derives from the public PageRank literature
+and the Spark GraphX/Pregel formulation of it.
+"""
+
+from __future__ import annotations
+
+import weakref
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _spread
+from .spatial import _safe_unpersist
+
+PR_SCALE = 1_000_000_000  # total fixed-point mass distributed over nodes
+PR_DAMPING_PCT = 85       # damping as an integer percentage (0.85)
+
+
+def link_graph(docs: DataFrame, fanout: int = 3) -> DataFrame:
+    """Deterministic synthetic out-links: page ``i`` links to
+    ``(i * m_j + a_j) % n`` for ``fanout`` fixed affine maps, self-loops
+    dropped (so outdeg is ``fanout`` or ``fanout - 1``, never 0 — no
+    dangling nodes by construction).  ``n`` rides a 1-row broadcast cross
+    join, keeping the edge derivation plan-only (no driver count action).
+
+    Stands in for the href-extraction pass (operators/text.extract_text
+    owns real HTML); the GRAPH operators downstream are the real thing.
+    Output: (src, dst), one row per directed edge, duplicates possible
+    when two maps collide — kept, PageRank treats them as parallel edges
+    (a page linking twice votes twice)."""
+    maps = [(17, 1), (31, 7), (2, 3)][:fanout]
+    n1 = docs.agg(F.count("*").cast("long").alias("_n"))
+    dsts = ", ".join(f"CAST((doc_id * {m} + {a}) % _n AS BIGINT)"
+                     for m, a in maps)
+    return (_spread(docs).select("doc_id").crossJoin(F.broadcast(n1))
+            .select(F.col("doc_id").alias("src"),
+                    F.explode(F.expr(f"ARRAY({dsts})")).alias("dst"))
+            .filter("src != dst"))
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping_pct: int = PR_DAMPING_PCT,
+             scale: int = PR_SCALE) -> DataFrame:
+    """Fixed-point PageRank over ``(src, dst)`` edges: ``n_iter`` exact
+    power-iteration rounds, BIGINT arithmetic throughout (see module
+    docstring for why fixed-point).
+
+    Per round, for every node v:
+        rank'(v) = base + (damping_pct * SUM over in-edges(u, v) of
+                   (rank(u) DIV outdeg(u))) DIV 100
+    with ``base = ((100 - damping_pct) * scale) DIV (100 * n)`` the
+    teleport share.  Parallel edges vote once each (outdeg counts them).
+
+    Plan: edges + outdeg are computed once and persisted (each of the
+    ``n_iter`` rounds re-reads both); every round is join(on src) →
+    hash-agg(dst) → LEFT join back to the node relation, so nodes with no
+    in-edges stay at ``base`` instead of dropping out.  Lineage depth is
+    O(n_iter) with K fixed and small; a checkpoint every ~10 rounds is the
+    standard escape hatch if K ever grows.
+
+    Output: (node_id, rank_fx, out_deg) — rank_fx sums to ~scale (minus
+    the documented floor leak)."""
+    e = _spread(edges).select("src", "dst").persist()
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id")))
+             .distinct().persist())
+    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    n1 = nodes.agg(F.count("*").cast("long").alias("_n"))
+    base_expr = (f"CAST(({100 - damping_pct} * CAST({scale} AS BIGINT))"
+                 f" DIV (100 * _n) AS BIGINT)")
+    ranks = (nodes.crossJoin(F.broadcast(n1))
+             .select("node_id",
+                     F.expr(f"CAST(CAST({scale} AS BIGINT) DIV _n"
+                            " AS BIGINT)").alias("rank_fx"),
+                     F.expr(base_expr).alias("_base")))
+    for _ in range(n_iter):
+        contrib = (ranks.join(e, F.col("node_id") == F.col("src"))
+                   .join(outdeg, "src")
+                   .select("dst", F.expr("rank_fx DIV out_deg")
+                           .alias("_c")))
+        inflow = contrib.groupBy("dst").agg(F.sum("_c").alias("_in"))
+        ranks = (ranks.select("node_id", "_base")
+                 .join(inflow, F.col("node_id") == F.col("dst"), "left")
+                 .select("node_id", "_base",
+                         F.expr(f"CAST(_base + ({damping_pct} * "
+                                "COALESCE(_in, CAST(0 AS BIGINT)))"
+                                " DIV 100 AS BIGINT)").alias("rank_fx")))
+    out = (ranks.join(outdeg, F.col("node_id") == F.col("src"), "left")
+           .select("node_id", "rank_fx",
+                   F.expr("COALESCE(out_deg, CAST(0 AS BIGINT))")
+                   .alias("out_deg")))
+    # cache scope = result lifetime (the knn_join pattern, spatial.py): a
+    # plan that outlives the result recomputes from lineage — slower,
+    # never wrong
+    weakref.finalize(out, _safe_unpersist, e)
+    weakref.finalize(out, _safe_unpersist, nodes)
+    return out
+
+
+def pagerank_duckdb_sql(edges_sql: str, n_iter: int = 5,
+                        damping_pct: int = PR_DAMPING_PCT,
+                        scale: int = PR_SCALE) -> str:
+    """DuckDB twin: the same K rounds unrolled as chained CTEs, the same
+    BIGINT floor-division arithmetic (``//`` in DuckDB == ``DIV`` in Spark
+    for the all-positive operands here), so ranks match bit-for-bit."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        ("nodes AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+         "(SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e))"),
+        ("od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS "
+         "out_deg FROM e GROUP BY src)"),
+        ("p AS (SELECT CAST(COUNT(*) AS BIGINT) AS _n, "
+         f"CAST(({100 - damping_pct} * CAST({scale} AS BIGINT))"
+         f" // (100 * CAST(COUNT(*) AS BIGINT)) AS BIGINT) AS _base"
+         " FROM nodes)"),
+        (f"r0 AS (SELECT node_id, CAST(CAST({scale} AS BIGINT) // _n"
+         " AS BIGINT) AS rank_fx, _base FROM nodes, p)"),
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"i{i} AS (SELECT dst, SUM(r{i}.rank_fx // od.out_deg) AS _in"
+            f" FROM r{i} JOIN e ON r{i}.node_id = e.src"
+            f" JOIN od ON e.src = od.src GROUP BY dst)")
+        ctes.append(
+            f"r{i + 1} AS (SELECT r{i}.node_id, CAST(r{i}._base +"
+            f" ({damping_pct} * COALESCE(i{i}._in, CAST(0 AS BIGINT)))"
+            f" // 100 AS BIGINT) AS rank_fx, r{i}._base AS _base"
+            f" FROM r{i} LEFT JOIN i{i} ON r{i}.node_id = i{i}.dst)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT r{n_iter}.node_id, r{n_iter}.rank_fx,
+           COALESCE(od.out_deg, CAST(0 AS BIGINT)) AS out_deg
+    FROM r{n_iter} LEFT JOIN od ON r{n_iter}.node_id = od.src
+    """)

@@ -617,6 +617,73 @@ def length_quantiles(docs: DataFrame, col: str = "n_chars",
             .select("lang", "n_docs", *posts))
 
 
+LM_SCALE = 1_000_000_000_000  # fixed-point scale for bigram probabilities
+
+
+def lm_fluency(docs: DataFrame, ref: DataFrame,
+               scale: int = LM_SCALE) -> DataFrame:
+    """Reference-corpus language-model fluency score — the CCNet/Wikipedia-
+    perplexity filtering shape (Wenzek et al. 2020): train a tiny LM on a
+    trusted reference corpus, score every candidate document, keep the
+    fluent tail.  Here the LM is a Laplace-smoothed bigram model and the
+    score is the MEAN smoothed bigram probability in fixed point:
+
+        p(w2 | w1) = (c2(w1 w2) + 1) / (c1(w1) + V)
+        score_fx   = SUM over doc bigrams of floor(scale * p + 0.5)
+
+    (arithmetic mean of probabilities, NOT the geometric mean behind true
+    perplexity: LN/EXP are libm calls that drift by ulps between engines —
+    the POWER(x,2) lesson — while one divide + one multiply per bigram is
+    IEEE exact-rounded, and the BIGINT per-doc SUM is addition-order-free,
+    so the score is bit-identical at any parallelism and in the DuckDB
+    twin.  Monotone-enough for the filter's purpose: rare/OOV-bigram-heavy
+    docs score low either way.)  Headroom: p <= 1 so each term <= scale
+    (1e12); int64 overflows only past ~9e6 bigrams per document.
+
+    At 100 TB the model side is the SMALL side by design — the reference
+    corpus (Wikipedia-sized) yields a bigram table many orders below the
+    candidate corpus, so both model joins broadcast; the candidate corpus
+    is scan → explode → two broadcast joins → one hash agg, no big-side
+    shuffle except the final per-doc combine.  OOV bigrams (c2 = 0,
+    possibly c1 = 0 too) take the same formula via COALESCE — Laplace
+    smoothing needs no special path.
+
+    Output: (doc_id, n_bigrams, n_oov, score_fx).  Docs with < 2 tokens
+    have no bigrams and score 0 with n_bigrams = 0 (kept, not dropped)."""
+    t = _tokens()
+    grams = (f"CASE WHEN SIZE({t}) >= 2 THEN TRANSFORM(SEQUENCE(1, "
+             f"SIZE({t}) - 1), i -> CONCAT(ELEMENT_AT({t}, i), ' ', "
+             f"ELEMENT_AT({t}, i + 1))) ELSE ARRAY() END")
+    ref_g = (_spread(ref)
+             .select(F.explode(F.expr(grams)).alias("bigram")))
+    c2 = ref_g.groupBy("bigram").agg(F.count("*").cast("long").alias("c2"))
+    c1 = (ref_g.select(F.expr("SPLIT(bigram, ' ')[0]").alias("w1"))
+          .groupBy("w1").agg(F.count("*").cast("long").alias("c1")))
+    v1 = (_spread(ref)
+          .select(F.explode(F.expr(t)).alias("tok"))
+          .agg(F.count_distinct("tok").cast("long").alias("_v")))
+    doc_g = (_spread(docs)
+             .select("doc_id",
+                     F.explode_outer(F.expr(grams)).alias("bigram"))
+             .withColumn("w1", F.expr("SPLIT(bigram, ' ')[0]")))
+    p_fx = (f"CAST(FLOOR(CAST({scale} AS BIGINT) * "
+            "(CAST(COALESCE(c2, 0) + 1 AS DOUBLE) / "
+            "CAST(COALESCE(c1, 0) + _v AS DOUBLE)) + 0.5e0) AS BIGINT)")
+    return (doc_g
+            .join(F.broadcast(c2), "bigram", "left")
+            .join(F.broadcast(c1), "w1", "left")
+            .crossJoin(F.broadcast(v1))
+            .groupBy("doc_id")
+            .agg(F.count("bigram").cast("long").alias("n_bigrams"),
+                 F.sum(F.expr("CASE WHEN bigram IS NOT NULL AND c2 IS NULL"
+                              " THEN 1 ELSE 0 END")).cast("long")
+                 .alias("n_oov"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("bigram").isNotNull(),
+                                  F.expr(p_fx))),
+                     F.lit(0).cast("long")).alias("score_fx")))
+
+
 def domain_topk(pages: DataFrame, k: int = 3, n_salt: int = 16) -> DataFrame:
     """Top-k pages per domain by the composite quality score — the 'best
     pages per site' reduction a corpus curator runs before sampling.

@@ -2629,6 +2629,87 @@ QUERIES.update({
 })
 
 
+# --- r4 fourth wave: web-graph PageRank + LM fluency scoring ------------------
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 exact fixed-point power-iteration rounds over the deterministic
+    3-fanout link graph; ranks are BIGINT so the vector is bit-identical
+    at any parallelism and vs the unrolled DuckDB twin."""
+    from ..operators import graph
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.pagerank(graph.link_graph(docs), n_iter=5)
+
+
+def o_pagerank() -> str:
+    from ..operators import graph
+    edges = """
+    SELECT src, dst FROM (
+      SELECT doc_id AS src,
+             unnest([CAST((doc_id * 17 + 1) % _n AS BIGINT),
+                     CAST((doc_id * 31 + 7) % _n AS BIGINT),
+                     CAST((doc_id * 2 + 3) % _n AS BIGINT)]) AS dst
+      FROM documents,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM documents))
+    WHERE src != dst
+    """
+    return graph.pagerank_duckdb_sql(edges, n_iter=5)
+
+
+def q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference corpus = every 5th doc, candidates = the rest — the CCNet
+    split shape (trusted reference LM scores the crawl)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lm_fluency(docs.filter("doc_id % 5 != 0"),
+                           docs.filter("doc_id % 5 = 0"))
+
+
+def o_lm_fluency() -> str:
+    t = _duck_tokens()
+    grams = (f"CASE WHEN len({t}) >= 2 THEN "
+             f"list_transform(range(1, len({t})), "
+             f"i -> {t}[i] || ' ' || {t}[i + 1]) ELSE [] END")
+    scale = text.LM_SCALE
+    return f"""
+    WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    rg AS (SELECT unnest({grams}) AS bigram FROM ref),
+    c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2
+           FROM rg GROUP BY 1),
+    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                  CAST(COUNT(*) AS BIGINT) AS c1
+           FROM rg GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS _v
+          FROM (SELECT unnest({t}) AS tok FROM ref)),
+    dg AS (SELECT doc_id, unnest({grams}) AS bigram FROM cand),
+    sc AS (SELECT dg.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(COALESCE(SUM(CASE WHEN c2.c2 IS NULL
+                                         THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_oov,
+                  CAST(COALESCE(SUM(CAST(FLOOR(
+                      CAST({scale} AS BIGINT)
+                      * (CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                         / CAST(COALESCE(c1.c1, 0) + _v AS DOUBLE))
+                      + 0.5e0) AS BIGINT)), 0) AS BIGINT) AS score_fx
+           FROM dg
+           LEFT JOIN c2 USING (bigram)
+           LEFT JOIN c1 ON string_split(dg.bigram, ' ')[1] = c1.w1
+           CROSS JOIN v
+           GROUP BY dg.doc_id)
+    SELECT cand.doc_id,
+           COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           COALESCE(sc.n_oov, 0) AS n_oov,
+           COALESCE(sc.score_fx, 0) AS score_fx
+    FROM cand LEFT JOIN sc ON cand.doc_id = sc.doc_id
+    """
+
+
+QUERIES.update({
+    "pagerank": (q_pagerank, o_pagerank),
+    "lm_fluency": (q_lm_fluency, o_lm_fluency),
+})
+
+
 # --- wave-2 composed audits (driver-visible rows for tail operators) ----------
 # The driver evaluates only the FIRST 50 QUERIES entries, and round 4 added 19
 # real training-pipeline operators past that window (pytest-oracle-green but
@@ -2693,6 +2774,9 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                     ("exact_dup", "b")],
     "domain_topk": [("domain", "s"), ("doc_id", "i"), ("quality", "d"),
                     ("rk", "i")],
+    "pagerank": [("node_id", "i"), ("rank_fx", "i"), ("out_deg", "i")],
+    "lm_fluency": [("doc_id", "i"), ("n_bigrams", "i"), ("n_oov", "i"),
+                   ("score_fx", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -2782,14 +2866,17 @@ def _audit_group_oracle(ops: list[str]):
 _AUDIT_GROUPS = {
     "wave2_text_audit": ["normalize_text", "pii_scrub", "url_dedup",
                          "remove_boilerplate", "ngram_counts",
-                         "inverted_index", "tfidf_topk", "domain_topk"],
+                         "inverted_index", "tfidf_topk", "domain_topk",
+                         "lm_fluency"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup"],
     "wave2_mixing_audit": ["sequence_packing", "stratified_quota",
                            "global_shuffle", "length_quantiles"],
+    # graph rides here: like the ANN ops it is an id-keyed fixed-point op
     "wave2_temporal_ann_audit": ["asof_join", "interval_join",
-                                 "quantize_embeddings", "quantized_topk"],
+                                 "quantize_embeddings", "quantized_topk",
+                                 "pagerank"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -2846,7 +2933,7 @@ _TAIL = [
     "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
     "quantized_topk", "stratified_quota", "global_shuffle",
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
-    "domain_topk",
+    "domain_topk", "pagerank", "lm_fluency",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
