@@ -415,9 +415,11 @@ def run_queries(spark, buffers) -> dict[str, float]:
             "doc_id",
             "CONCAT('site', CAST(doc_id % 997 AS STRING), '.example') AS domain",
             "lang", "text"), k=3))
-    # r4 fourth wave: web-graph PageRank + LM fluency
+    # r4 fourth wave: web-graph PageRank + LM fluency + k-means
     from tosidewalk_spark.operators import graph as GR
+    from tosidewalk_spark.operators import clustering as CL
     bench("pagerank", lambda: GR.pagerank(GR.link_graph(docs), n_iter=5))
+    bench("kmeans_assign", lambda: CL.kmeans_assign(emb, k=8, n_iter=3))
     bench("lm_fluency", lambda: text.lm_fluency(
         docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))

@@ -2704,9 +2704,24 @@ def o_lm_fluency() -> str:
     """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 exact Lloyd rounds, k=8, over the fixed-point embedding codes;
+    the assignment (not just stats) matches the unrolled DuckDB twin
+    row-for-row."""
+    from ..operators import clustering
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return clustering.kmeans_assign(emb, k=8, n_iter=3)
+
+
+def o_kmeans_assign() -> str:
+    from ..operators import clustering
+    return clustering.kmeans_assign_duckdb_sql("embeddings", k=8, n_iter=3)
+
+
 QUERIES.update({
     "pagerank": (q_pagerank, o_pagerank),
     "lm_fluency": (q_lm_fluency, o_lm_fluency),
+    "kmeans_assign": (q_kmeans_assign, o_kmeans_assign),
 })
 
 
@@ -2777,6 +2792,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "pagerank": [("node_id", "i"), ("rank_fx", "i"), ("out_deg", "i")],
     "lm_fluency": [("doc_id", "i"), ("n_bigrams", "i"), ("n_oov", "i"),
                    ("score_fx", "i")],
+    "kmeans_assign": [("vec_id", "i"), ("cluster_id", "i"),
+                      ("dist_fx", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -2876,7 +2893,7 @@ _AUDIT_GROUPS = {
     # graph rides here: like the ANN ops it is an id-keyed fixed-point op
     "wave2_temporal_ann_audit": ["asof_join", "interval_join",
                                  "quantize_embeddings", "quantized_topk",
-                                 "pagerank"],
+                                 "pagerank", "kmeans_assign"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -2933,7 +2950,7 @@ _TAIL = [
     "interval_join", "cdc_chunks", "substring_dedup", "quantize_embeddings",
     "quantized_topk", "stratified_quota", "global_shuffle",
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
-    "domain_topk", "pagerank", "lm_fluency",
+    "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
