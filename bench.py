@@ -420,6 +420,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
     from tosidewalk_spark.operators import clustering as CL
     bench("pagerank", lambda: GR.pagerank(GR.link_graph(docs), n_iter=5))
     bench("kmeans_assign", lambda: CL.kmeans_assign(emb, k=8, n_iter=3))
+    bench("semantic_dedup", lambda: CL.semantic_dedup(
+        emb, k=8, n_iter=2, cos_threshold=0.4))
     bench("lm_fluency", lambda: text.lm_fluency(
         docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))

@@ -43,6 +43,35 @@ def test_kmeans_tie_breaks_to_smaller_cluster_and_empty_keeps_centroid(spark):
     assert out[2].cluster_id == 0
 
 
+def test_semantic_dedup_groups_planted_copies(spark):
+    # planted EXACT copies: identical vectors land in the same cluster by
+    # the deterministic argmin (distances equal component-wise), share
+    # every LSH bucket, and have cosine exactly 1.0 — each (orig, copy)
+    # pair must share a group, the orig (min vec_id) is kept, the copy
+    # dropped; group representatives are unique
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    copies = emb.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding")
+    out = {r.vec_id: r for r in clustering.semantic_dedup(
+        emb.unionByName(copies), k=4, n_iter=2,
+        cos_threshold=0.9).collect()}
+    n = len(out)
+    assert n == emb.count() + copies.count()
+    orig_ids = [i for i in out if i < 100000]
+    for i in orig_ids:
+        if i % 10 == 0:
+            assert out[i + 100000].group_id == out[i].group_id == i
+            assert out[i].keep and not out[i + 100000].keep
+    # keep-set = one representative per group
+    groups = {}
+    for r in out.values():
+        groups.setdefault(r.group_id, []).append(r)
+    for g, members in groups.items():
+        assert sum(m.keep for m in members) == 1
+        assert min(m.vec_id for m in members) == g
+
+
 def test_kmeans_every_vector_assigned_once(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = clustering.kmeans_assign(emb, k=8, n_iter=2)

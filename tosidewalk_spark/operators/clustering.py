@@ -107,6 +107,79 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 3,
     return out
 
 
+def semantic_dedup(emb: DataFrame, k: int = 8, n_iter: int = 3,
+                   cos_threshold: float = 0.95,
+                   max_bucket: int | None = None,
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means partitions the
+    corpus semantically, near-duplicate pairs are found WITHIN each
+    (cluster, hyperplane-LSH bucket), the pair graph is closed under
+    transitivity, and each duplicate group keeps exactly one
+    representative (min vec_id).
+
+    Output: (vec_id, cluster_id, group_id, keep) — group_id = min vec_id
+    of the duplicate group (vec_id itself for singletons), keep =
+    (vec_id == group_id).  COUNT(keep) is the deduplicated corpus size.
+
+    Scale shape: the within-cluster pair search inherits the full
+    bucket-cap discipline — the join key is the COMPOSITE (cluster_id,
+    lsh_bucket), so a giant cluster (the boilerplate point-mass case)
+    still splits across 2^16 signature buckets, and buckets larger than
+    ``max_bucket`` are dropped by the same count-agg + semi-join as
+    embedding_neardup_pairs / minhash_lsh_pairs.  Transitive closure is
+    the shared log-diameter pointer-jumping CC (network.py), NOT a
+    driver loop over pairs."""
+    from . import dedup, similarity
+    from .network import connected_components
+
+    if max_bucket is None:
+        max_bucket = dedup.LSH_MAX_BUCKET
+    assign_full = kmeans_assign(emb, k=k, n_iter=n_iter, vec_col=vec_col)
+    assign = assign_full.select("vec_id", "cluster_id")
+    e = (_spread(emb)
+         .select("vec_id",
+                 F.expr(f"TRANSFORM({vec_col}, x -> CAST(x AS DOUBLE))")
+                 .alias("v"))
+         .withColumn("norm", F.expr(
+             "SQRT(AGGREGATE(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+         .withColumn("bucket", F.expr(similarity.lsh_signature_expr(
+             "v", n_planes=similarity.NEARDUP_PLANES)))
+         .join(assign, "vec_id")
+         .persist())
+    ok = (e.groupBy("cluster_id", "bucket")
+          .agg(F.count("*").alias("bn"))
+          .filter(F.col("bn") <= max_bucket)
+          .select("cluster_id", "bucket"))
+    e2 = e.join(ok, ["cluster_id", "bucket"], "left_semi")
+    a = e2.select("cluster_id", "bucket", F.col("vec_id").alias("vec_a"),
+                  F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e2.select("cluster_id", "bucket", F.col("vec_id").alias("vec_b"),
+                  F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    dot = F.expr("AGGREGATE(ZIP_WITH(va, vb, (x, y) -> x * y), "
+                 "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    pairs = (a.join(b, ["cluster_id", "bucket"])
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cosine",
+                         F.round(dot / (F.col("na") * F.col("nb")), 6))
+             .filter(F.col("cosine") >= cos_threshold)
+             .select("vec_a", "vec_b"))
+    comp = connected_components(
+        pairs.select(F.col("vec_a").alias("src"),
+                     F.col("vec_b").alias("dst"))).select(
+        F.col("id").alias("vec_id"), F.col("component").alias("group_id"))
+    out = (e.select("vec_id", "cluster_id")
+           .join(comp, "vec_id", "left")
+           .select("vec_id", "cluster_id",
+                   F.coalesce("group_id", "vec_id").alias("group_id"))
+           .withColumn("keep", F.expr("vec_id = group_id")))
+    weakref.finalize(out, _safe_unpersist, e)
+    # kmeans' internal caches are weakref-scoped to ITS returned object;
+    # pin that object to our result so they stay cached for out's
+    # lifetime (dropping it early would only recompute, never corrupt)
+    out._kmeans_lineage_pin = assign_full
+    return out
+
+
 def kmeans_assign_duckdb_sql(emb_table: str = "embeddings", k: int = 8,
                              n_iter: int = 3, scale: int = KM_SCALE,
                              dim: int = 64) -> str:

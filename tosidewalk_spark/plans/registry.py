@@ -2718,10 +2718,65 @@ def o_kmeans_assign() -> str:
     return clustering.kmeans_assign_duckdb_sql("embeddings", k=8, n_iter=3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end with the SAME planted 1.5x-scaled copies as
+    embedding_neardup (cosine ~1.0 with their originals, bit-identical
+    float32 construction in both engines) so the dedup groups are
+    non-vacuous; threshold 0.4 for the same near-orthogonality reason."""
+    from ..operators import clustering
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = emb.filter("vec_id % 5 = 0").select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"), "label",
+        F.expr("TRANSFORM(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))"
+               ).alias("embedding"))
+    return clustering.semantic_dedup(emb.unionByName(copies),
+                                     k=8, n_iter=3, cos_threshold=0.4)
+
+
+def o_semantic_dedup() -> str:
+    from ..operators import clustering, dedup as dd, similarity
+    cos = (f"ROUND({_duck_dot('a.embedding', 'b.embedding')}"
+           f" / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6)")
+    km = clustering.kmeans_assign_duckdb_sql("embx", k=8, n_iter=3)
+    return f"""
+    WITH RECURSIVE
+    embx AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 5 = 0),
+    asg AS MATERIALIZED ({km}),
+    sig0 AS (SELECT e.vec_id, e.embedding, asg.cluster_id,
+                    {_duck_lsh_sig('embedding', similarity.NEARDUP_PLANES)} AS bucket
+             FROM embx e JOIN asg ON e.vec_id = asg.vec_id),
+    sig AS (SELECT * FROM sig0
+            QUALIFY COUNT(*) OVER (PARTITION BY cluster_id, bucket)
+                    <= {dd.LSH_MAX_BUCKET}),
+    p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM sig a JOIN sig b
+            ON a.cluster_id = b.cluster_id AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+          WHERE {cos} >= 0.4e0),
+    edges AS (SELECT va AS a, vb AS b FROM p
+              UNION ALL SELECT vb, va FROM p),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.node, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a),
+    comp AS (SELECT node, MIN(r) AS group_id FROM reach GROUP BY node)
+    SELECT s.vec_id, s.cluster_id,
+           COALESCE(c.group_id, s.vec_id) AS group_id,
+           (s.vec_id = COALESCE(c.group_id, s.vec_id)) AS keep
+    FROM sig0 s LEFT JOIN comp c ON s.vec_id = c.node
+    """
+
+
 QUERIES.update({
     "pagerank": (q_pagerank, o_pagerank),
     "lm_fluency": (q_lm_fluency, o_lm_fluency),
     "kmeans_assign": (q_kmeans_assign, o_kmeans_assign),
+    "semantic_dedup": (q_semantic_dedup, o_semantic_dedup),
 })
 
 
@@ -2794,6 +2849,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                    ("score_fx", "i")],
     "kmeans_assign": [("vec_id", "i"), ("cluster_id", "i"),
                       ("dist_fx", "i")],
+    "semantic_dedup": [("vec_id", "i"), ("cluster_id", "i"),
+                       ("group_id", "i"), ("keep", "b")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -2893,7 +2950,8 @@ _AUDIT_GROUPS = {
     # graph rides here: like the ANN ops it is an id-keyed fixed-point op
     "wave2_temporal_ann_audit": ["asof_join", "interval_join",
                                  "quantize_embeddings", "quantized_topk",
-                                 "pagerank", "kmeans_assign"],
+                                 "pagerank", "kmeans_assign",
+                                 "semantic_dedup"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -2951,6 +3009,7 @@ _TAIL = [
     "quantized_topk", "stratified_quota", "global_shuffle",
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
+    "semantic_dedup",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
