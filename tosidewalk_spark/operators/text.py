@@ -713,3 +713,92 @@ def domain_topk(pages: DataFrame, k: int = 3, n_salt: int = 16) -> DataFrame:
     return (survivors.withColumn("rk", F.row_number().over(w2).cast("int"))
             .filter(F.col("rk") <= k)
             .select("domain", "doc_id", "quality", "rk"))
+
+
+DSIR_BUCKETS = 4096     # fixed feature-hash width — model size is corpus-
+                        # independent by construction (DSIR uses 10k)
+DSIR_SCALE = 1_000_000  # fixed-point scale for per-bucket probability ratios
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 n_buckets: int = DSIR_BUCKETS,
+                 scale: int = DSIR_SCALE) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed-n-gram bag
+    models on a trusted TARGET corpus (p) and on the RAW candidate corpus
+    (q), then weight every candidate document by how target-like its
+    n-gram distribution is.  Features are unigrams + bigrams hashed into
+    ``n_buckets`` fixed buckets, exactly DSIR's feature space.
+
+    Engine-exact deviation from the paper (same reasoning as lm_fluency):
+    DSIR's weight is sum of log(p_b/q_b); LN is a libm call that drifts by
+    ulps between engines, so the score here is the SUM of fixed-point
+    per-bucket probability RATIOS
+
+        ratio_fx(b) = floor(scale * (p_b / q_b) + 0.5)
+        p_b = (ct_b + 1) / (CT + B),  q_b = (cr_b + 1) / (CR + B)
+        score_fx(doc) = sum over the doc's gram occurrences of ratio_fx
+
+    — one divide per side + one divide + one multiply, all IEEE
+    exact-rounded with identical association on both engines, and the
+    per-doc BIGINT sum is addition-order-free, so the score is
+    bit-identical at any parallelism and in the DuckDB twin.  Monotone-
+    enough for selection: docs whose grams sit in target-heavy buckets
+    score high either way.  Headroom: ratio_fx <= scale * CT; at
+    scale=1e6 an int64 overflows only past ~9e12/CT grams per document.
+
+    At 100 TB the model side is B rows BY CONSTRUCTION (hash bucketing,
+    not vocabulary): both count aggs are map-side-combinable down to
+    <= B partials, the ratio table broadcasts, and the candidate corpus
+    is scan -> explode -> one broadcast join -> one per-doc hash agg — no
+    big-side shuffle except the final doc combine.  The raw model q is fit
+    on ``docs`` itself (DSIR's q is the raw-corpus distribution), so every
+    probed bucket exists on the raw side and the model join never misses.
+
+    Output: (doc_id, n_grams, n_target_hit, score_fx); empty docs keep a
+    row with n_grams = 0 and score_fx = 0.  Selection (top-quota by
+    score) composes with stratified_quota / domain_topk downstream."""
+    t = _tokens()
+    bis = (f"CASE WHEN SIZE({t}) >= 2 THEN TRANSFORM(SEQUENCE(1, "
+           f"SIZE({t}) - 1), i -> CONCAT(ELEMENT_AT({t}, i), ' ', "
+           f"ELEMENT_AT({t}, i + 1))) ELSE ARRAY() END")
+    grams = f"CONCAT({t}, {bis})"
+    bkt = f"(({sqlfns.polyhash_spark('gram')}) % {n_buckets})"
+    tg = (_spread(target)
+          .select(F.explode(F.expr(grams)).alias("gram"))
+          .select(F.expr(bkt).alias("bucket"))
+          .groupBy("bucket").agg(F.count("*").cast("long").alias("ct")))
+    rg = (_spread(docs)
+          .select(F.explode(F.expr(grams)).alias("gram"))
+          .select(F.expr(bkt).alias("bucket"))
+          .groupBy("bucket").agg(F.count("*").cast("long").alias("cr")))
+    tt = tg.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("_tt"))
+    rt = rg.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("_rt"))
+    ratio_fx = (
+        f"CAST(FLOOR(CAST({scale} AS BIGINT) * "
+        f"((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / "
+        f"CAST(_tt + {n_buckets} AS DOUBLE)) / "
+        f"(CAST(cr + 1 AS DOUBLE) / "
+        f"CAST(_rt + {n_buckets} AS DOUBLE))) + 0.5e0) AS BIGINT)")
+    model = (rg.join(tg, "bucket", "left")
+             .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(rt))
+             .select("bucket",
+                     F.coalesce(F.col("ct"), F.lit(0)).cast("long")
+                     .alias("ct"),
+                     F.expr(ratio_fx).alias("ratio_fx")))
+    doc_g = (_spread(docs)
+             .select("doc_id", F.explode_outer(F.expr(grams)).alias("gram"))
+             .withColumn("bucket",
+                         F.when(F.col("gram").isNotNull(), F.expr(bkt))))
+    return (doc_g
+            .join(F.broadcast(model), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(F.count("gram").cast("long").alias("n_grams"),
+                 F.coalesce(
+                     F.sum(F.expr("CASE WHEN gram IS NOT NULL AND ct > 0 "
+                                  "THEN 1 ELSE 0 END")), F.lit(0))
+                 .cast("long").alias("n_target_hit"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("gram").isNotNull(),
+                                  F.col("ratio_fx"))),
+                     F.lit(0).cast("long")).alias("score_fx")))

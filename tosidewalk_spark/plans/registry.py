@@ -2704,6 +2704,58 @@ def o_lm_fluency() -> str:
     """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: target = every 11th doc (the trusted
+    split), raw candidates = the whole table (DSIR fits q on the raw
+    corpus itself and scores every raw doc)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.dsir_weights(docs, docs.filter("doc_id % 11 = 0"))
+
+
+def o_dsir_weights() -> str:
+    td = _duck_tokens()
+    bis = (f"CASE WHEN len({td}) >= 2 THEN "
+           f"list_transform(range(1, len({td})), "
+           f"i -> {td}[i] || ' ' || {td}[i + 1]) ELSE [] END")
+    grams = f"list_concat({td}, {bis})"
+    bkt = f"(({sqlfns.polyhash_duckdb('gram')}) % {text.DSIR_BUCKETS})"
+    b = text.DSIR_BUCKETS
+    ratio = (
+        f"CAST(FLOOR(CAST({text.DSIR_SCALE} AS BIGINT) * "
+        f"((CAST(COALESCE(tg.ct, 0) + 1 AS DOUBLE) / "
+        f"CAST(tt._tt + {b} AS DOUBLE)) / "
+        f"(CAST(rg.cr + 1 AS DOUBLE) / "
+        f"CAST(rt._rt + {b} AS DOUBLE))) + 0.5e0) AS BIGINT)")
+    return f"""
+    WITH tgt AS (SELECT text FROM documents WHERE doc_id % 11 = 0),
+    tg AS (SELECT {bkt} AS bucket, CAST(COUNT(*) AS BIGINT) AS ct
+           FROM (SELECT unnest({grams}) AS gram FROM tgt) GROUP BY 1),
+    rg AS (SELECT {bkt} AS bucket, CAST(COUNT(*) AS BIGINT) AS cr
+           FROM (SELECT unnest({grams}) AS gram FROM documents) GROUP BY 1),
+    tt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS _tt FROM tg),
+    rt AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS _rt FROM rg),
+    model AS (SELECT rg.bucket,
+                     CAST(COALESCE(tg.ct, 0) AS BIGINT) AS ct,
+                     {ratio} AS ratio_fx
+              FROM rg LEFT JOIN tg USING (bucket)
+              CROSS JOIN tt CROSS JOIN rt),
+    dg AS (SELECT doc_id, {bkt} AS bucket
+           FROM (SELECT doc_id, unnest({grams}) AS gram FROM documents)),
+    sc AS (SELECT dg.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_grams,
+                  CAST(COALESCE(SUM(CASE WHEN m.ct > 0 THEN 1 ELSE 0 END),
+                                0) AS BIGINT) AS n_target_hit,
+                  CAST(COALESCE(SUM(m.ratio_fx), 0) AS BIGINT) AS score_fx
+           FROM dg LEFT JOIN model m USING (bucket)
+           GROUP BY dg.doc_id)
+    SELECT d.doc_id,
+           COALESCE(sc.n_grams, 0) AS n_grams,
+           COALESCE(sc.n_target_hit, 0) AS n_target_hit,
+           COALESCE(sc.score_fx, 0) AS score_fx
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 exact Lloyd rounds, k=8, over the fixed-point embedding codes;
     the assignment (not just stats) matches the unrolled DuckDB twin
@@ -2775,6 +2827,7 @@ def o_semantic_dedup() -> str:
 QUERIES.update({
     "pagerank": (q_pagerank, o_pagerank),
     "lm_fluency": (q_lm_fluency, o_lm_fluency),
+    "dsir_weights": (q_dsir_weights, o_dsir_weights),
     "kmeans_assign": (q_kmeans_assign, o_kmeans_assign),
     "semantic_dedup": (q_semantic_dedup, o_semantic_dedup),
 })
@@ -2847,6 +2900,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "pagerank": [("node_id", "i"), ("rank_fx", "i"), ("out_deg", "i")],
     "lm_fluency": [("doc_id", "i"), ("n_bigrams", "i"), ("n_oov", "i"),
                    ("score_fx", "i")],
+    "dsir_weights": [("doc_id", "i"), ("n_grams", "i"),
+                     ("n_target_hit", "i"), ("score_fx", "i")],
     "kmeans_assign": [("vec_id", "i"), ("cluster_id", "i"),
                       ("dist_fx", "i")],
     "semantic_dedup": [("vec_id", "i"), ("cluster_id", "i"),
@@ -2941,7 +2996,7 @@ _AUDIT_GROUPS = {
     "wave2_text_audit": ["normalize_text", "pii_scrub", "url_dedup",
                          "remove_boilerplate", "ngram_counts",
                          "inverted_index", "tfidf_topk", "domain_topk",
-                         "lm_fluency"],
+                         "lm_fluency", "dsir_weights"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup"],
@@ -3009,7 +3064,7 @@ _TAIL = [
     "quantized_topk", "stratified_quota", "global_shuffle",
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
-    "semantic_dedup",
+    "semantic_dedup", "dsir_weights",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
