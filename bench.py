@@ -424,6 +424,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
         emb, k=8, n_iter=2, cos_threshold=0.4))
     bench("lm_fluency", lambda: text.lm_fluency(
         docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")))
+    bench("dsir_weights", lambda: text.dsir_weights(
+        docs, docs.filter("doc_id % 11 = 0")))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

@@ -85,3 +85,34 @@ def test_lm_fluency_fluent_beats_shuffled(spark):
     out = {r.doc_id: r.score_fx
            for r in text.lm_fluency(docs, ref).collect()}
     assert out[1] > out[2]
+
+
+def test_dsir_single_bucket_normalization_identity(spark):
+    # with n_buckets=1 both models are the whole distribution: p_b and q_b
+    # are exactly 1.0, ratio_fx is exactly the scale, so score_fx must be
+    # n_grams * scale for every doc -- pins the smoothing denominators
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_grams, r.n_target_hit, r.score_fx)
+           for r in text.dsir_weights(docs, docs.filter("doc_id = 1"),
+                                      n_buckets=1).collect()}
+    s = text.DSIR_SCALE
+    assert out[1] == (5, 5, 5 * s)   # a,b,c + "a b","b c"
+    assert out[2] == (1, 1, 1 * s)   # one unigram, no bigrams
+    assert out[3] == (0, 0, 0)       # empty text: row kept
+    assert out[4] == (0, 0, 0)       # NULL text: row kept
+    assert len(out) == 4
+
+
+def test_dsir_target_like_doc_outscores_off_target(spark):
+    # the weight's purpose: a doc whose grams sit in target-heavy buckets
+    # gets a higher per-gram score than one sharing nothing with the target
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa bb"), (1, "aa bb"), (2, "zz qq")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in text.dsir_weights(
+        docs, docs.filter("doc_id = 0")).collect()}
+    assert out[1].n_grams == out[2].n_grams == 3
+    assert out[1].n_target_hit == 3 and out[2].n_target_hit == 0
+    assert out[1].score_fx > out[2].score_fx
