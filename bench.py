@@ -426,6 +426,17 @@ def run_queries(spark, buffers) -> dict[str, float]:
         docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
+    bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))
+    bench("hash_embed", lambda: text.hash_embed(docs))
+    from tosidewalk_spark.operators import multimodal as MM
+    phash_media = docs.filter(
+        "doc_id % 5 = 0 AND n_chars >= 8 AND "
+        "OCTET_LENGTH(SUBSTRING(text, 1, 8)) = 8").selectExpr(
+        "CONCAT('doc://', CAST(doc_id AS STRING)) AS url",
+        "'image' AS media_type",
+        "CAST(REPEAT(SUBSTRING(text, 1, 8), 16) AS BINARY) AS payload",
+        "64 AS width", "48 AS height", "1 AS n_frames")
+    bench("image_phash_dedup", lambda: MM.image_phash_dedup(phash_media))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

@@ -699,3 +699,52 @@ def test_quantized_topk_reranks_coarse_inversion(spark):
     full = similarity.quantized_topk(emb, q, k=4, shortlist=4).collect()
     zrow = [r for r in full if r.corpus_id == 4]
     assert len(zrow) == 1 and zrow[0].cosine == 0.0
+
+
+def _media_rows(spark, rows):
+    """(url, payload bytes, w, h) -> media DF"""
+    return spark.createDataFrame(
+        [(u, "image", bytearray(p), w, h, 1) for u, p, w, h in rows],
+        "url string, media_type string, payload binary, width int, "
+        "height int, n_frames int")
+
+
+def test_image_phash_brightness_invariant_byte_hash_not(spark):
+    # the point of a perceptual hash: a global brightness shift keeps the
+    # phash (order-only comparisons) while the byte content changes
+    base = bytes(range(40, 104))  # 64 bytes, strictly increasing, no clip
+    shifted = bytes(b + 10 for b in base)
+    media = _media_rows(spark, [("orig", base, 8, 8),
+                                ("bright", shifted, 8, 8)])
+    out = {r.url: r.phash for r in multimodal.image_phash(media).collect()}
+    assert out["orig"] == out["bright"]
+    assert base != shifted
+    # and a content change that flips a comparison changes the phash:
+    # reverse the bytes so every adjacent comparison inverts
+    media2 = _media_rows(spark, [("orig", base, 8, 8),
+                                 ("rev", base[::-1], 8, 8)])
+    out2 = {r.url: r.phash for r in multimodal.image_phash(media2).collect()}
+    assert out2["orig"] != out2["rev"]
+
+
+def test_image_phash_bounds_and_degenerate(spark):
+    media = _media_rows(spark, [("empty", b"", 8, 8),
+                                ("flat", bytes([7]) * 64, 8, 8),
+                                ("x", bytes(range(64)), 8, 8)])
+    out = {r.url: r.phash for r in multimodal.image_phash(media).collect()}
+    assert out["empty"] == 0            # degenerate zero-fill path
+    assert out["flat"] == 0             # constant image: no comparison set
+    assert 0 <= out["x"] < 1 << 56      # 56-bit, BIGINT-positive
+
+
+def test_image_phash_dedup_keep_semantics(spark):
+    a = bytes(range(30, 94))
+    media = _media_rows(spark, [
+        ("img://b", a, 8, 8),
+        ("img://a", bytes(v + 5 for v in a), 8, 8),   # perceptual copy
+        ("img://c", a[::-1], 8, 8),                   # different content
+    ])
+    out = {r.url: r for r in multimodal.image_phash_dedup(media).collect()}
+    assert out["img://a"].keep and not out["img://b"].keep  # min-url wins
+    assert out["img://a"].n_copies == 2 == out["img://b"].n_copies
+    assert out["img://c"].keep and out["img://c"].n_copies == 1

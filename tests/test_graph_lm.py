@@ -116,3 +116,66 @@ def test_dsir_target_like_doc_outscores_off_target(spark):
     assert out[1].n_grams == out[2].n_grams == 3
     assert out[1].n_target_hit == 3 and out[2].n_target_hit == 0
     assert out[1].score_fx > out[2].score_fx
+
+
+def _ph(s, mult):
+    a = 0
+    for ch in s:
+        a = (a * mult + ord(ch)) % 2147483647
+    return a
+
+
+def test_mixture_weights_single_stratum_and_sqrt_scaling(spark):
+    one = spark.createDataFrame([(i, "en") for i in range(7)],
+                                "doc_id long, lang string")
+    r = text.mixture_weights(one, budget=500).collect()
+    assert len(r) == 1 and r[0].weight_fx == 1_000_000 and r[0].quota == 500
+    # 4 docs vs 1: sqrt masses 2000/1000 -> weights 2/3 vs 1/3, i.e. the
+    # head stratum is downweighted vs its 4/5 proportional share
+    two = spark.createDataFrame(
+        [(i, "en") for i in range(4)] + [(9, "de")],
+        "doc_id long, lang string")
+    out = {r.stratum: r for r in text.mixture_weights(two, budget=300).collect()}
+    assert out["en"].sqrt_fx == 2000 and out["de"].sqrt_fx == 1000
+    assert out["en"].weight_fx == 666_667 and out["de"].weight_fx == 333_333
+    assert out["en"].quota == 200 and out["de"].quota == 100
+
+
+def test_mixture_weights_isqrt_template_exact():
+    # the SQL isqrt template must equal math.isqrt at perfect-square
+    # boundaries and on random values — evaluated on DuckDB (no Spark)
+    import math
+    import duckdb
+    vals = []
+    for k in (1, 2, 10, 1000, 44721, 3_037_000):
+        vals += [k * k - 1, k * k, k * k + 1]
+    vals += [3, 7, 12345, 987654321, 10**12 + 7]
+    expr = text._isqrt_sql("x")
+    got = duckdb.sql(
+        f"SELECT x, {expr} AS s FROM (SELECT unnest({vals}) AS x)"
+    ).fetchall()
+    for x, s in got:
+        assert s == math.isqrt(x), (x, s, math.isqrt(x))
+
+
+def test_hash_embed_planted_dims_and_signs(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, ""), (3, None)], "doc_id long, text string")
+    out = {(r.doc_id, r.dim_id): r.val
+           for r in text.hash_embed(docs).collect()}
+    dim_a, sgn_a = _ph("aa", 31) % 64, 1 if _ph("aa", 37) % 2 == 0 else -1
+    dim_b, sgn_b = _ph("bb", 31) % 64, 1 if _ph("bb", 37) % 2 == 0 else -1
+    expect = {}
+    expect[(1, dim_a)] = expect.get((1, dim_a), 0) + 2 * sgn_a
+    expect[(1, dim_b)] = expect.get((1, dim_b), 0) + sgn_b
+    assert out == {k: v for k, v in expect.items() if v != 0}
+
+
+def test_hash_embed_dense_keeps_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, ""), (3, None)], "doc_id long, text string")
+    out = {r.doc_id: r.embedding
+           for r in text.hash_embed_dense(docs, dim=16).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == [0.0] * 16 and out[3] == [0.0] * 16
+    assert len(out[1]) == 16 and sum(abs(v) for v in out[1]) == 3.0

@@ -149,3 +149,82 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
                                 "frame": frames})
 
     return media.mapInPandas(run, _FRAME_SCHEMA)
+
+
+_PHASH_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("phash", T.LongType()),
+])
+
+# dHash geometry: 9 columns x 7 rows -> 8 column comparisons per row,
+# 56 bits total.  56 (not the classical 64) keeps the hash strictly
+# positive in a BIGINT: bit 63 would overflow Spark's ANSI CAST and force
+# two's-complement gymnastics into every SQL twin.  Width 9 (not 8) because
+# a power-of-two output width samples only source columns = 0 (mod 8) on
+# the sandbox fake's period-8 payload and the hash would be constant
+# (the multimodal_resize out_w=7 lesson).
+PHASH_W, PHASH_H = 9, 7
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode -> nearest-
+    neighbor resize to (PHASH_H x PHASH_W) -> bit (i, j) set iff
+    pixel[i][j] > pixel[i][j+1] -> 56-bit BIGINT.  Invariant to any
+    strictly monotone brightness remap (comparisons are order-only), which
+    is the point of perceptual hashing: a re-encoded / brightness-shifted
+    copy keeps its phash while its byte fingerprint changes (unit-tested).
+
+    The DECODE is the documented sandbox fake (payload tiled row-major to
+    width x height, as resize_images); the resize + comparison + packing
+    are real numpy and apply unchanged to a real decoded array.  One
+    mapInPandas pass, no shuffle; at 100 TB this is the cheap map stage in
+    front of the groupBy in image_phash_dedup."""
+
+    def run(it):
+        for pdf in it:
+            imgs = pdf[pdf["media_type"] == "image"]
+            if len(imgs) == 0:
+                continue
+            urls, hashes = [], []
+            for r in imgs.itertuples():
+                data = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                need = int(r.width) * int(r.height)
+                if data.size == 0 or need <= 0:
+                    urls.append(r.url)
+                    hashes.append(0)
+                    continue
+                reps = -(-need // data.size)
+                img = np.tile(data, reps)[:need].reshape(
+                    int(r.height), int(r.width))
+                rows = (np.arange(PHASH_H) * img.shape[0]) // PHASH_H
+                cols = (np.arange(PHASH_W) * img.shape[1]) // PHASH_W
+                small = img[rows][:, cols]          # uint8, comparisons only
+                bits = small[:, :-1] > small[:, 1:]  # (PHASH_H, PHASH_W-1)
+                weights = np.left_shift(
+                    np.int64(1),
+                    (np.arange(PHASH_H)[:, None] * (PHASH_W - 1)
+                     + np.arange(PHASH_W - 1)[None, :]).astype(np.int64))
+                urls.append(r.url)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"url": urls,
+                                "phash": pd.array(hashes, dtype="int64")})
+
+    return media.mapInPandas(run, _PHASH_SCHEMA)
+
+
+def image_phash_dedup(media: DataFrame) -> DataFrame:
+    """Image dedup by exact perceptual-hash match (the first-line image
+    dedup of web-scale corpora: re-encodes and brightness shifts collapse
+    to one phash, so exact grouping already catches most duplicates;
+    Hamming-ball near-dup composes on top via the banded simhash64
+    machinery in operators/dedup.py if needed).  keep = lexicographic-min
+    url per phash group; n_copies audits the collapse.  Plan: the
+    image_phash map stage, then ONE 8-byte-keyed hash agg + a broadcast-
+    or-bucketed join back — the payload bytes never shuffle."""
+    ph = image_phash(media)
+    groups = (ph.groupBy("phash")
+              .agg(F.min("url").alias("_keep_url"),
+                   F.count("*").cast("long").alias("n_copies")))
+    return (ph.join(groups, "phash")
+            .select("url", "phash", "n_copies",
+                    (F.col("url") == F.col("_keep_url")).alias("keep")))

@@ -802,3 +802,106 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
                      F.sum(F.when(F.col("gram").isNotNull(),
                                   F.col("ratio_fx"))),
                      F.lit(0).cast("long")).alias("score_fx")))
+
+
+MIX_SQRT_SCALE = 1_000      # fixed-point scale inside the integer sqrt
+MIX_WEIGHT_SCALE = 1_000_000  # fixed-point scale of the emitted weights
+
+
+def _isqrt_sql(x: str) -> str:
+    """Exact integer sqrt of a BIGINT expression, engine-identical.
+
+    FLOOR(SQRT(x)) alone is wrong at perfect-square boundaries (SQRT is
+    correctly rounded but x > 2^53 loses bits on the CAST to DOUBLE, and
+    sqrt of k^2 - 1 can round UP to k), so the double result is treated
+    only as a seed and corrected with exact BIGINT comparisons.  The seed
+    is off by at most 1 for x < 2^62 (relative double error ~1e-16 plus
+    the <=512-ulp representation error of x contribute <1 to the root),
+    so one +-1 correction step is exact."""
+    s0 = f"CAST(FLOOR(SQRT(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    return (f"({s0} + (CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({x}) "
+            f"THEN 1 ELSE 0 END) - (CASE WHEN {s0} * {s0} > ({x}) "
+            f"THEN 1 ELSE 0 END))")
+
+
+def mixture_weights(docs: DataFrame, by: str = "lang",
+                    budget: int = 1_000_000) -> DataFrame:
+    """Temperature-scaled data-mixing weights (the multilingual-LM
+    "alpha = 0.5" recipe: sample stratum i proportional to n_i^alpha so
+    head strata are downweighted and tail strata upsampled relative to
+    their raw share).  Emits, per stratum: the document count, the
+    fixed-point sqrt mass s_i = floor(sqrt(n_i) * 1e3), the normalized
+    sampling weight w_i = floor(1e6 * s_i / sum(s) + 0.5), and the
+    per-epoch document quota floor(budget * s_i / sum(s) + 0.5).
+
+    Engine-exactness: n_i^0.5 via the exact integer sqrt template (POWER/
+    libm is the known 1-ulp cross-engine hazard); the normalizing sum is
+    a BIGINT (order-free); the two emitted ratios are one exact-rounded
+    double divide + multiply + floor with identical association on both
+    engines.  At 100 TB the plan is one map-side-combinable count agg
+    (strata cardinality = languages/domains, tiny) plus a broadcast
+    one-row total — the corpus crosses the wire as count partials only.
+    NULL strata count as their own row (GROUP BY keeps NULL).  Headroom:
+    n_i * 1e6 must fit int64, i.e. n_i <= 9.2e12 docs per stratum."""
+    s = _isqrt_sql(f"n_docs * {MIX_SQRT_SCALE ** 2}")
+    counts = (docs.groupBy(F.col(by).alias("stratum"))
+              .agg(F.count("*").cast("long").alias("n_docs"))
+              .withColumn("sqrt_fx", F.expr(s).cast("long")))
+    total = counts.agg(F.sum("sqrt_fx").cast("long").alias("_tot"))
+    ratio = "(CAST(sqrt_fx AS DOUBLE) / CAST(_tot AS DOUBLE))"
+    return (counts.crossJoin(F.broadcast(total))
+            .select("stratum", "n_docs", "sqrt_fx",
+                    F.expr(f"CAST(FLOOR({MIX_WEIGHT_SCALE} * {ratio} "
+                           f"+ 0.5e0) AS BIGINT)").alias("weight_fx"),
+                    F.expr(f"CAST(FLOOR({budget} * {ratio} "
+                           f"+ 0.5e0) AS BIGINT)").alias("quota")))
+
+
+HASH_EMBED_DIM = 64  # fixed feature-hash width (hashing trick)
+
+
+def hash_embed(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Feature-hashed bag-of-words document embedding (the hashing trick,
+    Weinberger et al. 2009): token t contributes sign(h37(t)) to dimension
+    pmod(h31(t), dim), the standard signed construction that makes hash
+    collisions cancel in expectation.  Output is the SPARSE relation
+    (doc_id, dim_id, val) with zero-sum dimensions dropped — the same
+    index-as-a-relation stance as inverted_index: a dense array column is
+    a presentation concern (see hash_embed_dense), the relation is what
+    shuffles, buckets and joins at scale.
+
+    All-integer (sign counts), so bit-identical on both engines at any
+    parallelism.  Plan: scan -> explode -> ONE map-side-combinable
+    (doc_id, dim_id) hash agg; no joins, no model side.  The two hashes
+    ride the independent 31/37 polyhash bases (the fingerprint62 pair)."""
+    t = _tokens()
+    h31 = sqlfns.polyhash_spark("tok", mult=31)
+    h37 = sqlfns.polyhash_spark("tok", mult=37)
+    return (_spread(docs)
+            .select("doc_id", F.explode(F.expr(t)).alias("tok"))
+            .select("doc_id",
+                    F.expr(f"PMOD({h31}, {dim})").cast("int").alias("dim_id"),
+                    F.expr(f"CASE WHEN PMOD({h37}, 2) = 0 THEN 1 ELSE -1 "
+                           f"END").alias("sgn"))
+            .groupBy("doc_id", "dim_id")
+            .agg(F.sum("sgn").cast("long").alias("val"))
+            .filter("val != 0"))
+
+
+def hash_embed_dense(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
+    """Densify hash_embed into (doc_id, embedding array<double>[dim]) for
+    ANN consumers (gemm_topk / lsh_topk / kmeans take array columns).
+    One extra per-doc agg; docs with no tokens get the zero vector only if
+    present in the sparse relation — join back to `docs` to keep them."""
+    sparse = hash_embed(docs, dim)
+    dense = (sparse.groupBy("doc_id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("dim_id", "val"))).alias("m"))
+             .select("doc_id",
+                     F.expr(f"TRANSFORM(SEQUENCE(0, {dim} - 1), d -> "
+                            f"CAST(COALESCE(ELEMENT_AT(m, d), 0) AS DOUBLE))")
+                     .alias("embedding")))
+    return (docs.select("doc_id").join(dense, "doc_id", "left")
+            .select("doc_id",
+                    F.expr(f"COALESCE(embedding, ARRAY_REPEAT(0.0e0, {dim}))")
+                    .alias("embedding")))

@@ -2833,6 +2833,112 @@ QUERIES.update({
 })
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) per-language sampling weights and
+    per-epoch quotas over the documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.mixture_weights(docs, by="lang", budget=1000)
+
+
+def o_mixture_weights() -> str:
+    # the SAME isqrt + ratio templates, run verbatim on DuckDB
+    s = text._isqrt_sql(f"n_docs * {text.MIX_SQRT_SCALE ** 2}")
+    ratio = "(CAST(sqrt_fx AS DOUBLE) / CAST(_tot AS DOUBLE))"
+    return f"""
+    WITH c AS (SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    s AS (SELECT stratum, n_docs, CAST({s} AS BIGINT) AS sqrt_fx FROM c),
+    t AS (SELECT CAST(SUM(sqrt_fx) AS BIGINT) AS _tot FROM s)
+    SELECT stratum, n_docs, sqrt_fx,
+           CAST(FLOOR({text.MIX_WEIGHT_SCALE} * {ratio} + 0.5e0) AS BIGINT)
+             AS weight_fx,
+           CAST(FLOOR(1000 * {ratio} + 0.5e0) AS BIGINT) AS quota
+    FROM s CROSS JOIN t
+    """
+
+
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed signed bag-of-words embeddings as the sparse
+    (doc_id, dim_id, val) relation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.hash_embed(docs)
+
+
+def o_hash_embed() -> str:
+    ph31 = sqlfns.polyhash_duckdb("tok", mult=31)
+    ph37 = sqlfns.polyhash_duckdb("tok", mult=37)
+    d = text.HASH_EMBED_DIM
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_duck_tokens()}) AS tok
+                  FROM documents),
+    agg AS (SELECT doc_id,
+                   CAST({ph31} % {d} AS INT) AS dim_id,
+                   CAST(SUM(CASE WHEN {ph37} % 2 = 0 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS val
+            FROM toks GROUP BY 1, 2)
+    SELECT doc_id, dim_id, val FROM agg WHERE val != 0
+    """
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by exact perceptual-hash (dHash) match over the same
+    SQL-derivable fake media as multimodal_resize: payload = utf-8 bytes
+    of REPEAT(first-8-chars, 16) tiled over a 64x48 grid.  The period-8
+    payload makes every resized ROW identical, so the numpy dHash has the
+    closed form phash = rowbyte * (2^56 - 1)/255 with rowbyte a function
+    of 8 adjacent-character comparisons of the 8-char prefix — real
+    perceptual collapses at sf0.01 (distinct prefixes sharing a comparison
+    pattern map to one phash), so keep/n_copies are non-vacuous.  Same
+    ASCII guard as multimodal_resize (byte-index math desyncs on
+    multi-byte chars)."""
+    from ..operators import multimodal
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id % 5 = 0 AND n_chars >= 8")
+            .filter("OCTET_LENGTH(SUBSTRING(text, 1, 8)) = 8"))
+    media = docs.select(
+        F.expr("CONCAT('doc://', CAST(doc_id AS STRING))").alias("url"),
+        F.lit("image").alias("media_type"),
+        F.expr("CAST(REPEAT(SUBSTRING(text, 1, 8), 16) AS BINARY)")
+        .alias("payload"),
+        F.lit(64).alias("width"), F.lit(48).alias("height"),
+        F.lit(1).alias("n_frames"))
+    return multimodal.image_phash_dedup(media)
+
+
+def o_image_phash_dedup() -> str:
+    from ..operators import multimodal
+    w, h = multimodal.PHASH_W, multimodal.PHASH_H
+    # sampled source columns mod the payload period 8 (width 64):
+    # cm[j] = ((j * 64) // w) % 8; bit j set iff s[cm[j]] > s[cm[j+1]]
+    cm = [((j * 64) // w) % 8 for j in range(w)]
+    bits = " + ".join(
+        f"(CASE WHEN ascii(substr(s, {cm[j] + 1}, 1)) > "
+        f"ascii(substr(s, {cm[j + 1] + 1}, 1)) THEN {1 << j} ELSE 0 END)"
+        for j in range(w - 1))
+    rep = ((1 << (8 * h)) - 1) // 255  # identical rows: sum of 2^(8i), i<h
+    return f"""
+    WITH m AS (
+      SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+             SUBSTRING(text, 1, 8) AS s
+      FROM documents
+      WHERE doc_id % 5 = 0 AND n_chars >= 8
+        AND strlen(SUBSTRING(text, 1, 8)) = 8
+    ),
+    ph AS (SELECT url, CAST(({bits}) * {rep} AS BIGINT) AS phash FROM m),
+    g AS (SELECT phash, MIN(url) AS _keep, CAST(COUNT(*) AS BIGINT)
+            AS n_copies FROM ph GROUP BY phash)
+    SELECT ph.url, ph.phash, g.n_copies, ph.url = g._keep AS keep
+    FROM ph JOIN g USING (phash)
+    """
+
+
+QUERIES.update({
+    "mixture_weights": (q_mixture_weights, o_mixture_weights),
+    "hash_embed": (q_hash_embed, o_hash_embed),
+    "image_phash_dedup": (q_image_phash_dedup, o_image_phash_dedup),
+})
+
+
 # --- wave-2 composed audits (driver-visible rows for tail operators) ----------
 # The driver evaluates only the FIRST 50 QUERIES entries, and round 4 added 19
 # real training-pipeline operators past that window (pytest-oracle-green but
@@ -2906,6 +3012,11 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                       ("dist_fx", "i")],
     "semantic_dedup": [("vec_id", "i"), ("cluster_id", "i"),
                        ("group_id", "i"), ("keep", "b")],
+    "mixture_weights": [("stratum", "s"), ("n_docs", "i"), ("sqrt_fx", "i"),
+                        ("weight_fx", "i"), ("quota", "i")],
+    "hash_embed": [("doc_id", "i"), ("dim_id", "i"), ("val", "i")],
+    "image_phash_dedup": [("url", "s"), ("phash", "i"), ("n_copies", "i"),
+                          ("keep", "b")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -2996,12 +3107,13 @@ _AUDIT_GROUPS = {
     "wave2_text_audit": ["normalize_text", "pii_scrub", "url_dedup",
                          "remove_boilerplate", "ngram_counts",
                          "inverted_index", "tfidf_topk", "domain_topk",
-                         "lm_fluency", "dsir_weights"],
+                         "lm_fluency", "dsir_weights", "hash_embed"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
-                          "bloom_dedup"],
+                          "bloom_dedup", "image_phash_dedup"],
     "wave2_mixing_audit": ["sequence_packing", "stratified_quota",
-                           "global_shuffle", "length_quantiles"],
+                           "global_shuffle", "length_quantiles",
+                           "mixture_weights"],
     # graph rides here: like the ANN ops it is an id-keyed fixed-point op
     "wave2_temporal_ann_audit": ["asof_join", "interval_join",
                                  "quantize_embeddings", "quantized_topk",
@@ -3064,7 +3176,8 @@ _TAIL = [
     "quantized_topk", "stratified_quota", "global_shuffle",
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
-    "semantic_dedup", "dsir_weights",
+    "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
+    "image_phash_dedup",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
