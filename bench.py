@@ -452,6 +452,14 @@ def run_queries(spark, buffers) -> dict[str, float]:
         bench("warc_scan_100k", lambda: warc.scan_warc(spark, wdir))
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
+    from tosidewalk_spark.sources import jsonl
+    jdir = tempfile.mkdtemp(prefix="bench_jsonl_")
+    try:
+        jsonl.write_jsonl(docs.select("doc_id", "lang", "text"), jdir,
+                          shards=32)
+        bench("jsonl_scan", lambda: jsonl.scan_jsonl(spark, jdir))
+    finally:
+        shutil.rmtree(jdir, ignore_errors=True)
     pts.unpersist()
     seg_cells.unpersist()
     return timings

@@ -80,3 +80,37 @@ def test_iter_records_skips_malformed_content_length():
     recs = list(warc.iter_records(good1 + bad + good2))
     uris = [h.get(b"warc-target-uri") for h, _ in recs]
     assert uris == [b"http://a.example/1", b"http://a.example/2"]
+
+
+def test_jsonl_roundtrip_deterministic_and_failfast(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tosidewalk_spark.sources import jsonl
+    docs = spark.createDataFrame(
+        [(1, "en", 'quote " and \\ slash\tand unicode é'),
+         (2, None, ""), (3, "de", None)],
+        "doc_id long, lang string, text string")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    jsonl.write_jsonl(docs, d1, shards=2)
+    # identical content from a different input partitioning
+    jsonl.write_jsonl(docs.repartition(7), d2, shards=2)
+
+    import glob
+    read_bytes = lambda d: b"".join(
+        open(p, "rb").read() for p in sorted(glob.glob(f"{d}/part-*")))
+    assert read_bytes(d1) == read_bytes(d2)
+
+    back = {r.doc_id: (r.lang, r.text)
+            for r in jsonl.scan_jsonl(spark, d1).collect()}
+    assert back == {1: ("en", 'quote " and \\ slash\tand unicode é'),
+                    2: (None, ""), 3: ("de", None)}
+
+    # FAILFAST: a corrupt line is a loud error, not a silent NULL row
+    bad = str(tmp_path / "bad")
+    import os
+    os.makedirs(bad)
+    with open(f"{bad}/part-00000.json", "w") as f:
+        f.write('{"doc_id": 1, "lang": "en", "text": "ok"}\n{not json\n')
+    import pytest as _pt
+    with _pt.raises(Exception):
+        jsonl.scan_jsonl(spark, bad).collect()

@@ -2932,10 +2932,33 @@ def o_image_phash_dedup() -> str:
     """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink -> source round-trip (the LLM-corpus interchange format):
+    write every 3rd document through the deterministic-shard native JSON
+    writer, read it back with the explicit schema + FAILFAST, and return
+    the rows — the oracle is the identical selection straight from the
+    parquet table, so any escaping, NULL-field, or type drift in either
+    direction breaks the hash."""
+    import tempfile
+
+    from ..sources import jsonl
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id % 3 = 0")
+            .select("doc_id", "lang", "text"))
+    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    jsonl.write_jsonl(docs, d, shards=8)
+    return jsonl.scan_jsonl(spark, d)
+
+
+def o_jsonl_roundtrip() -> str:
+    return ("SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0")
+
+
 QUERIES.update({
     "mixture_weights": (q_mixture_weights, o_mixture_weights),
     "hash_embed": (q_hash_embed, o_hash_embed),
     "image_phash_dedup": (q_image_phash_dedup, o_image_phash_dedup),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, o_jsonl_roundtrip),
 })
 
 
@@ -3177,7 +3200,7 @@ _TAIL = [
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
-    "image_phash_dedup",
+    "image_phash_dedup", "jsonl_roundtrip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
