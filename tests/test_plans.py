@@ -205,3 +205,54 @@ def test_corpus_build_plan_shape(spark):
     plan = _executed_plan(pipeline.build_corpus(docs))
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "HashAggregate" in plan and "partial_" in plan
+
+
+def test_mixture_weights_plan_shape(spark):
+    """One map-side-combinable count agg + a broadcast one-row total; no
+    python anywhere — the corpus crosses the wire as count partials only."""
+    from tosidewalk_spark.operators import text
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed_plan(text.mixture_weights(docs))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan
+    # column pruning: only lang is read from the wide table
+    sp = text.mixture_weights(docs)._jdf.queryExecution().sparkPlan().toString()
+    read_schema = sp.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema
+
+
+def test_hash_embed_single_shuffle_no_python(spark):
+    """scan -> explode -> ONE two-key hash agg: exactly one exchange (plus
+    AQE reads), partial aggregation present, zero python stages."""
+    from tosidewalk_spark.operators import text
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = text.hash_embed(docs.filter("doc_id % 10 = 0"))
+    plan = _executed_plan(df)
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in plan
+    import re
+    # AQE prints Final + Initial plans; count shuffles in the final only
+    final = plan.split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning", final)
+    assert len(exchanges) == 1, f"{len(exchanges)} exchanges:\n{final[:3000]}"
+    assert "partial_sum" in final, final[:2000]
+
+
+def test_image_phash_dedup_payload_never_shuffles(spark):
+    """the only exchanges after the mapInPandas hash stage carry (url,
+    phash)-shaped rows — the binary payload column must not appear in any
+    exchange output."""
+    from tosidewalk_spark.operators import multimodal
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter("doc_id % 50 = 0 AND n_chars >= 8"))
+    media = docs.selectExpr(
+        "CONCAT('doc://', CAST(doc_id AS STRING)) AS url",
+        "'image' AS media_type",
+        "CAST(REPEAT(SUBSTRING(text, 1, 8), 16) AS BINARY) AS payload",
+        "64 AS width", "48 AS height", "1 AS n_frames")
+    plan = _executed_plan(multimodal.image_phash_dedup(media))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
