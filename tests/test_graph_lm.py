@@ -179,3 +179,23 @@ def test_hash_embed_dense_keeps_empty_docs(spark):
     assert set(out) == {1, 2, 3}
     assert out[2] == [0.0] * 16 and out[3] == [0.0] * 16
     assert len(out[1]) == 16 and sum(abs(v) for v in out[1]) == 3.0
+
+
+def test_chunk_windows_boundaries(spark):
+    toks = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = sorted((r.doc_id, r.chunk_no, r.start_tok, r.n_tokens, r.chunk_text)
+                 for r in text.chunk_windows(docs, chunk_tokens=4,
+                                             overlap=1).collect())
+    # doc 1: 10 tokens, stride 3 -> starts 0,3,6,9; last chunk short
+    assert out == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 1, "t9"),
+        (2, 0, 0, 2, "a b"),
+    ]
+    # overlap: consecutive chunks share exactly `overlap` tokens
+    assert out[0][4].split()[-1] == out[1][4].split()[0]

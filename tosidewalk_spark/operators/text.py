@@ -905,3 +905,38 @@ def hash_embed_dense(docs: DataFrame, dim: int = HASH_EMBED_DIM) -> DataFrame:
             .select("doc_id",
                     F.expr(f"COALESCE(embedding, ARRAY_REPEAT(0.0e0, {dim}))")
                     .alias("embedding")))
+
+
+def chunk_windows(docs: DataFrame, chunk_tokens: int = 128,
+                  overlap: int = 32) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the embedding/RAG
+    prep shape (split every document into windows of ``chunk_tokens``
+    whitespace tokens, each window starting ``chunk_tokens - overlap``
+    tokens after the previous; the complement of cdc_chunks' content-
+    defined boundaries: here boundaries are positional, so a one-token
+    prefix edit shifts every downstream chunk — use cdc_chunks when
+    shift-invariance matters, this when uniform window size does).
+
+    Window starts come from SEQUENCE(0, n-1, stride) — no division, no
+    off-by-one family: every start < n_tokens, the last chunk is the
+    (possibly short) remainder, empty/NULL docs emit no rows (LEFT-join
+    back on doc_id if presence is required).  Pure codegen/HOF projection
+    above the scan: zero shuffles, zero python; chunk_no rides posexplode
+    so ordering is positional, not sort-derived."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    t = _tokens()
+    return (_spread(docs)
+            .select("doc_id", F.expr(t).alias("toks"))
+            .select("doc_id",
+                    F.posexplode(
+                        F.expr(f"CASE WHEN SIZE(toks) > 0 THEN "
+                               f"SEQUENCE(0, SIZE(toks) - 1, {stride}) "
+                               f"ELSE ARRAY() END"))
+                    .alias("chunk_no", "start_tok"),
+                    F.col("toks"))
+            .select("doc_id", "chunk_no", "start_tok",
+                    F.expr(f"SIZE(SLICE(toks, start_tok + 1, {chunk_tokens}))")
+                    .cast("int").alias("n_tokens"),
+                    F.expr(f"ARRAY_JOIN(SLICE(toks, start_tok + 1, "
+                           f"{chunk_tokens}), ' ')").alias("chunk_text")))

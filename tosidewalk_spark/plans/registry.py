@@ -2932,6 +2932,35 @@ def o_image_phash_dedup() -> str:
     """
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token windows (32-token chunks, 8-token
+    overlap) over every document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.chunk_windows(docs, chunk_tokens=32, overlap=8)
+
+
+def o_chunk_windows() -> str:
+    td = _duck_tokens()
+    chunk, stride = 32, 24
+    return f"""
+    WITH d AS (SELECT doc_id, {td} AS toks FROM documents),
+    st AS (SELECT doc_id, toks,
+                  unnest(range(0, CAST(len(toks) AS BIGINT), {stride}))
+                    AS start_tok
+           FROM d WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(start_tok // {stride} AS INT) AS chunk_no,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(len(list_slice(toks, CAST(start_tok + 1 AS BIGINT),
+                CAST(LEAST(start_tok + {chunk}, len(toks)) AS BIGINT)))
+             AS INT) AS n_tokens,
+           array_to_string(list_slice(toks, CAST(start_tok + 1 AS BIGINT),
+                CAST(LEAST(start_tok + {chunk}, len(toks)) AS BIGINT)), ' ')
+             AS chunk_text
+    FROM st
+    """
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL sink -> source round-trip (the LLM-corpus interchange format):
     write every 3rd document through the deterministic-shard native JSON
@@ -2959,6 +2988,7 @@ QUERIES.update({
     "hash_embed": (q_hash_embed, o_hash_embed),
     "image_phash_dedup": (q_image_phash_dedup, o_image_phash_dedup),
     "jsonl_roundtrip": (q_jsonl_roundtrip, o_jsonl_roundtrip),
+    "chunk_windows": (q_chunk_windows, o_chunk_windows),
 })
 
 
@@ -3038,6 +3068,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "mixture_weights": [("stratum", "s"), ("n_docs", "i"), ("sqrt_fx", "i"),
                         ("weight_fx", "i"), ("quota", "i")],
     "hash_embed": [("doc_id", "i"), ("dim_id", "i"), ("val", "i")],
+    "chunk_windows": [("doc_id", "i"), ("chunk_no", "i"), ("start_tok", "i"),
+                      ("n_tokens", "i"), ("chunk_text", "s")],
     "image_phash_dedup": [("url", "s"), ("phash", "i"), ("n_copies", "i"),
                           ("keep", "b")],
 }
@@ -3130,7 +3162,8 @@ _AUDIT_GROUPS = {
     "wave2_text_audit": ["normalize_text", "pii_scrub", "url_dedup",
                          "remove_boilerplate", "ngram_counts",
                          "inverted_index", "tfidf_topk", "domain_topk",
-                         "lm_fluency", "dsir_weights", "hash_embed"],
+                         "lm_fluency", "dsir_weights", "hash_embed",
+                         "chunk_windows"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup", "image_phash_dedup"],
@@ -3200,7 +3233,7 @@ _TAIL = [
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
-    "image_phash_dedup", "jsonl_roundtrip",
+    "image_phash_dedup", "jsonl_roundtrip", "chunk_windows",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
