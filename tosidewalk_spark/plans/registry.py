@@ -3070,6 +3070,7 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "hash_embed": [("doc_id", "i"), ("dim_id", "i"), ("val", "i")],
     "chunk_windows": [("doc_id", "i"), ("chunk_no", "i"), ("start_tok", "i"),
                       ("n_tokens", "i"), ("chunk_text", "s")],
+    "jsonl_roundtrip": [("doc_id", "i"), ("lang", "s"), ("text", "s")],
     "image_phash_dedup": [("url", "s"), ("phash", "i"), ("n_copies", "i"),
                           ("keep", "b")],
 }
@@ -3163,7 +3164,7 @@ _AUDIT_GROUPS = {
                          "remove_boilerplate", "ngram_counts",
                          "inverted_index", "tfidf_topk", "domain_topk",
                          "lm_fluency", "dsir_weights", "hash_embed",
-                         "chunk_windows"],
+                         "chunk_windows", "jsonl_roundtrip"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup", "image_phash_dedup"],
