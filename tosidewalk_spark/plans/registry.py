@@ -3208,7 +3208,7 @@ for _g, _gops in _AUDIT_GROUPS.items():
 #                          full oracle
 # The r4 training-pipeline additions sit past the window as full-fidelity
 # entries, but each is ALSO driver-visible through its wave2_*_audit group
-# (above) — the audits buy 19 operators' checksummed driver rows for 4
+# (above) — the audits buy 32 operators' checksummed driver rows for 4
 # window slots.  Four more variants were demoted to fund those slots:
 #   tpch_q5                tpch_q3 (in window) covers the agg+join shape;
 #                          q5's wider star join stays pytest-verified
