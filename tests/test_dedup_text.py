@@ -748,3 +748,43 @@ def test_image_phash_dedup_keep_semantics(spark):
     assert out["img://a"].keep and not out["img://b"].keep  # min-url wins
     assert out["img://a"].n_copies == 2 == out["img://b"].n_copies
     assert out["img://c"].keep and out["img://c"].n_copies == 1
+
+
+def test_bpe_tokenize_matches_python_twin(spark):
+    """The nested-REPLACE sentinel chain must equal real rank-order BPE
+    apply (text.bpe_apply_py) on the cases that break naive encodings:
+    4-deep cascade (b+atch <- atc+h <- at+c <- a+t), adjacent occurrences
+    of the same merge ('hashhash', 'ererer' — one REPLACE pass must catch
+    all of them), false-match-inside-longer-symbol, word boundaries, and
+    empty/NULL text."""
+    rows = [(1, "batch scan"), (2, "join parts"), (3, "ererer"),
+            (4, "at ch"), (5, "hash hashhash"), (6, "batchbatch"),
+            (7, "the customer window stream"), (8, ""), (9, None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.bpe_tokenize(d).collect()}
+    for doc_id, t in rows:
+        words = (t or "").split()
+        toks = [text.bpe_apply_py(w) for w in words]
+        exp_text = " ".join("/".join(ts) for ts in toks)
+        exp_n = sum(len(ts) for ts in toks)
+        r = out[doc_id]
+        assert r.tok_text == exp_text, (t, r.tok_text, exp_text)
+        assert r.n_tokens == exp_n
+        assert r.n_words == len(words)
+        # every merge application reduces token count by exactly 1
+        assert r.n_merged == sum(len(w) for w in words) - exp_n
+
+
+def test_bpe_tokenize_corpus_invariants(spark, docs):
+    """On the real corpus: token count is bounded by [n_words, n_chars],
+    n_merged is non-negative, and whole-word merges actually fire (the
+    shipped table is not vacuous on the distribution it was learned on)."""
+    out = text.bpe_tokenize(docs).cache()
+    bad = out.filter(
+        "n_tokens < n_words OR n_merged < 0 OR "
+        "n_tokens > n_words + n_merged + n_tokens").count()
+    assert bad == 0
+    whole = out.filter("tok_text LIKE '%batch%' AND tok_text NOT LIKE "
+                       "'%b/atch%'").count()
+    assert whole > 0  # 'batch' survives as ONE subword somewhere
+    out.unpersist()

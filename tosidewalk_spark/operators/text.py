@@ -940,3 +940,95 @@ def chunk_windows(docs: DataFrame, chunk_tokens: int = 128,
                     .cast("int").alias("n_tokens"),
                     F.expr(f"ARRAY_JOIN(SLICE(toks, start_tok + 1, "
                            f"{chunk_tokens}), ' ')").alias("chunk_text")))
+
+
+# Fixed BPE merge table, rank order — shipped like a tokenizer's merges.txt
+# (learned once offline by greedy pair-frequency BPE over the synthetic
+# corpus' word distribution and frozen; the table is a model artifact, so
+# at 100 TB it is a constant too — apply cost never depends on corpus size).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+]
+
+
+def bpe_apply_py(word: str, merges: list[tuple[str, str]] | None = None
+                 ) -> list[str]:
+    """Reference python twin of the SQL BPE apply (unit-test oracle):
+    merges applied in rank order, each merging ALL current occurrences
+    leftmost-first — the standard fast-apply contract (HF tokenizers'
+    outcome for well-formed learned tables, where a pair's parts are
+    always products of strictly lower ranks)."""
+    syms = list(word)
+    for a, b in (BPE_MERGES if merges is None else merges):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_chain_sql(col: str, dialect: str = "spark") -> str:
+    """The whole BPE apply as ONE nested string expression, identical math
+    on both engines (only the regexp replacement token differs).
+
+    Sentinel encoding makes plain REPLACE a correct merge step: every
+    non-space char c becomes '|c|', so a symbol occurrence is EXACTLY the
+    substring '|sym|' (symbols never contain '|'), adjacent symbols meet
+    as '||', and spaces stay bare so no pattern can span a word boundary.
+    Merge (a,b) is then REPLACE(s, '|a||b|', '|ab|'):
+      - each occurrence owns BOTH its delimiters, so left-to-right
+        non-overlapping replacement (the Spark/Java AND DuckDB contract)
+        merges ALL adjacent occurrences in one pass ('|a||b||a||b|'
+        matches at 0 and 6 — nothing is consumed from the next match);
+      - a pattern can never false-match inside a longer symbol ('|h||e|'
+        does not occur in '|th||e|' — no '|' precedes that 'h').
+    Everything is codegen string ops (REPLACE/REGEXP_REPLACE), not
+    interpreted HOF lambdas — the cdc_chunks single-core lesson does not
+    apply; the scan-parallelism _spread guard still does."""
+    rep = "$1" if dialect == "spark" else r"\1"
+    flag = "" if dialect == "spark" else ", 'g'"
+    s = f"regexp_replace(COALESCE({col}, ''), '([^ ])', '|{rep}|'{flag})"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return s
+
+
+def bpe_tokenize(docs: DataFrame) -> DataFrame:
+    """Real subword tokenization with a FIXED merge table — replaces
+    token_stats' len/4 BPE estimate with an exact, engine-pinned token
+    count (the number every data-mixing quota, sequence-packing budget,
+    and per-token cost model actually needs).
+
+    Output per doc: whitespace word count, exact BPE token count, number
+    of merge applications (n_nonspace_chars - n_tokens, each application
+    reduces the token count by exactly 1), and the tokenized text with
+    '/' joining subwords within a word ('batch scan' -> 'batch s/c/an').
+
+    Plan: scan -> one codegen projection (regexp_replace + 20 nested
+    REPLACEs + length arithmetic), ZERO shuffles, zero python, zero joins;
+    the merge table is a compile-time constant so there is no broadcast
+    side at any scale."""
+    s = bpe_chain_sql("text")
+    toks = _tokens("COALESCE(text, '')")
+    return (_spread(docs)
+            .select("doc_id", F.expr(s).alias("s"),
+                    F.expr(f"CAST(SIZE({toks}) AS BIGINT)")
+                    .alias("n_words"),
+                    F.expr("CAST(LENGTH(replace(COALESCE(text, ''), ' ', "
+                           "'')) AS BIGINT)").alias("nc"))
+            .select("doc_id", "n_words",
+                    F.expr("CAST((LENGTH(s) - LENGTH(replace(s, '|', '')))"
+                           " / 2 AS BIGINT)").alias("n_tokens"),
+                    F.col("nc"), F.col("s"))
+            .select("doc_id", "n_words", "n_tokens",
+                    (F.col("nc") - F.col("n_tokens")).alias("n_merged"),
+                    F.expr("replace(replace(s, '||', '/'), '|', '')")
+                    .alias("tok_text")))

@@ -2983,12 +2983,41 @@ def o_jsonl_roundtrip() -> str:
     return ("SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0")
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE subword tokenization with the FIXED shipped merge table
+    (operators/text.py BPE_MERGES) — exact token counts + tokenized text,
+    one codegen projection, zero shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.bpe_tokenize(docs)
+
+
+def o_bpe_tokenize() -> str:
+    chain = text.bpe_chain_sql("text", "duck")
+    toks = _duck_tokens("COALESCE(text, '')")
+    return f"""
+    WITH s AS (SELECT doc_id,
+                      {chain} AS s,
+                      CAST(len({toks}) AS BIGINT) AS n_words,
+                      CAST(length(replace(COALESCE(text, ''), ' ', ''))
+                        AS BIGINT) AS nc
+               FROM documents),
+    t AS (SELECT doc_id, n_words, nc, s,
+                 CAST((length(s) - length(replace(s, '|', ''))) / 2
+                   AS BIGINT) AS n_tokens
+          FROM s)
+    SELECT doc_id, n_words, n_tokens, nc - n_tokens AS n_merged,
+           replace(replace(s, '||', '/'), '|', '') AS tok_text
+    FROM t
+    """
+
+
 QUERIES.update({
     "mixture_weights": (q_mixture_weights, o_mixture_weights),
     "hash_embed": (q_hash_embed, o_hash_embed),
     "image_phash_dedup": (q_image_phash_dedup, o_image_phash_dedup),
     "jsonl_roundtrip": (q_jsonl_roundtrip, o_jsonl_roundtrip),
     "chunk_windows": (q_chunk_windows, o_chunk_windows),
+    "bpe_tokenize": (q_bpe_tokenize, o_bpe_tokenize),
 })
 
 
@@ -3070,6 +3099,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "hash_embed": [("doc_id", "i"), ("dim_id", "i"), ("val", "i")],
     "chunk_windows": [("doc_id", "i"), ("chunk_no", "i"), ("start_tok", "i"),
                       ("n_tokens", "i"), ("chunk_text", "s")],
+    "bpe_tokenize": [("doc_id", "i"), ("n_words", "i"), ("n_tokens", "i"),
+                     ("n_merged", "i"), ("tok_text", "s")],
     "jsonl_roundtrip": [("doc_id", "i"), ("lang", "s"), ("text", "s")],
     "image_phash_dedup": [("url", "s"), ("phash", "i"), ("n_copies", "i"),
                           ("keep", "b")],
@@ -3164,7 +3195,8 @@ _AUDIT_GROUPS = {
                          "remove_boilerplate", "ngram_counts",
                          "inverted_index", "tfidf_topk", "domain_topk",
                          "lm_fluency", "dsir_weights", "hash_embed",
-                         "chunk_windows", "jsonl_roundtrip"],
+                         "chunk_windows", "jsonl_roundtrip",
+                         "bpe_tokenize"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup", "image_phash_dedup"],
@@ -3234,7 +3266,7 @@ _TAIL = [
     "length_quantiles", "inverted_index", "tfidf_topk", "bloom_dedup",
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
-    "image_phash_dedup", "jsonl_roundtrip", "chunk_windows",
+    "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
