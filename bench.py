@@ -440,6 +440,7 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("chunk_windows", lambda: text.chunk_windows(
         docs, chunk_tokens=32, overlap=8))
     bench("bpe_tokenize", lambda: text.bpe_tokenize(docs))
+    bench("bpe_learn", lambda: text.bpe_learn(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

@@ -788,3 +788,54 @@ def test_bpe_tokenize_corpus_invariants(spark, docs):
                        "'%b/atch%'").count()
     assert whole > 0  # 'batch' survives as ONE subword somewhere
     out.unpersist()
+
+
+def test_bpe_learn_matches_python_twin(spark):
+    """In-plan greedy BPE training must equal the python twin on corpora
+    that exercise the sharp edges: overlapping runs ('aaaa' counts (a,a)
+    three times but merges left-to-right into two 'aa'), ties resolved by
+    the pair key, cascading merges re-counted on the MERGED state, and
+    empty/NULL docs contributing nothing."""
+    rows = [(1, "the cat sat on the mat"), (2, "the hat that ate then"),
+            (3, "aaaa banana"), (4, ""), (5, None), (6, "ererer erer")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.merge_no, r.a, r.b, r.pair_count)
+           for r in text.bpe_learn(d, n_merges=5)
+           .orderBy("merge_no").collect()]
+    exp = text.bpe_learn_py([t for _, t in rows], 5)
+    assert got == exp
+
+
+def test_bpe_learn_corpus_properties(spark, docs):
+    """On the real corpus: exactly BPE_LEARN_MERGES rounds fire, the
+    winning pair frequency is non-increasing (greedy BPE's invariant:
+    merging cannot create a pair more frequent than the one just taken),
+    and every multi-char symbol entering a later merge was PRODUCED by an
+    earlier merge — the learned table is self-consistent, i.e. directly
+    feedable to bpe_chain_sql/bpe_tokenize."""
+    out = text.bpe_learn(docs).orderBy("merge_no").collect()
+    assert len(out) == text.BPE_LEARN_MERGES
+    counts = [r.pair_count for r in out]
+    assert counts == sorted(counts, reverse=True)
+    produced = set()
+    for r in out:
+        for side in (r.a, r.b):
+            assert len(side) == 1 or side in produced, (r.merge_no, side)
+        produced.add(r.a + r.b)
+
+
+def test_bpe_learn_feeds_bpe_apply(spark, docs):
+    """Composition contract: the learned table drives the SAME sentinel
+    REPLACE chain as the shipped one — applying the learned merges via
+    bpe_chain_sql(merges=...) matches the python rank-order apply."""
+    learned = [(r.a, r.b) for r in
+               text.bpe_learn(docs).orderBy("merge_no").collect()]
+    sample = docs.filter("doc_id % 97 = 0 AND text IS NOT NULL").limit(20)
+    chain = text.bpe_chain_sql("text", merges=learned)
+    got = {r.doc_id: r.tok for r in sample.selectExpr(
+        "doc_id", f"replace(replace({chain}, '||', '/'), '|', '') AS tok")
+        .collect()}
+    for r in sample.select("doc_id", "text").collect():
+        exp = " ".join("/".join(text.bpe_apply_py(w, learned))
+                       for w in r.text.split() if w)
+        assert got[r.doc_id] == exp, r.doc_id

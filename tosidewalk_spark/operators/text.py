@@ -975,7 +975,8 @@ def bpe_apply_py(word: str, merges: list[tuple[str, str]] | None = None
     return syms
 
 
-def bpe_chain_sql(col: str, dialect: str = "spark") -> str:
+def bpe_chain_sql(col: str, dialect: str = "spark",
+                  merges: list[tuple[str, str]] | None = None) -> str:
     """The whole BPE apply as ONE nested string expression, identical math
     on both engines (only the regexp replacement token differs).
 
@@ -993,12 +994,20 @@ def bpe_chain_sql(col: str, dialect: str = "spark") -> str:
     Everything is codegen string ops (REPLACE/REGEXP_REPLACE), not
     interpreted HOF lambdas — the cdc_chunks single-core lesson does not
     apply; the scan-parallelism _spread guard still does."""
-    rep = "$1" if dialect == "spark" else r"\1"
-    flag = "" if dialect == "spark" else ", 'g'"
-    s = f"regexp_replace(COALESCE({col}, ''), '([^ ])', '|{rep}|'{flag})"
-    for a, b in BPE_MERGES:
+    s = _sentinel_sql(col, dialect)
+    for a, b in (BPE_MERGES if merges is None else merges):
         s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
     return s
+
+
+def _sentinel_sql(col: str, dialect: str = "spark") -> str:
+    """Sentinel-encode ``col``: every non-space char c becomes '|c|'
+    (see bpe_chain_sql for why this makes REPLACE a correct merge step).
+    Identical output on both engines; only the regex replacement token
+    and the global flag differ."""
+    rep = "$1" if dialect == "spark" else r"\1"
+    flag = "" if dialect == "spark" else ", 'g'"
+    return f"regexp_replace(COALESCE({col}, ''), '([^ ])', '|{rep}|'{flag})"
 
 
 def bpe_tokenize(docs: DataFrame) -> DataFrame:
@@ -1032,3 +1041,129 @@ def bpe_tokenize(docs: DataFrame) -> DataFrame:
                     (F.col("nc") - F.col("n_tokens")).alias("n_merged"),
                     F.expr("replace(replace(s, '||', '/'), '|', '')")
                     .alias("tok_text")))
+
+
+# --- BPE tokenizer TRAINING (greedy pair-frequency merge learning) ----------
+
+BPE_LEARN_MERGES = 6  # fixed training budget for the registry/oracle entry
+
+
+def bpe_learn_py(texts: list[str | None],
+                 n_merges: int = BPE_LEARN_MERGES
+                 ) -> list[tuple[int, str, str, int]]:
+    """Reference python twin of ``bpe_learn`` (unit-test oracle): greedy
+    BPE training — each round counts adjacent symbol POSITIONS over all
+    words (the standard counting grain: 'aaa' contributes (a,a) twice),
+    picks the most frequent pair (ties: smaller 'a\\x02b' key), and merges
+    it everywhere left-to-right.  Returns [(merge_no, a, b, pair_count)].
+    """
+    words = [w for t in texts if t for w in t.split() if w]
+    syms_list = [list(w) for w in words]
+    out: list[tuple[int, str, str, int]] = []
+    for k in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms in syms_list:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0] + "\x02" + kv[0][1]))
+        out.append((k, a, b, cnt))
+        merged = []
+        for syms in syms_list:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            merged.append(ns)
+        syms_list = merged
+    return out
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """(pair, pair_count) over the sentinel-encoded corpus ``state``:
+    pair = 'a\\x02b' for every adjacent symbol position within a word.
+    One explode chain + ONE map-side-combinable hash agg; at 100 TB the
+    only shuffle is the (pair -> partial count) exchange, whose width is
+    the pair vocabulary, not the corpus."""
+    return (state
+            .select(F.explode(
+                F.expr("FILTER(SPLIT(s, ' '), w -> LENGTH(w) > 0)"))
+                .alias("w"))
+            .select(F.expr("SPLIT(SUBSTRING(w, 2, LENGTH(w) - 2), "
+                           "'\\\\|\\\\|')").alias("sy"))
+            .select(F.explode(F.expr(
+                "CASE WHEN SIZE(sy) < 2 THEN CAST(ARRAY() AS ARRAY<STRING>) "
+                "ELSE TRANSFORM(SEQUENCE(1, SIZE(sy) - 1), x -> "
+                "CONCAT(ELEMENT_AT(sy, x), CHR(2), ELEMENT_AT(sy, x + 1))) "
+                "END")).alias("pair"))
+            .groupBy("pair").agg(F.count("*").alias("pair_count")))
+
+
+def bpe_learn(docs: DataFrame,
+              n_merges: int = BPE_LEARN_MERGES) -> DataFrame:
+    """Greedy BPE tokenizer TRAINING on the corpus — the learning
+    complement of ``bpe_tokenize``'s fixed-table apply.  Returns the
+    learned merge table (merge_no, a, b, pair_count), ``pair_count`` the
+    adjacent-position frequency that won round ``merge_no``.
+
+    Entirely in-plan — the argmax never touches the driver: each round is
+      1. pair counts over the current tokenization (_bpe_pair_counts:
+         explode + one map-side-combinable hash agg),
+      2. top-1 via orderBy(count DESC, pair).limit(1) — compiled to
+         TakeOrderedAndProject (per-partition top-1, no global sort),
+      3. state update: LEFT broadcast join of the 1-row winner against
+         the corpus + a single column-arg REPLACE.  COALESCE to a CHR(1)
+         pattern (never present in sentinel strings) makes the empty-
+         winner case (corpus fully merged) a no-op instead of wiping the
+         corpus through an inner cross join.
+    Tokenization state is the sentinel string of bpe_chain_sql — merges
+    stay correct under plain REPLACE for the reasons documented there.
+    Each round's state and winner persist so round k's lineage does not
+    recompute rounds 1..k-1 (the kmeans_assign discipline).
+
+    100 TB: per round = one corpus scan + agg (combiner-backed) and one
+    broadcast join; K rounds = K passes.  Production tokenizer training
+    runs on a sample — compose with deterministic_sample(docs) upstream;
+    the learned table then drives bpe_tokenize over the full corpus.
+    """
+    import weakref
+
+    from .spatial import _safe_unpersist
+
+    state = (_spread(docs)
+             .select("doc_id", F.expr(_sentinel_sql("text")).alias("s"))
+             .persist())
+    pinned = [state]
+    upd = ("REPLACE(s, COALESCE(CONCAT('|', a, '||', b, '|'), CHR(1)), "
+           "COALESCE(CONCAT('|', a, b, '|'), ''))")
+    bests = []
+    for k in range(1, n_merges + 1):
+        best = (_bpe_pair_counts(state)
+                .orderBy(F.desc("pair_count"), "pair").limit(1)
+                .select(F.lit(k).alias("merge_no"),
+                        F.expr("SPLIT_PART(pair, CHR(2), 1)").alias("a"),
+                        F.expr("SPLIT_PART(pair, CHR(2), 2)").alias("b"),
+                        "pair_count")
+                .persist())
+        bests.append(best)
+        pinned.append(best)
+        if k < n_merges:
+            state = (state
+                     .join(F.broadcast(best.select("a", "b")),
+                           F.lit(True), "left")
+                     .select("doc_id", F.expr(upd).alias("s"))
+                     .persist())
+            pinned.append(state)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    for df in pinned:
+        weakref.finalize(out, _safe_unpersist, df)
+    return out

@@ -3011,6 +3011,47 @@ def o_bpe_tokenize() -> str:
     """
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE tokenizer TRAINING over the documents table: learn the
+    top BPE_LEARN_MERGES merges by adjacent-pair frequency, argmax fully
+    in-plan (TakeOrderedAndProject + 1-row broadcast join per round)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.bpe_learn(docs)
+
+
+def o_bpe_learn() -> str:
+    # the same greedy rounds UNROLLED as a CTE chain: per round the pair
+    # counting, the (count DESC, pair) argmax, and the LEFT-JOIN-ON-TRUE
+    # COALESCE(chr(1)) no-op guard are verbatim the Spark plan's math
+    K = text.BPE_LEARN_MERGES
+    ctes = [f"s0 AS (SELECT {text._sentinel_sql('text', 'duck')} AS s "
+            f"FROM documents)"]
+    for k in range(1, K + 1):
+        i = k - 1
+        ctes.append(
+            f"p{k} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count"
+            f" FROM (SELECT unnest(CASE WHEN len(sy) < 2 THEN"
+            f" CAST([] AS VARCHAR[]) ELSE list_transform(range(1, len(sy)),"
+            f" x -> sy[x] || chr(2) || sy[x + 1]) END) AS pair"
+            f" FROM (SELECT string_split(substr(w, 2, length(w) - 2), '||')"
+            f" AS sy FROM (SELECT unnest(list_filter(string_split(s, ' '),"
+            f" w -> len(w) > 0)) AS w FROM s{i}))) GROUP BY 1)")
+        ctes.append(
+            f"m{k} AS (SELECT CAST({k} AS INTEGER) AS merge_no,"
+            f" split_part(pair, chr(2), 1) AS a,"
+            f" split_part(pair, chr(2), 2) AS b, pair_count"
+            f" FROM p{k} ORDER BY pair_count DESC, pair LIMIT 1)")
+        if k < K:
+            ctes.append(
+                f"s{k} AS (SELECT replace(s,"
+                f" COALESCE('|' || a || '||' || b || '|', chr(1)),"
+                f" COALESCE('|' || a || b || '|', '')) AS s"
+                f" FROM s{i} LEFT JOIN m{k} ON TRUE)")
+    union = "\nUNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, K + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 QUERIES.update({
     "mixture_weights": (q_mixture_weights, o_mixture_weights),
     "hash_embed": (q_hash_embed, o_hash_embed),
@@ -3018,6 +3059,7 @@ QUERIES.update({
     "jsonl_roundtrip": (q_jsonl_roundtrip, o_jsonl_roundtrip),
     "chunk_windows": (q_chunk_windows, o_chunk_windows),
     "bpe_tokenize": (q_bpe_tokenize, o_bpe_tokenize),
+    "bpe_learn": (q_bpe_learn, o_bpe_learn),
 })
 
 
@@ -3101,6 +3143,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                       ("n_tokens", "i"), ("chunk_text", "s")],
     "bpe_tokenize": [("doc_id", "i"), ("n_words", "i"), ("n_tokens", "i"),
                      ("n_merged", "i"), ("tok_text", "s")],
+    "bpe_learn": [("merge_no", "i"), ("a", "s"), ("b", "s"),
+                  ("pair_count", "i")],
     "jsonl_roundtrip": [("doc_id", "i"), ("lang", "s"), ("text", "s")],
     "image_phash_dedup": [("url", "s"), ("phash", "i"), ("n_copies", "i"),
                           ("keep", "b")],
@@ -3196,7 +3240,7 @@ _AUDIT_GROUPS = {
                          "inverted_index", "tfidf_topk", "domain_topk",
                          "lm_fluency", "dsir_weights", "hash_embed",
                          "chunk_windows", "jsonl_roundtrip",
-                         "bpe_tokenize"],
+                         "bpe_tokenize", "bpe_learn"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup", "image_phash_dedup"],
@@ -3267,6 +3311,7 @@ _TAIL = [
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
+    "bpe_learn",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
