@@ -3082,9 +3082,21 @@ QUERIES.update({
 # of 19.  Timestamp columns are skipped with a bijection argument: in
 # asof_join/interval_join every compared event id functionally determines its
 # timestamp in the generator, so hashing the ids pins the timestamps.
+#
+# Round-4 second pass: the 15 remaining oracle-backed tail entries (the
+# r1-r3 variants the window reorder demoted — fingerprint, simhash,
+# minhash_signatures, jaccard_pairs, ann/lsh_topk, tpch_q1/q5, ...) join
+# the same groups, so EVERY oracle-backed registry entry now lands a
+# driver-visible row; the only rows-only entry left outside is
+# extract_text_identity, whose oracle-backed sibling extract_text_oracle
+# sits directly in the window.
 
 _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
-    # op -> [(column, kind)]; kind: i=integer, s=string, d=rounded double
+    # op -> [(column, kind)]; kind: i=integer, s=string, d=rounded double,
+    # h=wide integer (62/64-bit hashes: fingerprints, simhashes, cell ids —
+    # folded mod _AUDIT_SQ_MOD before SUM because a raw SUM of 500 62-bit
+    # values overflows int64; Spark and DuckDB agree on % for negatives,
+    # both truncate toward zero)
     "normalize_text": [("doc_id", "i"), ("norm_text", "s"),
                        ("n_norm_chars", "i")],
     "pii_scrub": [("doc_id", "i"), ("text_scrubbed", "s"),
@@ -3148,6 +3160,34 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "jsonl_roundtrip": [("doc_id", "i"), ("lang", "s"), ("text", "s")],
     "image_phash_dedup": [("url", "s"), ("phash", "i"), ("n_copies", "i"),
                           ("keep", "b")],
+    # --- second pass: demoted r1-r3 window entries -------------------------
+    "fingerprint": [("doc_id", "i"), ("fingerprint", "h")],
+    "simhash": [("doc_id", "i"), ("simhash", "h")],
+    "simhash_pairs": [("doc_a", "i"), ("doc_b", "i"), ("simhash", "h")],
+    "minhash_signatures": [("doc_id", "i"), ("sig_csv", "s")],
+    "jaccard_pairs": [("doc_a", "i"), ("doc_b", "i"), ("jaccard", "d")],
+    "incremental_dedup_bucketed": [("doc_id", "i"), ("fp", "h"),
+                                   ("n_batch_dupes", "i")],
+    "ann_topk": [("query_id", "i"), ("corpus_id", "i"), ("label", "i"),
+                 ("cosine", "d"), ("rank", "i")],
+    "lsh_topk": [("query_id", "i"), ("corpus_id", "i"), ("label", "i"),
+                 ("bucket", "h"), ("cosine", "d"), ("rank", "i")],
+    "g4_pip_join_rot": [("url", "s"), ("entity", "s"), ("cell9", "h"),
+                        ("dist_r4", "d"), ("seg_mid_lat", "d"),
+                        ("seg_mid_lng", "d")],
+    "multimodal_features": [("url", "s"), ("media_type", "s"),
+                            ("f0", "d"), ("f1", "d"), ("f2", "d"),
+                            ("f3", "d"), ("f4", "d"), ("f5", "d"),
+                            ("f6", "d"), ("f7", "d")],
+    "deterministic_sample": [("doc_id", "i"), ("text", "s"), ("lang", "s"),
+                             ("source", "s"), ("n_chars", "i")],
+    "token_histogram": [("lang", "s"), ("bucket", "i"), ("n_docs", "i")],
+    "tpch_q1": [("l_returnflag", "s"), ("l_linestatus", "s"),
+                ("sum_qty", "i"), ("sum_base_cents", "i"),
+                ("sum_disc_pct", "i"), ("count_order", "i")],
+    "tpch_q5": [("n_name", "s"), ("revenue_cents", "i")],
+    "broadcast_star_join": [("n_name", "s"), ("n_orders", "i"),
+                            ("total_cents", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -3168,6 +3208,15 @@ def _audit_metrics(spec: list[tuple[str, str]], engine: str) -> list[tuple[str, 
         if kind == "i":
             ms.append((f"sum_{col}",
                        f"CAST(COALESCE(SUM({col}), 0) AS BIGINT)"))
+            ms.append((f"sq_{col}",
+                       f"CAST(COALESCE(SUM(({col} % {m}) * ({col} % {m})), 0)"
+                       f" AS BIGINT)"))
+        elif kind == "h":
+            # wide (62/64-bit) hash columns: raw SUM overflows int64 at a
+            # few hundred rows, so the linear fold is mod-reduced too; both
+            # engines' % truncates toward zero, so negatives agree
+            ms.append((f"sm_{col}",
+                       f"CAST(COALESCE(SUM({col} % {m}), 0) AS BIGINT)"))
             ms.append((f"sq_{col}",
                        f"CAST(COALESCE(SUM(({col} % {m}) * ({col} % {m})), 0)"
                        f" AS BIGINT)"))
@@ -3243,15 +3292,25 @@ _AUDIT_GROUPS = {
                          "bpe_tokenize", "bpe_learn"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
-                          "bloom_dedup", "image_phash_dedup"],
+                          "bloom_dedup", "image_phash_dedup",
+                          # second pass: demoted dedup-family variants
+                          "fingerprint", "simhash", "simhash_pairs",
+                          "minhash_signatures", "jaccard_pairs",
+                          "incremental_dedup_bucketed"],
     "wave2_mixing_audit": ["sequence_packing", "stratified_quota",
                            "global_shuffle", "length_quantiles",
-                           "mixture_weights"],
+                           "mixture_weights",
+                           # second pass: sampling/stats + relational aggs
+                           "deterministic_sample", "token_histogram",
+                           "tpch_q1", "tpch_q5", "broadcast_star_join"],
     # graph rides here: like the ANN ops it is an id-keyed fixed-point op
     "wave2_temporal_ann_audit": ["asof_join", "interval_join",
                                  "quantize_embeddings", "quantized_topk",
                                  "pagerank", "kmeans_assign",
-                                 "semantic_dedup"],
+                                 "semantic_dedup",
+                                 # second pass: ANN/spatial variants
+                                 "ann_topk", "lsh_topk", "g4_pip_join_rot",
+                                 "multimodal_features"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
