@@ -441,6 +441,9 @@ def run_queries(spark, buffers) -> dict[str, float]:
         docs, chunk_tokens=32, overlap=8))
     bench("bpe_tokenize", lambda: text.bpe_tokenize(docs))
     bench("bpe_learn", lambda: text.bpe_learn(docs))
+    from tosidewalk_spark.operators import sketch
+    bench("hll_distinct", lambda: sketch.hll_distinct(docs))
+    bench("cm_topk", lambda: sketch.cm_topk(docs))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import sqlfns
 from ..kernel import geom
-from ..operators import dedup, network as N, sidewalks as SW, spatial as SP, text
+from ..operators import (dedup, network as N, sidewalks as SW, sketch,
+                         spatial as SP, text)
 from ..sources import synth
 
 G = 8  # grid size for oracle-checked geospatial queries
@@ -3052,6 +3053,24 @@ def o_bpe_learn() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.hll_distinct(docs)
+
+
+def o_hll_distinct() -> str:
+    return sketch.hll_distinct_oracle()
+
+
+def q_cm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.cm_topk(docs)
+
+
+def o_cm_topk() -> str:
+    return sketch.cm_topk_oracle()
+
+
 QUERIES.update({
     "mixture_weights": (q_mixture_weights, o_mixture_weights),
     "hash_embed": (q_hash_embed, o_hash_embed),
@@ -3060,6 +3079,8 @@ QUERIES.update({
     "chunk_windows": (q_chunk_windows, o_chunk_windows),
     "bpe_tokenize": (q_bpe_tokenize, o_bpe_tokenize),
     "bpe_learn": (q_bpe_learn, o_bpe_learn),
+    "hll_distinct": (q_hll_distinct, o_hll_distinct),
+    "cm_topk": (q_cm_topk, o_cm_topk),
 })
 
 
@@ -3188,6 +3209,10 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "tpch_q5": [("n_name", "s"), ("revenue_cents", "i")],
     "broadcast_star_join": [("n_name", "s"), ("n_orders", "i"),
                             ("total_cents", "i")],
+    # sketches (round-4 additions, registered past the window)
+    "hll_distinct": [("lang", "s"), ("n_hit", "i"), ("sum_inv", "i"),
+                     ("est_distinct", "i")],
+    "cm_topk": [("token", "s"), ("est_count", "i"), ("rank", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -3302,7 +3327,9 @@ _AUDIT_GROUPS = {
                            "mixture_weights",
                            # second pass: sampling/stats + relational aggs
                            "deterministic_sample", "token_histogram",
-                           "tpch_q1", "tpch_q5", "broadcast_star_join"],
+                           "tpch_q1", "tpch_q5", "broadcast_star_join",
+                           # corpus-stats sketches
+                           "hll_distinct", "cm_topk"],
     # graph rides here: like the ANN ops it is an id-keyed fixed-point op
     "wave2_temporal_ann_audit": ["asof_join", "interval_join",
                                  "quantize_embeddings", "quantized_topk",
@@ -3370,7 +3397,7 @@ _TAIL = [
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
-    "bpe_learn",
+    "bpe_learn", "hll_distinct", "cm_topk",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
