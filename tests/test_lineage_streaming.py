@@ -376,3 +376,98 @@ def test_streaming_decontaminate_matches_batch_complement(spark, tmp_path):
     want = {r.url for r in batch_pages.collect() if r.doc_id not in flagged}
     assert got == want
     assert flagged == {i for i in range(30) if i % 5 == 0}  # non-vacuous
+
+
+def test_streaming_hll_registers_match_batch_and_resume(spark, tmp_path):
+    """Streaming HLL: (1) the drained complete-mode register table equals
+    the batch hll_distinct registers bit-for-bit (shared hll_rho stage),
+    so the read-side estimate is identical; (2) a SECOND availableNow run
+    over the same checkpoint after new files arrive processes only the new
+    data yet converges to the registers of the full union — MAX-merge is
+    monotone, the restart/replay contract the docstring claims."""
+    from tosidewalk_spark.operators import sketch
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang",
+            "CONCAT('tok', CAST(id % 140 AS STRING), ' w', "
+            "CAST((id * 13) % 90 AS STRING)) AS text")
+
+    src = str(tmp_path / "hll_src")
+    ckpt = str(tmp_path / "ckpt_hll")
+    docs(0, 400).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = "doc_id bigint, lang string, text string"
+
+    def drain(name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        regs = jobs.streaming_hll_registers(stream, "lang")
+        jobs.run_available_now(regs, name, ckpt, output_mode="complete")
+        return spark.table(name)
+
+    got1 = sketch.hll_estimate(drain("hll_regs_1"), "lang")
+    want1 = sketch.hll_distinct(docs(0, 400), "lang")
+    as_map = lambda df: {r.lang: (r.n_hit, r.sum_inv, r.est_distinct)
+                         for r in df.collect()}
+    assert as_map(got1) == as_map(want1)
+    assert len(as_map(got1)) == 2  # non-vacuous: both lang groups present
+
+    # new files land; same checkpoint => only the delta is read, but the
+    # complete-mode register table must equal the full-union batch sketch
+    docs(400, 700).coalesce(1).write.mode("append").parquet(src)
+    got2 = sketch.hll_estimate(drain("hll_regs_2"), "lang")
+    want2 = sketch.hll_distinct(docs(0, 700), "lang")
+    assert as_map(got2) == as_map(want2)
+    # and the union genuinely moved the sketch (estimates grew)
+    g1, g2 = as_map(got1), as_map(got2)
+    assert any(g2[k][2] > g1[k][2] for k in g2)
+
+
+def test_streaming_cm_counters_match_batch_and_resume(spark, tmp_path):
+    """Streaming count-min: drained complete-mode counters equal the batch
+    cm_cells fold bit-for-bit (shared stage), the read-side cm_estimate
+    over them reproduces batch cm_topk exactly, and a second availableNow
+    drain after new files converges to the full-union counters (COUNT is
+    additive, the restart contract)."""
+    from pyspark.sql import functions as F
+    from tosidewalk_spark.operators import sketch
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "'en' AS lang",
+            # heavy hitter 'hh' in every doc; a long zipf-ish tail
+            "CONCAT('hh w', CAST(id % 80 AS STRING), ' v', "
+            "CAST((id * 17) % 200 AS STRING)) AS text")
+
+    src = str(tmp_path / "cm_src")
+    ckpt = str(tmp_path / "ckpt_cm")
+    docs(0, 300).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = "doc_id bigint, lang string, text string"
+    W = 64  # small width so cells genuinely collide
+
+    def drain(name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        counters = jobs.streaming_cm_counters(stream, width=W)
+        jobs.run_available_now(counters, name, ckpt, output_mode="complete")
+        return spark.table(name)
+
+    as_map = lambda df: {(r.row_base, r.cell): r.n for r in df.collect()}
+    got1 = drain("cm_counters_1")
+    want1 = (sketch.cm_cells(docs(0, 300), W)
+             .groupBy("row_base", "cell").agg(F.count("*").alias("n")))
+    assert as_map(got1) == as_map(want1)
+    assert {rb for rb, _ in as_map(got1)} == {31, 37}  # both rows present
+
+    # read side: estimate over the DRAINED counters == batch cm_topk
+    topk = lambda df: [(r.token, r.est_count, r.rank) for r in df.collect()]
+    got_topk = sketch.cm_estimate(got1, docs(0, 300), W, k=10)
+    want_topk = sketch.cm_topk(docs(0, 300), W, k=10)
+    assert topk(got_topk) == topk(want_topk)
+    assert topk(got_topk)[0][0] == "hh"  # the planted heavy hitter ranks 1
+
+    docs(300, 500).coalesce(1).write.mode("append").parquet(src)
+    got2 = drain("cm_counters_2")
+    want2 = (sketch.cm_cells(docs(0, 500), W)
+             .groupBy("row_base", "cell").agg(F.count("*").alias("n")))
+    assert as_map(got2) == as_map(want2)
+    assert sum(as_map(got2).values()) > sum(as_map(got1).values())

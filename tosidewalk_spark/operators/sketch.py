@@ -97,6 +97,46 @@ def _hll_final_sql(n_hit: str, sum_inv: str) -> str:
             f"ELSE {raw} END)")
 
 
+def hll_rho(docs: DataFrame, group_col: str = "lang",
+            spread: bool = True) -> DataFrame:
+    """The pre-aggregation HLL observable stream: one (grp, bucket, rho)
+    row per token occurrence.  Shared by the batch estimator
+    (hll_distinct) and the streaming register job
+    (streaming/jobs.py streaming_hll_registers) so both fold the
+    IDENTICAL hash/scramble/rho pipeline.  ``spread=False`` skips the
+    _spread inputFiles() probe, which a streaming DataFrame cannot
+    answer (the stream's own micro-batch planning sets parallelism)."""
+    h = sqlfns.polyhash_spark("tok")
+    src = _spread(docs) if spread else docs
+    ex = (src
+          .select(F.col(group_col).alias("grp"),
+                  F.explode(F.expr("FILTER(SPLIT(text, ' '), "
+                                   "t -> LENGTH(t) > 0)")).alias("tok"))
+          .select("grp", F.expr(_scramble_sql(h)).alias("h"))
+          .select("grp",
+                  F.expr(f"h % {HLL_M}").alias("bucket"),
+                  F.expr(f"CAST(FLOOR(h / {HLL_M}) AS BIGINT)").alias("w")))
+    return ex.select("grp", "bucket", F.expr(_rho_sql("w")).alias("rho"))
+
+
+def hll_estimate(regs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Fold a (grp, bucket, r) register table into the final estimate row
+    per group — the read side of the sketch.  Registers are tiny
+    (|groups| x 64 rows) whether they came from the batch MAX-agg or a
+    drained streaming register table; the estimator is the same
+    fixed-point integer arithmetic either way."""
+    per = (regs.groupBy("grp")
+           .agg(F.count("*").alias("n_hit"),
+                F.sum(F.expr(_inv_pow2_sql("r"))).alias("inv_hit")))
+    return (per.select(
+        F.col("grp").alias(group_col),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.expr(f"CAST(inv_hit + ({HLL_M} - n_hit) * {1 << _HLL_SCALE} "
+               f"AS BIGINT)").alias("sum_inv"))
+        .withColumn("est_distinct",
+                    F.expr(_hll_final_sql("n_hit", "sum_inv"))))
+
+
 def hll_distinct(docs: DataFrame, group_col: str = "lang") -> DataFrame:
     """Per-``group_col`` HyperLogLog estimate of the DISTINCT whitespace
     token count — the sketch behind vocabulary-size tracking, per-language
@@ -116,27 +156,9 @@ def hll_distinct(docs: DataFrame, group_col: str = "lang") -> DataFrame:
 
     Output: (group, n_hit, sum_inv, est_distinct), all integers.
     """
-    h = sqlfns.polyhash_spark("tok")
-    ex = (_spread(docs)
-          .select(F.col(group_col).alias("grp"),
-                  F.explode(F.expr("FILTER(SPLIT(text, ' '), "
-                                   "t -> LENGTH(t) > 0)")).alias("tok"))
-          .select("grp", F.expr(_scramble_sql(h)).alias("h"))
-          .select("grp",
-                  F.expr(f"h % {HLL_M}").alias("bucket"),
-                  F.expr(f"CAST(FLOOR(h / {HLL_M}) AS BIGINT)").alias("w")))
-    regs = (ex.select("grp", "bucket", F.expr(_rho_sql("w")).alias("rho"))
+    regs = (hll_rho(docs, group_col)
             .groupBy("grp", "bucket").agg(F.max("rho").alias("r")))
-    per = (regs.groupBy("grp")
-           .agg(F.count("*").alias("n_hit"),
-                F.sum(F.expr(_inv_pow2_sql("r"))).alias("inv_hit")))
-    return (per.select(
-        F.col("grp").alias(group_col),
-        F.col("n_hit").cast("long").alias("n_hit"),
-        F.expr(f"CAST(inv_hit + ({HLL_M} - n_hit) * {1 << _HLL_SCALE} "
-               f"AS BIGINT)").alias("sum_inv"))
-        .withColumn("est_distinct",
-                    F.expr(_hll_final_sql("n_hit", "sum_inv"))))
+    return hll_estimate(regs, group_col)
 
 
 def hll_distinct_oracle(group_col: str = "lang",
@@ -176,6 +198,60 @@ def hll_distinct_oracle(group_col: str = "lang",
 CM_WIDTH = 1024
 
 
+def cm_cells(docs: DataFrame, width: int = CM_WIDTH,
+             spread: bool = True) -> DataFrame:
+    """The pre-aggregation count-min observable stream: one (row_base,
+    cell) row per token occurrence per hash row — both rows tagged by
+    their hash base (31/37) so ONE groupBy covers the whole sketch.
+    Shared by the batch cm_topk fold and the streaming counter job
+    (streaming/jobs.py streaming_cm_counters); a single grouped COUNT is
+    the shape Structured Streaming can run (two independent aggs would be
+    two stateful operators).  Cost note: the tagged union scans the input
+    once per hash row, exactly what the previous two-independent-aggs
+    plan did — the exchange still carries <= 2 x width combined rows per
+    task either way."""
+    h31 = sqlfns.polyhash_spark("tok", 31)
+    h37 = sqlfns.polyhash_spark("tok", 37)
+    src = _spread(docs) if spread else docs
+    ex = src.select(F.explode(F.expr("FILTER(SPLIT(text, ' '), "
+                                     "t -> LENGTH(t) > 0)")).alias("tok"))
+    return (ex.select(F.lit(31).alias("row_base"),
+                      F.expr(f"({h31}) % {width}").alias("cell"))
+            .unionAll(ex.select(F.lit(37).alias("row_base"),
+                                F.expr(f"({h37}) % {width}").alias("cell"))))
+
+
+def cm_estimate(counters: DataFrame, docs: DataFrame,
+                width: int = CM_WIDTH, k: int = 50,
+                sample_mod: int = 20) -> DataFrame:
+    """Read-side top-k fold over a (row_base, cell, n) counter table —
+    whether it came from the batch cm_cells COUNT or a drained streaming
+    counter sink, the candidate/estimate/top-k arithmetic is identical.
+    ``docs`` supplies the candidate sample (a sketch alone cannot be
+    enumerated; candidates come from data)."""
+    h31 = sqlfns.polyhash_spark("tok", 31)
+    h37 = sqlfns.polyhash_spark("tok", 37)
+    row31 = (counters.filter("row_base = 31")
+             .select(F.col("cell").alias("c31"), F.col("n").alias("n31")))
+    row37 = (counters.filter("row_base = 37")
+             .select(F.col("cell").alias("c37"), F.col("n").alias("n37")))
+    cand = (_spread(docs).filter(f"doc_id % {int(sample_mod)} = 0")
+            .select(F.explode(F.expr("FILTER(SPLIT(text, ' '), "
+                                     "t -> LENGTH(t) > 0)")).alias("tok"))
+            .distinct()
+            .select("tok",
+                    F.expr(f"({h31}) % {width}").alias("c31"),
+                    F.expr(f"({h37}) % {width}").alias("c37")))
+    est = (cand.join(F.broadcast(row31), "c31")
+           .join(F.broadcast(row37), "c37")
+           .select(F.col("tok").alias("token"),
+                   F.least("n31", "n37").alias("est_count")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
+    return (est.orderBy(F.desc("est_count"), "token").limit(k)
+            .withColumn("rank", F.row_number().over(w)))
+
+
 def cm_topk(docs: DataFrame, width: int = CM_WIDTH, k: int = 50,
             sample_mod: int = 20) -> DataFrame:
     """Heavy-hitter tokens via a count-min sketch: two independent-base
@@ -194,30 +270,9 @@ def cm_topk(docs: DataFrame, width: int = CM_WIDTH, k: int = 50,
 
     Output: (token, est_count, rank).
     """
-    h31 = sqlfns.polyhash_spark("tok", 31)
-    h37 = sqlfns.polyhash_spark("tok", 37)
-    ex = (_spread(docs)
-          .select(F.explode(F.expr("FILTER(SPLIT(text, ' '), "
-                                   "t -> LENGTH(t) > 0)")).alias("tok")))
-    row31 = (ex.select(F.expr(f"({h31}) % {width}").alias("c31"))
-             .groupBy("c31").agg(F.count("*").alias("n31")))
-    row37 = (ex.select(F.expr(f"({h37}) % {width}").alias("c37"))
-             .groupBy("c37").agg(F.count("*").alias("n37")))
-    cand = (_spread(docs).filter(f"doc_id % {int(sample_mod)} = 0")
-            .select(F.explode(F.expr("FILTER(SPLIT(text, ' '), "
-                                     "t -> LENGTH(t) > 0)")).alias("tok"))
-            .distinct()
-            .select("tok",
-                    F.expr(f"({h31}) % {width}").alias("c31"),
-                    F.expr(f"({h37}) % {width}").alias("c37")))
-    est = (cand.join(F.broadcast(row31), "c31")
-           .join(F.broadcast(row37), "c37")
-           .select(F.col("tok").alias("token"),
-                   F.least("n31", "n37").alias("est_count")))
-    from pyspark.sql import Window
-    w = Window.orderBy(F.desc("est_count"), F.asc("token"))
-    return (est.orderBy(F.desc("est_count"), "token").limit(k)
-            .withColumn("rank", F.row_number().over(w)))
+    counters = (cm_cells(docs, width)
+                .groupBy("row_base", "cell").agg(F.count("*").alias("n")))
+    return cm_estimate(counters, docs, width, k, sample_mod)
 
 
 def cm_topk_oracle(width: int = CM_WIDTH, k: int = 50,

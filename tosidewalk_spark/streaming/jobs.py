@@ -122,18 +122,64 @@ def streaming_exact_dedup(pages: DataFrame, key: str = "text",
             .dropDuplicatesWithinWatermark([key]))
 
 
-def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str,
+                      output_mode: str = "append"):
     """Drain everything currently available and stop — the deterministic
-    test/batch-replay mode; production runs the same query continuously."""
+    test/batch-replay mode; production runs the same query continuously.
+    ``output_mode='complete'`` is for the small-bounded-state sketch jobs
+    whose whole output table is the state (e.g. HLL registers)."""
     q = (stream_df.writeStream
          .format("memory")
          .queryName(query_name)
-         .outputMode("append")
+         .outputMode(output_mode)
          .option("checkpointLocation", checkpoint)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
     return q
+
+
+def streaming_hll_registers(pages: DataFrame,
+                            group_col: str = "lang") -> DataFrame:
+    """Streaming HyperLogLog register table: per-(group, bucket) MAX(rho)
+    over the token stream — the streaming twin of the batch
+    operators/sketch.py hll_distinct register fold (hll_rho is shared, so
+    the hash/scramble/rho arithmetic is IDENTICAL and the drained register
+    table equals the batch one bit-for-bit; pytest pins this).
+
+    Why this is the one distinct-count that works on an UNBOUNDED stream:
+    every other distinct/dedup shape needs a watermark to bound its state
+    (dropDuplicatesWithinWatermark forgets keys older than the horizon, so
+    its 'distinct count' drifts once duplicates span it).  The HLL register
+    state is |groups| x 64 rows FOREVER — bounded by the key space, not by
+    time — and MAX-merge is monotone/idempotent, so replays and
+    availableNow restarts converge to the same registers.  Complete output
+    mode emits the whole (tiny) register table per trigger; the estimate is
+    a read-side fold (sketch.hll_estimate) over the sink table, kept out of
+    the streaming query because chained streaming aggregations would need a
+    second stateful operator for zero benefit at 64 rows/group."""
+    from ..operators.sketch import hll_rho
+    return (hll_rho(pages, group_col, spread=False)
+            .groupBy("grp", "bucket").agg(F.max("rho").alias("r")))
+
+
+def streaming_cm_counters(pages: DataFrame, width: int = 1024) -> DataFrame:
+    """Streaming count-min counter table: per-(row_base, cell) COUNT over
+    the token stream — the streaming twin of the batch cm_topk counter
+    fold (operators/sketch.py cm_cells is shared, so the hashes and cell
+    assignment are IDENTICAL and the drained counters equal the batch
+    ones bit-for-bit; pytest pins this).  Same unbounded-stream story as
+    streaming_hll_registers: state is <= 2 x width rows FOREVER with no
+    watermark (bounded by the cell space, not by time), and COUNT-merge
+    is additive so availableNow restarts over the same checkpoint
+    converge to the counters of the full union.  The tagged-union single
+    groupBy exists precisely for this job — two independent aggs (the
+    naive batch shape) would be two stateful streaming operators.
+    Heavy-hitter read side: sketch.cm_estimate over the sink table plus a
+    candidate sample."""
+    from ..operators.sketch import cm_cells
+    return (cm_cells(pages, width, spread=False)
+            .groupBy("row_base", "cell").agg(F.count("*").alias("n")))
 
 
 def streaming_pip_tiles(points: DataFrame, buffers: DataFrame,
