@@ -467,6 +467,33 @@ def run_queries(spark, buffers) -> dict[str, float]:
         bench("jsonl_scan", lambda: jsonl.scan_jsonl(spark, jdir))
     finally:
         shutil.rmtree(jdir, ignore_errors=True)
+    # r4 fifth wave: catalog metadata ops.  Setup (untimed) writes a
+    # Z-ordered points table; catalog_skip_scan times the stats-pruned
+    # rectangle read (manifest planning + the few surviving files),
+    # catalog_cow_merge times a copy-on-write upsert end-to-end (candidate
+    # selection from key stats + rewrite + snapshot publish — an ACTION,
+    # timed directly, each round appending one more snapshot).
+    from tosidewalk_spark.plans import registry as REG
+    from tosidewalk_spark.sources.catalog import Catalog
+    cdir = tempfile.mkdtemp(prefix="bench_catalog_")
+    try:
+        cat_ = Catalog(spark, cdir)
+        zpts = pts.selectExpr(
+            "url", "entity", "cell9",
+            f"{REG._FS_CI} AS ci", f"{REG._FS_CJ} AS cj")
+        cat_.write("points", zpts, zorder_by=("ci", "cj"), target_files=32)
+        bench("catalog_skip_scan", lambda: cat_.scan("points", REG._FS_RANGES))
+        docs3 = docs.select("doc_id", "lang", "n_chars")
+        cat_.write("docs", docs3.repartitionByRange(16, "doc_id")
+                   .sortWithinPartitions("doc_id"))
+        ups_ = docs3.filter("doc_id % 10 = 7").selectExpr(
+            "doc_id", "lang", "n_chars + 1 AS n_chars")
+        cat_.merge("docs", ups_, "doc_id")  # warmup
+        timings["catalog_cow_merge"] = min(
+            _timed(lambda: cat_.merge("docs", ups_, "doc_id"))[1]
+            for _ in range(2))
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
     pts.unpersist()
     seg_cells.unpersist()
     return timings

@@ -471,3 +471,152 @@ def test_streaming_cm_counters_match_batch_and_resume(spark, tmp_path):
              .groupBy("row_base", "cell").agg(F.count("*").alias("n")))
     assert as_map(got2) == as_map(want2)
     assert sum(as_map(got2).values()) > sum(as_map(got1).values())
+
+
+# --- catalog metadata scan planning + copy-on-write (round-4 wave) -----------
+
+def _grid_df(spark, n=10000):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 100).alias("ci"),
+        (F.col("id") / 100).cast("long").alias("cj"),
+        (F.col("id") % 7).alias("v"))
+
+
+def test_catalog_file_stats_and_scan_pruning(spark, tmp_path):
+    """Per-file min/max stats + Z-order layout: a rectangle scan must (a)
+    return exactly the rows of the equivalent plain filter and (b) plan
+    strictly fewer files than the table holds — metadata-only pruning."""
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    df = _grid_df(spark)
+    man = c.write("t", df, zorder_by=("ci", "cj"), target_files=16)
+    assert len(man["files"]) == 16
+    # every file carries stats for every column (no NULLs in this data)
+    for f, fs in man["file_stats"].items():
+        assert set(fs["min"]) == {"k", "ci", "cj", "v"}
+        assert fs["rows"] > 0 and fs["nulls"]["ci"] == 0
+    ranges = {"ci": (10, 20), "cj": (10, 20)}
+    plan = c.plan_scan("t", ranges)
+    assert plan["files_total"] == 16
+    assert plan["files_pruned"] >= 8, plan  # compact z-blocks => most skipped
+    got = c.scan("t", ranges)
+    assert len(got.inputFiles()) == len(plan["files_kept"])
+    want = sorted(r.k for r in
+                  df.filter("ci BETWEEN 10 AND 20 AND cj BETWEEN 10 AND 20")
+                  .collect())
+    assert sorted(r.k for r in got.collect()) == want
+
+
+def test_catalog_zorder_layout_beats_linear_sort(spark, tmp_path):
+    """The point of Z-ordering: files sorted by k alone span the full ci
+    range each (rectangle scans prune nothing), while Morton-ordered files
+    cover compact 2-D blocks (most files prune).  This is the layout test
+    that makes stats pruning a 100 TB feature rather than a no-op."""
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    df = _grid_df(spark)
+    c.write("linear", df.repartitionByRange(16, "k").sortWithinPartitions("k"))
+    c.write("zorder", df, zorder_by=("ci", "cj"), target_files=16)
+    # bound ONLY ci: ci = k % 100 spans 0..99 inside every k-sorted file,
+    # so the linear layout cannot prune a single file on it
+    ranges = {"ci": (10, 20)}
+    lin = c.plan_scan("linear", ranges)
+    zo = c.plan_scan("zorder", ranges)
+    assert lin["files_pruned"] == 0
+    assert zo["files_pruned"] > lin["files_pruned"]
+    # same rows either way
+    a = sorted(r.k for r in c.scan("linear", ranges).collect())
+    b = sorted(r.k for r in c.scan("zorder", ranges).collect())
+    assert a == b and len(a) > 0
+
+
+def test_catalog_merge_cow_reuses_disjoint_files(spark, tmp_path):
+    """COW merge must rewrite ONLY files whose key stats overlap the update
+    key range; files outside ride into the new snapshot by reference, and
+    the parent snapshot stays time-travelable with the pre-merge rows."""
+    import os
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    df = _grid_df(spark)  # k = 0..9999
+    c.write("t", df.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    man0 = c.manifest("t")
+    # updates touch only the top of the key space + brand-new keys
+    ups = (df.filter("k >= 9000")
+           .select("k", "ci", "cj", (F.col("v") * 0 - 1).alias("v"))
+           .unionByName(spark.range(20000, 20005).select(
+               F.col("id").alias("k"), F.lit(0).alias("ci"),
+               F.lit(0).alias("cj"), F.lit(-2).alias("v"))))
+    man1 = c.merge("t", ups, "k")
+    assert man1["merged_keys"] == 1005
+    assert man1["carried_files"] >= 5, man1   # low-k files reused by ref
+    assert man1["rewritten_files"] <= 3, man1
+    carried = set(man0["files"]) & set(man1["files"])
+    assert len(carried) == man1["carried_files"]
+    t = c.load("t")
+    assert t.count() == 10005
+    assert t.filter("v = -1").count() == 1000
+    assert t.filter("v = -2").count() == 5
+    assert t.filter("k < 9000 AND v < 0").count() == 0
+    # parent snapshot: pre-merge rows intact (immutable files)
+    t0 = c.load("t", snapshot_id=man0["snapshot_id"])
+    assert t0.count() == 10000 and t0.filter("v < 0").count() == 0
+    # carried file stats rode along without re-reading footers
+    assert all(f in man1["file_stats"] for f in man1["files"])
+
+
+def test_catalog_merge_rejects_ambiguous_updates(spark):
+    import tempfile
+    c = cat.Catalog(spark, tempfile.mkdtemp(prefix="wh_guard_"))
+    c.write("t", _grid_df(spark, 100))
+    dup = spark.range(2).select(F.lit(5).alias("k"), F.lit(0).alias("ci"),
+                                F.lit(0).alias("cj"), F.col("id").alias("v"))
+    try:
+        c.merge("t", dup, "k")
+        assert False, "duplicate update keys must raise"
+    except ValueError as e:
+        assert "duplicate" in str(e)
+    withnull = spark.sql("SELECT CAST(NULL AS BIGINT) k, 0 ci, 0 cj, 0 v")
+    try:
+        c.merge("t", withnull, "k")
+        assert False, "NULL update keys must raise"
+    except ValueError as e:
+        assert "NULL" in str(e)
+
+
+def test_catalog_delete_where_drops_whole_files_and_keeps_nulls(spark, tmp_path):
+    """Range DELETE: fully-covered files drop from the manifest without
+    being read, disjoint files carry by reference, and rows with NULL in
+    the predicate column are never deleted (NULL comparison != match)."""
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    # NULLs only in the k >= 600 region: low-k files are NULL-free (and so
+    # eligible for metadata-only drops); the file straddling the delete
+    # boundary holds NULLs and must keep them through its rewrite
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when((F.col("id") % 97 == 0) & (F.col("id") >= 600), None)
+        .otherwise(F.col("id")).alias("s"))
+    n_null = df.filter("s IS NULL").count()
+    assert n_null == 4  # 679, 776, 873, 970
+    c.write("t", df.repartitionByRange(10, "k").sortWithinPartitions("k"))
+    man = c.delete_where("t", {"s": (0, 649)})
+    # the fully-inside NULL-free low-k files drop without being read
+    assert man["dropped_files"] >= 4, man
+    assert man["carried_files"] >= 2, man  # high-k files disjoint from range
+    t = c.load("t")
+    assert t.filter("s IS NULL").count() == n_null  # every NULL row survives
+    assert t.filter("s >= 0 AND s <= 649").count() == 0
+    assert t.count() == df.filter("s > 649 OR s IS NULL").count()
+
+
+def test_catalog_append_after_merge_does_not_resurrect_rows(spark, tmp_path):
+    """Append carries the parent's FILE LIST, not its dirs: after a COW
+    delete the old dirs still hold the rewritten files on disk, and a
+    dir-walking append would silently bring the deleted rows back."""
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    c.write("t", _grid_df(spark, 1000).repartitionByRange(
+        4, "k").sortWithinPartitions("k"))
+    c.delete_where("t", {"k": (0, 499)})
+    assert c.load("t").count() == 500
+    c.write("t", _grid_df(spark, 100).select(
+        (F.col("k") + 50000).alias("k"), "ci", "cj", "v"), mode="append")
+    t = c.load("t")
+    assert t.count() == 600
+    assert t.filter("k < 500").count() == 0  # deleted rows stay deleted

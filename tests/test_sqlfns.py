@@ -81,3 +81,26 @@ def test_coslat_and_equirect_bit_identical(spark):
     dexpr = sqlfns.equirect_dist_sql("lat", "lng", "lat2", "lng2")
     assert np.array_equal(want_d, _spark_eval(spark, dexpr, np.float64))
     assert np.array_equal(want_d, _duck_eval(dexpr, np.float64))
+
+
+def test_zorder_three_way(spark):
+    """Morton key: numpy kernel == Spark SQL == DuckDB SQL, including the
+    interleave property (z of (i,0) uses only even bit positions, (0,j)
+    only odd ones) and 16-bit boundary values."""
+    i = np.concatenate([RNG.integers(0, 1 << 16, 100),
+                        np.array([0, 1, 65535, 32768])]).astype(np.int64)
+    j = np.concatenate([RNG.integers(0, 1 << 16, 100),
+                        np.array([0, 65535, 1, 32768])]).astype(np.int64)
+    want = cells.zorder(i, j)
+    pdf = pd.DataFrame({"i": i, "j": j})
+    expr = sqlfns.zorder_sql("i", "j")
+    got_s = np.array(spark.createDataFrame(pdf).selectExpr(f"{expr} AS v")
+                     .toPandas()["v"], dtype=np.int64)
+    got_d = np.array(duckdb.sql(f"SELECT {expr} AS v FROM pdf").df()["v"],
+                     dtype=np.int64)
+    assert np.array_equal(want, got_s)
+    assert np.array_equal(want, got_d)
+    # bit-interleave identities
+    assert cells.zorder(0b101, 0) == 0b010001
+    assert cells.zorder(0, 0b101) == 0b100010
+    assert cells.zorder(65535, 65535) == (1 << 32) - 1

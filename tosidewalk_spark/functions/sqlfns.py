@@ -59,6 +59,19 @@ def parent_sql(cell: str, res: int, parent_res: int) -> str:
     )
 
 
+def zorder_sql(i: str, j: str, bits: int = 16) -> str:
+    """Z-order (Morton) key of two NON-NEGATIVE integer lattice columns —
+    mirror of kernel.cells.zorder.  Spelled as FLOOR-division + modulo
+    arithmetic (no engine-specific bit operators) so the identical string
+    runs in Spark and DuckDB; every intermediate < 2**(2*bits) <= 2**52,
+    exact in BIGINT and in the doubles FLOOR sees."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(CAST(FLOOR(({i}) / {2 ** b}) AS BIGINT) % 2) * {2 ** (2 * b)}")
+        terms.append(f"(CAST(FLOOR(({j}) / {2 ** b}) AS BIGINT) % 2) * {2 ** (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
     """Great-circle meters — mirror of kernel.geom.haversine_m."""
     return (

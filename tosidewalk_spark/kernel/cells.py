@@ -127,6 +127,22 @@ def polyfill(poly_lats, poly_lngs, res: int = DEFAULT_RES) -> np.ndarray:
     return polyfill_bbox(lats.min(), lats.max(), lngs.min(), lngs.max(), res)
 
 
+def zorder(i, j, bits: int = 16):
+    """Bit-interleave two non-negative lattice coordinates into a Z-order
+    (Morton) key: bit b of ``i`` lands at position 2b, bit b of ``j`` at
+    2b+1.  Rows sorted by this key are laid out along a space-filling
+    curve, so a file holding a contiguous z-range covers a compact 2-D
+    block — which is what makes per-file (i, j) min/max stats selective
+    for rectangle queries (Catalog.write(zorder_by=...) + Catalog.scan).
+    Mirror of functions.sqlfns.zorder_sql."""
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    out = np.zeros_like(i + j)
+    for b in range(bits):
+        out = out | (((i >> b) & 1) << (2 * b)) | (((j >> b) & 1) << (2 * b + 1))
+    return out if out.ndim else int(out)
+
+
 # --- deterministic string hash (shared with the SQL twins) ---------------
 # NOTE: the value space is 31-bit (mod 2^31-1) even though it is carried in
 # an int64 — "hash63" names the carrier width, not the entropy.  Collision-

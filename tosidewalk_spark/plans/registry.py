@@ -1861,6 +1861,110 @@ QUERIES.update({
 })
 
 
+# --- G1d/G1e: metadata file-skipping + copy-on-write merge/delete -------------
+# Z-ordered layout + per-file min/max stats (sources/catalog.py) are the
+# Iceberg-metadata half of the 100 TB scan story: a rectangle query plans
+# against the manifest JSON and reads a handful of files.  The ORACLE proves
+# the correctness boundary (pruned scan + residual filter == plain SQL
+# filter); the prune-actually-happens claim is pinned by tests/test_catalog
+# (layout-dependent file counts are not oracle material — repartitionByRange
+# samples its boundaries).
+
+_FS_RES = 9
+_FS_S = 360.0 / 2 ** (_FS_RES + 9)
+_FS_CI_BASE = math.floor((-122.33 + 180.0) / _FS_S) - 32
+_FS_CJ_BASE = math.floor((47.60 + 90.0) / _FS_S) - 32
+# local coords land in [32-8, 32+8]; (0..32, 0..32) = south-west quadrant
+_FS_RANGES = {"ci": (0, 32), "cj": (0, 32)}
+_FS_CI = f"((cell9 % {sqlfns.POW2_28}) - {_FS_CI_BASE})"
+_FS_CJ = (f"(CAST(FLOOR((cell9 % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) "
+          f"AS BIGINT) - {_FS_CJ_BASE})")
+
+
+def q_g1_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.catalog import Catalog
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = synth.geo_entities_from_documents(docs).selectExpr(
+        "url", "entity", "cell9",
+        f"{_FS_CI} AS ci", f"{_FS_CJ} AS cj")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_fskip_"))
+    cat.write("points", pts, zorder_by=("ci", "cj"), target_files=8)
+    return cat.scan("points", _FS_RANGES).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("entity").alias("n_entities"),
+        F.expr(f"CAST(SUM(cell9 % {_AUDIT_SQ_MOD}) AS BIGINT)").alias("sm_cell"))
+
+
+def o_g1_file_skip() -> str:
+    (ci_lo, ci_hi), (cj_lo, cj_hi) = _FS_RANGES["ci"], _FS_RANGES["cj"]
+    return f"""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT entity) AS n_entities,
+           CAST(SUM(cell9 % {_AUDIT_SQ_MOD}) AS BIGINT) AS sm_cell
+    FROM (SELECT *, {_FS_CI} AS ci, {_FS_CJ} AS cj
+          FROM ({synth.geo_entities_duckdb_sql()}))
+    WHERE ci >= {ci_lo} AND ci <= {ci_hi} AND cj >= {cj_lo} AND cj <= {cj_hi}
+    """
+
+
+_MD_DEL_LO, _MD_DEL_HI = 0, 199
+
+
+def q_g1_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1e: COW upsert (modify every doc_id%13==5, insert shifted new ids)
+    then COW range-delete — final state read back through the file-ref
+    manifest and aggregated per lang.  Base files are doc_id-ranged so the
+    key stats are selective (the file-reuse counters are pinned in pytest,
+    not here: file counts depend on sampled range boundaries)."""
+    import tempfile
+
+    from ..sources.catalog import Catalog
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "n_chars"))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_md_"))
+    cat.write("docs", docs.repartitionByRange(4, "doc_id")
+              .sortWithinPartitions("doc_id"))
+    ups = (docs.filter("doc_id % 13 = 5")
+           .selectExpr("doc_id", "lang", "n_chars + 1000000 AS n_chars")
+           .unionByName(docs.filter("doc_id % 50 = 0").selectExpr(
+               "doc_id + 10000000 AS doc_id", "'xx' AS lang",
+               "doc_id % 100 AS n_chars")))
+    cat.merge("docs", ups, "doc_id")
+    cat.delete_where("docs", {"doc_id": (_MD_DEL_LO, _MD_DEL_HI)})
+    return (cat.load("docs").groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+        F.expr("CAST(SUM(doc_id) AS BIGINT)").alias("sum_id")))
+
+
+def o_g1_merge_delete() -> str:
+    return f"""
+    WITH ups AS (
+      SELECT doc_id, lang, n_chars + 1000000 AS n_chars
+      FROM documents WHERE doc_id % 13 = 5
+      UNION ALL
+      SELECT doc_id + 10000000, 'xx', doc_id % 100
+      FROM documents WHERE doc_id % 50 = 0),
+    merged AS (
+      SELECT b.doc_id, b.lang, b.n_chars FROM documents b
+      WHERE b.doc_id NOT IN (SELECT doc_id FROM ups)
+      UNION ALL SELECT * FROM ups)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
+    FROM merged
+    WHERE NOT COALESCE(doc_id >= {_MD_DEL_LO} AND doc_id <= {_MD_DEL_HI}, FALSE)
+    GROUP BY lang
+    """
+
+
+QUERIES.update({
+    "g1_file_skip": (q_g1_file_skip, o_g1_file_skip),
+    "g1_merge_delete": (q_g1_merge_delete, o_g1_merge_delete),
+})
+
+
 # --- r4 training-pipeline additions -------------------------------------------
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3213,6 +3317,10 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "hll_distinct": [("lang", "s"), ("n_hit", "i"), ("sum_inv", "i"),
                      ("est_distinct", "i")],
     "cm_topk": [("token", "s"), ("est_count", "i"), ("rank", "i")],
+    # catalog metadata ops (already aggregated outputs; kinds are plain)
+    "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
+    "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
+                        ("sum_id", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -3329,7 +3437,10 @@ _AUDIT_GROUPS = {
                            "deterministic_sample", "token_histogram",
                            "tpch_q1", "tpch_q5", "broadcast_star_join",
                            # corpus-stats sketches
-                           "hll_distinct", "cm_topk"],
+                           "hll_distinct", "cm_topk",
+                           # catalog metadata ops (file-skip scan, COW
+                           # merge/delete) — driver-visible via this group
+                           "g1_file_skip", "g1_merge_delete"],
     # graph rides here: like the ANN ops it is an id-keyed fixed-point op
     "wave2_temporal_ann_audit": ["asof_join", "interval_join",
                                  "quantize_embeddings", "quantized_topk",
@@ -3397,7 +3508,8 @@ _TAIL = [
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
-    "bpe_learn", "hll_distinct", "cm_topk",
+    "bpe_learn", "hll_distinct", "cm_topk", "g1_file_skip",
+    "g1_merge_delete",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
