@@ -479,10 +479,15 @@ def run_queries(spark, buffers) -> dict[str, float]:
     try:
         cat_ = Catalog(spark, cdir)
         zpts = pts.selectExpr(
-            "url", "entity", "cell9",
+            "url", "entity", "lat", "lng", "cell9",
             f"{REG._FS_CI} AS ci", f"{REG._FS_CJ} AS cj")
         cat_.write("points", zpts, zorder_by=("ci", "cj"), target_files=32)
         bench("catalog_skip_scan", lambda: cat_.scan("points", REG._FS_RANGES))
+        # the north-rule composition: metadata-pruned city scan -> PIP join
+        # (the join reads only the files whose z-blocks overlap the city)
+        bench("catalog_pip", lambda: SP.pip_join(
+            cat_.scan("points", REG._CP_RANGES), buffers,
+            cover_res=SP.PIP_COVER_RES))
         docs3 = docs.select("doc_id", "lang", "n_chars")
         cat_.write("docs", docs3.repartitionByRange(16, "doc_id")
                    .sortWithinPartitions("doc_id"))

@@ -1959,9 +1959,69 @@ def o_g1_merge_delete() -> str:
     """
 
 
+# the grid city occupies local lattice ci 32..38, cj 32..36 (anchor cell
+# = 32 by construction of _FS_*_BASE); this rectangle is its WEST HALF —
+# selective against the full entity cloud (local [24, 40]^2) so the
+# z-order layout actually prunes, while still containing street buffers
+# so the downstream PIP join has real matches to verify
+_CP_RANGES = {"ci": (32, 35), "cj": (32, 36)}
+
+
+def q_g1_catalog_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule composition (BASELINE.json): the PIP spatial join runs
+    OVER a catalog table, not raw parquet — pages-derived geo points are
+    written once to a Z-ordered (Morton ci,cj) snapshot, the city
+    rectangle is planned against per-file min/max stats (only overlapping
+    files are read), and the join + exact refine consume the pruned scan.
+    At 10^12 pages this metadata step is the difference between a
+    full-table scan and a handful of file reads BEFORE the join starts;
+    correctness is oracle-exact because scan() re-applies the rectangle
+    as a residual filter over the kept files."""
+    import tempfile
+
+    from ..sources.catalog import Catalog
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = synth.geo_entities_from_documents(docs).selectExpr(
+        "url", "entity", "lat", "lng", "cell9",
+        f"{_FS_CI} AS ci", f"{_FS_CJ} AS cj")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_cpip_"))
+    cat.write("pages_points", pts, zorder_by=("ci", "cj"), target_files=8)
+    city = cat.scan("pages_points", _CP_RANGES)
+    out = SP.pip_join(city, _grid_buffers(spark))
+    bufs = _grid_buffers(spark).select(
+        "segment_id",
+        F.round((F.col("alat") + F.col("blat")) / 2, 6).alias("seg_mid_lat"),
+        F.round((F.col("alng") + F.col("blng")) / 2, 6).alias("seg_mid_lng"))
+    return (out.join(bufs, "segment_id")
+            .select("url", "entity", "cell9",
+                    F.round("dist_m", 4).alias("dist_r4"),
+                    "seg_mid_lat", "seg_mid_lng"))
+
+
+def o_g1_catalog_pip() -> str:
+    (ci_lo, ci_hi), (cj_lo, cj_hi) = _CP_RANGES["ci"], _CP_RANGES["cj"]
+    pts = (f"SELECT * FROM (SELECT *, {_FS_CI} AS ci, {_FS_CJ} AS cj "
+           f"FROM ({synth.geo_entities_duckdb_sql()})) "
+           f"WHERE ci >= {ci_lo} AND ci <= {ci_hi} "
+           f"AND cj >= {cj_lo} AND cj <= {cj_hi}")
+    inside = sqlfns.rect_inside_sql("p.lat", "p.lng", "s.alat", "s.alng",
+                                    "s.blat", "s.blng", HW)
+    dist = sqlfns.seg_dist_sql("p.lat", "p.lng",
+                               "s.alat", "s.alng", "s.blat", "s.blng")
+    return f"""
+    SELECT p.url, p.entity, p.cell9,
+           ROUND({dist}, 4) AS dist_r4,
+           ROUND((s.alat + s.blat) / 2, 6) AS seg_mid_lat,
+           ROUND((s.alng + s.blng) / 2, 6) AS seg_mid_lng
+    FROM ({pts}) p, ({_duck_sidewalk_segments()}) s
+    WHERE {inside}
+    """
+
+
 QUERIES.update({
     "g1_file_skip": (q_g1_file_skip, o_g1_file_skip),
     "g1_merge_delete": (q_g1_merge_delete, o_g1_merge_delete),
+    "g1_catalog_pip": (q_g1_catalog_pip, o_g1_catalog_pip),
 })
 
 
@@ -3321,6 +3381,9 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
     "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
                         ("sum_id", "i")],
+    "g1_catalog_pip": [("url", "s"), ("entity", "s"), ("cell9", "h"),
+                       ("dist_r4", "d"), ("seg_mid_lat", "d"),
+                       ("seg_mid_lng", "d")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -3448,7 +3511,10 @@ _AUDIT_GROUPS = {
                                  "semantic_dedup",
                                  # second pass: ANN/spatial variants
                                  "ann_topk", "lsh_topk", "g4_pip_join_rot",
-                                 "multimodal_features"],
+                                 "multimodal_features",
+                                 # catalog-backed spatial join (north-rule
+                                 # composition: z-order scan feeds PIP)
+                                 "g1_catalog_pip"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -3509,7 +3575,7 @@ _TAIL = [
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
     "bpe_learn", "hll_distinct", "cm_topk", "g1_file_skip",
-    "g1_merge_delete",
+    "g1_merge_delete", "g1_catalog_pip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
