@@ -620,3 +620,60 @@ def test_catalog_append_after_merge_does_not_resurrect_rows(spark, tmp_path):
     t = c.load("t")
     assert t.count() == 600
     assert t.filter("k < 500").count() == 0  # deleted rows stay deleted
+
+
+def test_catalog_expire_reclaims_only_unreferenced(spark, tmp_path):
+    """Retention GC: after a COW merge, expire(keep_last=1) must delete the
+    parent's rewritten-away files and the parent manifest, but KEEP the
+    parent-dir files the merge carried by reference — and every parquet
+    left on disk must be referenced by a kept manifest (no leaks either
+    way)."""
+    import os
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    df = _grid_df(spark)
+    c.write("t", df.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    man0 = c.manifest("t")
+    ups = (df.filter("k >= 9000")
+           .select("k", "ci", "cj", (F.col("v") * 0 - 1).alias("v")))
+    man1 = c.merge("t", ups, "k")
+    assert man1["carried_files"] >= 5
+    rep = c.expire_snapshots("t", keep_last=1)
+    assert rep["expired_snapshots"] == [man0["snapshot_id"]]
+    assert rep["deleted_files"] >= 1 and rep["freed_bytes"] > 0
+    # current snapshot reads exactly as before the GC
+    t = c.load("t")
+    assert t.count() == 10000 and t.filter("v = -1").count() == 1000
+    # time travel to the expired snapshot is gone (documented contract)
+    try:
+        c.manifest("t", man0["snapshot_id"])
+        assert False, "expired manifest must be deleted"
+    except FileNotFoundError:
+        pass
+    # disk holds exactly the referenced parquet files: no leak, no overdelete
+    root = str(tmp_path / "wh" / "t")
+    on_disk = sorted(os.path.relpath(os.path.join(r, f), root)
+                     for r, _, fs in os.walk(root) for f in fs
+                     if f.endswith(".parquet"))
+    assert on_disk == man1["files"]
+
+
+def test_catalog_expire_removes_orphan_dirs_and_guards(spark, tmp_path):
+    """A snap dir with no published manifest (crashed write) is garbage;
+    expire removes it whole.  keep_last=0 must refuse (would unroot the
+    current snapshot)."""
+    import os
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    c.write("t", _grid_df(spark, 500))
+    orphan = str(tmp_path / "wh" / "t" / "snap-99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    rep = c.expire_snapshots("t", keep_last=3)
+    assert rep["expired_snapshots"] == []  # nothing published expired
+    assert not os.path.exists(orphan)     # but the orphan dir is gone
+    assert c.load("t").count() == 500
+    try:
+        c.expire_snapshots("t", keep_last=0)
+        assert False
+    except ValueError:
+        pass

@@ -480,3 +480,58 @@ class Catalog:
         return self.write(name, df, partition_by=parent["partition_spec"] or None,
                           mode="overwrite",
                           extra={"compacted_from": parent["snapshot_id"]})
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> dict:
+        """Retention GC (Iceberg expire_snapshots + remove_orphan_files in
+        one pass): keep the newest ``keep_last`` snapshot manifests (the
+        CURRENT pointer's snapshot is kept unconditionally, even if a
+        crashed later write left a higher orphaned id), delete the older
+        manifests, then delete every data file under the table dir that no
+        KEPT manifest references.  Copy-on-write makes this the only way
+        space is ever reclaimed: merge/delete/compact never remove files,
+        they just stop referencing them.
+
+        Two deletion classes fall out of the same referenced-set walk:
+        files referenced only by expired snapshots, and orphans from
+        crashed writes (a snap dir with no published manifest).  A snap
+        dir left with no referenced files is removed whole; a dir that a
+        COW merge partially carried keeps exactly its referenced files.
+
+        SINGLE-WRITER assumption (same as write/merge): running this
+        concurrently with an in-flight write would GC the writer's
+        yet-unpublished files.  Time travel to an expired snapshot raises
+        FileNotFoundError — the documented contract, as in Iceberg."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        ids = self._snapshot_ids(name)
+        current = self.manifest(name)["snapshot_id"]
+        keep = set(ids[-keep_last:]) | {current}
+        referenced: set = set()
+        for i in sorted(keep):
+            referenced.update(self.manifest(name, i)["files"])
+        expired = [i for i in ids if i not in keep]
+        for i in expired:
+            os.remove(self._manifest(name, i))
+        path = self._dir(name)
+        deleted_files, freed = 0, 0
+        for d in sorted(os.listdir(path)):
+            full = os.path.join(path, d)
+            if not d.startswith("snap-") or not os.path.isdir(full):
+                continue
+            kept_any = False
+            for root, _dirs, fnames in os.walk(full):
+                for f in fnames:
+                    fp = os.path.join(root, f)
+                    rel = os.path.relpath(fp, path)
+                    if rel in referenced:
+                        kept_any = True
+                    elif f.endswith(".parquet"):
+                        freed += os.path.getsize(fp)
+                        os.remove(fp)
+                        deleted_files += 1
+            if not kept_any:
+                import shutil
+                shutil.rmtree(full)
+        return {"table": name, "expired_snapshots": expired,
+                "kept_snapshots": sorted(keep), "deleted_files": deleted_files,
+                "freed_bytes": freed}
