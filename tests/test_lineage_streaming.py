@@ -677,3 +677,44 @@ def test_catalog_expire_removes_orphan_dirs_and_guards(spark, tmp_path):
         assert False
     except ValueError:
         pass
+
+
+def test_stream_catalog_ingest_exactly_once(spark, tmp_path):
+    """Streaming ingest into the catalog: (1) one snapshot per micro-batch,
+    rows == source exactly; (2) a restart over the same checkpoint after
+    new source files appends ONLY the delta (file-source offsets + epoch
+    guard compose); (3) replaying an already-published epoch — what
+    Structured Streaming does after a post-publish crash — is a no-op:
+    snapshot count and rows unchanged."""
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "pages_src")
+    ckpt = str(tmp_path / "ckpt_ingest")
+    schema = "doc_id bigint, lang string"
+
+    def pages(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+
+    pages(0, 300).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    man1 = jobs.stream_catalog_ingest(stream, c, "pages", ckpt)
+    assert "stream_epoch" in man1
+    assert c.load("pages").count() == 300
+
+    # delta arrives; same checkpoint => only the new file is ingested
+    pages(300, 450).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    man2 = jobs.stream_catalog_ingest(stream, c, "pages", ckpt)
+    t = c.load("pages")
+    assert t.count() == 450
+    assert t.select("doc_id").distinct().count() == 450  # no double-ingest
+    assert man2["parent_id"] == man1["snapshot_id"]
+    # the first snapshot is still time-travelable (immutable files)
+    assert c.load("pages", snapshot_id=man1["snapshot_id"]).count() == 300
+
+    # post-publish replay of the SAME epoch: must be a no-op
+    n_snaps = len(c.snapshots("pages"))
+    jobs.catalog_ingest_batch(c, "pages")(pages(0, 300),
+                                          man1["stream_epoch"])
+    assert len(c.snapshots("pages")) == n_snaps
+    assert c.load("pages").count() == 450

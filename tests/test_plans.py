@@ -256,3 +256,30 @@ def test_image_phash_dedup_payload_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "payload" not in line, line
+
+
+def test_catalog_scan_pushdown_and_single_stage(spark, tmp_path):
+    """Catalog.scan must compose BOTH pruning layers: the manifest plans a
+    strict file subset (metadata-only), and the residual range predicate
+    reaches the parquet scan as PushedFilters so row groups prune inside
+    the kept files too.  The whole read is one codegen stage — no
+    exchange, no python."""
+    from tosidewalk_spark.sources.catalog import Catalog
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("ci"),
+        (F.col("id") / 100).cast("long").alias("cj"))
+    c = Catalog(spark, str(tmp_path / "wh"))
+    man = c.write("t", df, zorder_by=("ci", "cj"), target_files=8)
+    got = c.scan("t", {"ci": (10, 20), "cj": (10, 20)})
+    # toString() truncates long filter lists; the formatted explain does not
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for want in ("GreaterThanOrEqual(ci,10)", "LessThanOrEqual(ci,20)",
+                 "GreaterThanOrEqual(cj,10)", "LessThanOrEqual(cj,20)"):
+        assert want in pushed, pushed
+    assert "Exchange" not in plan and "Python" not in plan
+    # file-level pruning actually happened and the scan reads ONLY kept files
+    assert 0 < len(got.inputFiles()) < len(man["files"])

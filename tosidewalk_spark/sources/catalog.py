@@ -459,6 +459,11 @@ class Catalog:
             d for d in os.listdir(self.root)
             if os.path.exists(self._manifest(d)))
 
+    def exists(self, name: str) -> bool:
+        """True when the table has a published current manifest (a snap dir
+        without one is an unpublished orphan, not a table)."""
+        return os.path.exists(self._manifest(name))
+
     def compact(self, name: str) -> dict:
         """Snapshot COMPACTION (Iceberg's rewrite_data_files analog): fold
         the current snapshot's multi-dir append chain into ONE new snap

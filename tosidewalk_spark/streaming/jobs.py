@@ -256,3 +256,50 @@ def streaming_decontaminate(pages: DataFrame, benchmark: DataFrame,
             # NULL verdict would silently drop the row)
             .filter(F.coalesce(keep, F.lit(True)))
             .drop("_ghs", "bench_ghs"))
+
+
+def catalog_ingest_batch(cat, table: str):
+    """foreachBatch body for EXACTLY-ONCE streaming appends into a
+    ``sources.catalog.Catalog`` table (the streaming-ingest-into-Iceberg
+    shape: micro-batch -> immutable snapshot).
+
+    Exactly-once, precisely: Structured Streaming replays a failed
+    micro-batch under the SAME epoch_id, so the sink must be idempotent
+    per epoch.  Snapshot publish (atomic manifest os.replace) is the LAST
+    step of Catalog.write, so 'a snapshot recording this epoch exists'
+    proves the previous attempt fully succeeded -> skip the replay.  A
+    crash BEFORE publish leaves only an unpublished orphan snap dir; the
+    replay re-allocates the same snap id (MAX(manifests)+1) and its
+    mode=overwrite parquet write replaces the orphan bytes, so no
+    double-count is possible on either side of the publish point.  The
+    epoch scan is O(snapshots) manifest reads — the retention story is
+    expire_snapshots, which keeps that list short in production."""
+    def fn(batch_df, epoch_id: int):
+        if cat.exists(table):
+            for man in cat.snapshots(table):
+                if man.get("stream_epoch") == epoch_id:
+                    return  # this epoch already published — replay no-op
+            cat.write(table, batch_df, mode="append",
+                      extra={"stream_epoch": epoch_id})
+        else:
+            cat.write(table, batch_df, mode="overwrite",
+                      extra={"stream_epoch": epoch_id})
+    return fn
+
+
+def stream_catalog_ingest(pages: DataFrame, cat, table: str,
+                          checkpoint: str) -> dict:
+    """Drain the currently-available stream into catalog ``table`` (one
+    snapshot per micro-batch, exactly-once via catalog_ingest_batch) and
+    return the resulting current manifest.  Production runs the same
+    query continuously; availableNow makes tests and backfills
+    deterministic.  Restarting with the same checkpoint ingests only
+    files the source has not yet committed — the file-source offset log
+    and the per-epoch snapshot guard compose to end-to-end exactly-once."""
+    q = (pages.writeStream
+         .foreachBatch(catalog_ingest_batch(cat, table))
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return cat.manifest(table)
