@@ -444,6 +444,11 @@ def run_queries(spark, buffers) -> dict[str, float]:
     from tosidewalk_spark.operators import sketch
     bench("hll_distinct", lambda: sketch.hll_distinct(docs))
     bench("cm_topk", lambda: sketch.cm_topk(docs))
+    bench("qsk_quantiles", lambda: sketch.qsk_quantiles(docs))
+    bench("fetch_schedule", lambda: text.fetch_schedule(
+        docs.selectExpr(
+            "CONCAT('https://site', CAST(doc_id % 997 AS STRING), "
+            "'.example/p/', CAST(doc_id AS STRING)) AS url"), per_slot=2))
     bench("extract_text_100k", lambda: text.extract_text(synth.pages(spark, 100_000)))
     tiles_df = SP.coverage_tiles(
         pts, SP.pip_join(pts, buffers, cover_res=SP.PIP_COVER_RES)).persist()

@@ -839,3 +839,32 @@ def test_bpe_learn_feeds_bpe_apply(spark, docs):
         exp = " ".join("/".join(text.bpe_apply_py(w, learned))
                        for w in r.text.split() if w)
         assert got[r.doc_id] == exp, r.doc_id
+
+
+def test_fetch_schedule_politeness_and_determinism(spark):
+    """Crawl-frontier invariants: (1) no host appears more than per_slot
+    times in any slot; (2) within a host, slots are assigned in url order
+    with no gaps; (3) the schedule is identical at different shuffle
+    parallelism (deterministic window, the resume property)."""
+    from tosidewalk_spark.operators import text as TX
+    from tosidewalk_spark.sources import synth
+    pages = synth.pages(spark, 1000)
+    out = TX.fetch_schedule(pages, per_slot=2)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r.host, r.slot), []).append(r.url)
+    assert max(len(v) for v in per.values()) <= 2
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append((r.url, r.rank_in_host, r.slot))
+    for host, items in by_host.items():
+        items.sort()
+        for i, (_, rk, slot) in enumerate(items):
+            assert rk == i + 1 and slot == i // 2, (host, items)
+    again = sorted(map(tuple, TX.fetch_schedule(
+        pages.repartition(17), per_slot=2).collect()))
+    assert again == sorted(map(tuple, rows))
+    import pytest
+    with pytest.raises(ValueError):
+        TX.fetch_schedule(pages, per_slot=0)

@@ -473,6 +473,53 @@ def test_streaming_cm_counters_match_batch_and_resume(spark, tmp_path):
     assert sum(as_map(got2).values()) > sum(as_map(got1).values())
 
 
+def test_streaming_qsk_counters_match_batch_and_resume(spark, tmp_path):
+    """Streaming quantile sketch: drained complete-mode counters equal the
+    batch qsk_cells fold bit-for-bit (shared stage), the read-side
+    qsk_estimate over them reproduces batch qsk_quantiles exactly, and a
+    second availableNow drain after new files converges to the full-union
+    counters (COUNT is additive, the restart contract)."""
+    from pyspark.sql import functions as F
+    from tosidewalk_spark.operators import sketch
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang",
+            "CONCAT_WS(' ', TRANSFORM(SEQUENCE(0, CAST(id % 40 AS INT)), "
+            "x -> 'w')) AS text")
+
+    src = str(tmp_path / "qsk_src")
+    ckpt = str(tmp_path / "ckpt_qsk")
+    docs(0, 300).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = "doc_id bigint, lang string, text string"
+
+    def drain(name):
+        stream = spark.readStream.schema(schema).parquet(src)
+        counters = jobs.streaming_qsk_counters(stream, "lang")
+        jobs.run_available_now(counters, name, ckpt, output_mode="complete")
+        return spark.table(name)
+
+    as_map = lambda df: {(r.grp, r.bucket): r.cnt for r in df.collect()}
+    got1 = drain("qsk_counters_1")
+    want1 = (sketch.qsk_cells(docs(0, 300))
+             .groupBy("grp", "bucket").agg(F.count("*").alias("cnt")))
+    assert as_map(got1) == as_map(want1)
+    assert len(as_map(got1)) <= 2 * 32  # the bounded-state claim
+
+    # read side: estimate over the DRAINED counters == batch qsk_quantiles
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(sketch.qsk_estimate(got1, "lang")) == \
+        rows(sketch.qsk_quantiles(docs(0, 300), "lang"))
+
+    docs(300, 500).coalesce(1).write.mode("append").parquet(src)
+    got2 = drain("qsk_counters_2")
+    want2 = (sketch.qsk_cells(docs(0, 500))
+             .groupBy("grp", "bucket").agg(F.count("*").alias("cnt")))
+    assert as_map(got2) == as_map(want2)
+    assert sum(as_map(got2).values()) > sum(as_map(got1).values())
+
+
 # --- catalog metadata scan planning + copy-on-write (round-4 wave) -----------
 
 def _grid_df(spark, n=10000):

@@ -88,3 +88,60 @@ def test_hll_lc_table_is_exact_ln():
     for v in (1, 32, 63):
         expected = round(sketch.HLL_M * math.log(sketch.HLL_M / v))
         assert f"WHEN {v} THEN {expected}" in sql
+
+# --- log2-bucket quantile sketch -------------------------------------------
+
+def test_qsk_bucket_rule_boundaries(spark):
+    """bucket = floor(log2(v + 1)) — pin the power-of-two boundaries the
+    BIN()-length template must honor (v = 0 -> 0, 2^b - 1 opens bucket b,
+    2^(b+1) - 2 closes it)."""
+    vals = [0, 1, 2, 3, 6, 7, 14, 15, 30, 1022, 1023, 2046, 2047]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    rows = df.select("v", F.expr(sketch._log2_bucket_sql("v"))
+                     .alias("b")).collect()
+    for r in rows:
+        assert r.b == (r.v + 1).bit_length() - 1, (r.v, r.b)
+
+
+def test_qsk_quantile_bounds_vs_exact(spark):
+    """The sketch answer is the lower bound of the bucket holding the true
+    quantile: for every group and q, p_lo <= exact_q <= 2*p_lo + 1 with
+    exact_q the true ceil(q*n)-th smallest token count (the sketch's
+    stated factor-2 guarantee, checked against a python-exact twin)."""
+    docs = spark.range(0, 600).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+        # token counts spread over several octaves: 1 + id%50 words
+        "CONCAT_WS(' ', TRANSFORM(SEQUENCE(0, CAST(id % 50 AS INT)), "
+        "x -> CONCAT('w', CAST(x AS STRING)))) AS text")
+    out = {r.lang: r for r in sketch.qsk_quantiles(docs).collect()}
+    import math
+    counts = {"en": [], "de": []}
+    for i in range(600):
+        counts["en" if i % 2 == 0 else "de"].append(i % 50 + 1)
+    for lang, cs in counts.items():
+        cs.sort()
+        r = out[lang]
+        assert r.n_docs == len(cs)
+        for lb, num, den in sketch.QSK_QS:
+            exact = cs[math.ceil(num * len(cs) / den) - 1]
+            lo = getattr(r, f"{lb}_lo")
+            assert lo <= exact <= 2 * lo + 1, (lang, lb, lo, exact)
+
+
+def test_qsk_counters_bounded_and_additive(spark):
+    """State-bound claim: the counter table never exceeds |groups| x 32
+    rows, and counters over A union B equal counters(A) + counters(B)
+    cell-wise (the additivity that makes the streaming fold converge)."""
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS doc_id", "'en' AS lang",
+        "CONCAT_WS(' ', TRANSFORM(SEQUENCE(0, CAST(id % 23 AS INT)), "
+        "x -> 'w')) AS text")
+    fold = lambda d: {(r.grp, r.bucket): r.cnt for r in
+                      sketch.qsk_cells(d).groupBy("grp", "bucket")
+                      .agg(F.count("*").alias("cnt")).collect()}
+    a, b = fold(mk(0, 300)), fold(mk(300, 500))
+    u = fold(mk(0, 500))
+    assert len(u) <= 32
+    for k in u:
+        assert u[k] == a.get(k, 0) + b.get(k, 0), k

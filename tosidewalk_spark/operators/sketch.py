@@ -309,3 +309,129 @@ def cm_topk_oracle(width: int = CM_WIDTH, k: int = 50,
     FROM est
     QUALIFY ROW_NUMBER() OVER (ORDER BY est_count DESC, token) <= {k}
     """
+
+
+# --- log2-bucket quantile sketch -------------------------------------------
+# The third sketch a corpus dashboard needs next to distinct (HLL) and
+# frequency (count-min): length/size QUANTILES.  Exact per-group quantiles
+# (operators/text.py length_quantiles) need every value co-located — a full
+# shuffle of one row per document.  The sketch below is the mergeable,
+# bounded-state path: bucket every value by floor(log2(v + 1)) into <= 32
+# buckets, keep one COUNT per (group, bucket), and answer quantile queries
+# from the cumulative bucket histogram.  Guarantee: the returned value is
+# the LOWER BOUND (2^b - 1) of the bucket containing the true q-quantile,
+# so true_q in [answer, 2*answer + 1) — a factor-2 value guarantee with
+# state that never exceeds |groups| x 32 rows no matter the corpus size.
+# Like the HLL registers (MAX-merge) and CM counters (COUNT-merge), the
+# bucket counts are additive, so the same fold runs as a Structured
+# Streaming aggregation with bounded no-watermark state
+# (streaming/jobs.py streaming_qsk_counters) and drained streaming
+# counters equal the batch ones bit-for-bit.
+QSK_MAX_BITS = 32  # values < 2^32 - 1 (token counts; web docs are far below)
+
+
+def _log2_bucket_sql(v: str) -> str:
+    """floor(log2(v + 1)) via the length of the binary rendering — BIN()
+    renders BIGINT without leading zeros identically on both engines
+    (no libm LOG call, same engine-exactness rule as the HLL/CM
+    templates).  v = 0 lands in bucket 0; bucket b holds
+    v in [2^b - 1, 2^(b+1) - 2]."""
+    return f"CAST(LENGTH(BIN(CAST({v} AS BIGINT) + 1)) - 1 AS INT)"
+
+
+def _pow2m1_sql(b: str) -> str:
+    """2^b - 1 as a literal CASE lookup (b in 0..QSK_MAX_BITS-1) — one
+    dialect-portable template, no shift-operator syntax differences."""
+    arms = " ".join(f"WHEN {k} THEN {(1 << k) - 1}"
+                    for k in range(QSK_MAX_BITS))
+    return f"(CASE ({b}) {arms} END)"
+
+
+# quantiles reported: (label, numerator, denominator) — exact rationals so
+# the rank test is integer cross-multiplication (cum * den >= n * num),
+# never a float threshold
+QSK_QS = (("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def qsk_cells(docs: DataFrame, group_col: str = "lang",
+              spread: bool = True) -> DataFrame:
+    """The pre-aggregation observable stream: one (grp, bucket) row per
+    document, bucket = floor(log2(token_count + 1)).  Shared by the batch
+    estimator (qsk_quantiles) and the streaming counter job so both fold
+    the IDENTICAL tokenize/bucket pipeline; ``spread=False`` skips the
+    inputFiles() probe a streaming DataFrame cannot answer."""
+    n = "SIZE(FILTER(SPLIT(text, ' '), t -> LENGTH(t) > 0))"
+    src = _spread(docs) if spread else docs
+    return src.select(F.col(group_col).alias("grp"),
+                      F.expr(_log2_bucket_sql(n)).alias("bucket"))
+
+
+def qsk_estimate(counters: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Read-side quantile fold over a (grp, bucket, cnt) counter table —
+    batch agg or drained streaming sink alike.  Cumulative count per
+    bucket via a window (the counter table is <= |groups| x 32 rows, the
+    window shuffle is metadata-sized), quantile rank by integer
+    cross-multiplication, answer = the containing bucket's lower bound.
+
+    Output: (group, n_docs, p25_lo, p50_lo, p90_lo, p99_lo) — all BIGINT,
+    each p*_lo <= true quantile < 2 * p*_lo + 1."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("grp").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = (counters.withColumn("cum", F.sum("cnt").over(w))
+         .withColumn("n", F.sum("cnt").over(Window.partitionBy("grp"))))
+    aggs = [F.sum("cnt").cast("long").alias("n_docs")]
+    for label, num, den in QSK_QS:
+        aggs.append(F.min(F.when(
+            F.expr(f"cum * {den} >= n * {num}"), F.col("bucket")))
+            .alias(f"b_{label}"))
+    per = c.groupBy("grp").agg(*aggs)
+    sel = [F.col("grp").alias(group_col), "n_docs"]
+    sel += [F.expr(f"CAST({_pow2m1_sql('b_' + lb)} AS BIGINT)")
+            .alias(f"{lb}_lo") for lb, _, _ in QSK_QS]
+    return per.select(*sel)
+
+
+def qsk_quantiles(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-``group_col`` approximate token-count quantiles from the
+    log2-bucket sketch: bucket each doc's exact whitespace token count,
+    COUNT per (group, bucket) — map-side combined, exchange carries at
+    most |groups| x 32 rows regardless of corpus size — then fold the
+    cumulative histogram into p25/p50/p90/p99 lower bounds.  The exact
+    twin (length_quantiles) shuffles one row per document; this is what
+    replaces it when the dashboard runs hourly over 10^12 docs."""
+    counters = (qsk_cells(docs, group_col)
+                .groupBy("grp", "bucket").agg(F.count("*").alias("cnt")))
+    return qsk_estimate(counters, group_col)
+
+
+def qsk_quantiles_oracle(group_col: str = "lang",
+                         docs_rel: str = "documents") -> str:
+    """DuckDB twin of qsk_quantiles: identical tokenizer, bucket rule,
+    cumulative fold, and integer rank arithmetic."""
+    n = ("length(list_filter(string_split(text, ' '), "
+         "t -> length(t) > 0))")
+    qcols = ", ".join(
+        f"MIN(CASE WHEN cum * {den} >= n * {num} THEN bucket END) AS b_{lb}"
+        for lb, num, den in QSK_QS)
+    pcols = ", ".join(
+        f"CAST({_pow2m1_sql('b_' + lb)} AS BIGINT) AS {lb}_lo"
+        for lb, _, _ in QSK_QS)
+    return f"""
+    WITH cells AS (
+      SELECT {group_col} AS grp, {_log2_bucket_sql(n)} AS bucket
+      FROM {docs_rel}),
+    counters AS (
+      SELECT grp, bucket, COUNT(*) AS cnt FROM cells GROUP BY grp, bucket),
+    cum AS (
+      SELECT grp, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM counters),
+    per AS (
+      SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_docs, {qcols}
+      FROM cum GROUP BY grp)
+    SELECT grp AS {group_col}, n_docs, {pcols}
+    FROM per
+    """

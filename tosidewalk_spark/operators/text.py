@@ -433,6 +433,40 @@ def domain_stats(pages: DataFrame) -> DataFrame:
                  F.countDistinct("lang").alias("n_langs")))
 
 
+def fetch_schedule(pages: DataFrame, per_slot: int = 1) -> DataFrame:
+    """Crawl-frontier politeness scheduling: assign every url a fetch
+    SLOT such that no host is fetched more than ``per_slot`` times per
+    slot — the scheduling primitive behind any Common-Crawl-style
+    recrawl.  slot = floor((rank_within_host - 1) / per_slot) with the
+    within-host rank a deterministic url-ordered ROW_NUMBER, so the
+    schedule is reproducible at any parallelism and a re-run after a
+    partial crawl re-derives the identical remaining slots (the resume
+    property the staged pipeline relies on elsewhere).
+
+    Plan: ONE hash exchange on host for the window — no global sort and
+    no global row numbering: a worker draining slot s just filters
+    ``slot = s``, so the cross-host fetch ORDER inside a slot is
+    intentionally unspecified (hosts are independent by construction —
+    that is what the politeness constraint means).  Host skew is not a
+    failure mode but the semantics: a host with 10^6 pages takes 10^6 /
+    per_slot slots by design, and its window state is a single running
+    counter.  Production would rank by (priority DESC, url); the synth
+    pages carry no priority column so rank is url-ordered here.
+
+    Output: (url, host, rank_in_host, slot)."""
+    if per_slot < 1:
+        raise ValueError("per_slot must be >= 1")
+    host = "REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)', 1)"
+    from pyspark.sql import Window
+    w = Window.partitionBy("host").orderBy("url")
+    return (pages.select("url", F.expr(host).alias("host"))
+            .withColumn("rank_in_host",
+                        F.row_number().over(w).cast("int"))
+            .withColumn("slot", F.expr(
+                f"CAST(FLOOR((rank_in_host - 1) / {int(per_slot)}) "
+                f"AS INT)")))
+
+
 def _quota_case(quota_by_lang: dict[str, int], default: int) -> str:
     if not quota_by_lang:
         return str(int(default))

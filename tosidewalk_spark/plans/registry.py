@@ -3235,6 +3235,39 @@ def o_cm_topk() -> str:
     return sketch.cm_topk_oracle()
 
 
+def q_qsk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sketch.qsk_quantiles(docs)
+
+
+def o_qsk_quantiles() -> str:
+    return sketch.qsk_quantiles_oracle()
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling over synthesized pages; the oracle re-derives
+    the url/host scheme in closed form (page synthesis is pure SQL)."""
+    return text.fetch_schedule(synth.pages(spark, 3000), per_slot=2)
+
+
+def o_fetch_schedule() -> str:
+    return """
+    WITH p AS (
+      SELECT 'https://site' || CAST(id % 997 AS VARCHAR) || '.example/p/'
+               || CAST(id AS VARCHAR) AS url,
+             'site' || CAST(id % 997 AS VARCHAR) || '.example' AS host
+      FROM range(0, 3000) t(id)),
+    r AS (
+      SELECT url, host,
+             CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+                  AS INT) AS rank_in_host
+      FROM p)
+    SELECT url, host, rank_in_host,
+           CAST(FLOOR((rank_in_host - 1) / 2) AS INT) AS slot
+    FROM r
+    """
+
+
 QUERIES.update({
     "mixture_weights": (q_mixture_weights, o_mixture_weights),
     "hash_embed": (q_hash_embed, o_hash_embed),
@@ -3245,6 +3278,8 @@ QUERIES.update({
     "bpe_learn": (q_bpe_learn, o_bpe_learn),
     "hll_distinct": (q_hll_distinct, o_hll_distinct),
     "cm_topk": (q_cm_topk, o_cm_topk),
+    "qsk_quantiles": (q_qsk_quantiles, o_qsk_quantiles),
+    "fetch_schedule": (q_fetch_schedule, o_fetch_schedule),
 })
 
 
@@ -3377,6 +3412,10 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "hll_distinct": [("lang", "s"), ("n_hit", "i"), ("sum_inv", "i"),
                      ("est_distinct", "i")],
     "cm_topk": [("token", "s"), ("est_count", "i"), ("rank", "i")],
+    "qsk_quantiles": [("lang", "s"), ("n_docs", "i"), ("p25_lo", "i"),
+                      ("p50_lo", "i"), ("p90_lo", "i"), ("p99_lo", "i")],
+    "fetch_schedule": [("url", "s"), ("host", "s"), ("rank_in_host", "i"),
+                       ("slot", "i")],
     # catalog metadata ops (already aggregated outputs; kinds are plain)
     "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
     "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
@@ -3482,6 +3521,7 @@ def _audit_group_oracle(ops: list[str]):
 _AUDIT_GROUPS = {
     "wave2_text_audit": ["normalize_text", "pii_scrub", "url_dedup",
                          "remove_boilerplate", "ngram_counts",
+                         "fetch_schedule",
                          "inverted_index", "tfidf_topk", "domain_topk",
                          "lm_fluency", "dsir_weights", "hash_embed",
                          "chunk_windows", "jsonl_roundtrip",
@@ -3500,7 +3540,7 @@ _AUDIT_GROUPS = {
                            "deterministic_sample", "token_histogram",
                            "tpch_q1", "tpch_q5", "broadcast_star_join",
                            # corpus-stats sketches
-                           "hll_distinct", "cm_topk",
+                           "hll_distinct", "cm_topk", "qsk_quantiles",
                            # catalog metadata ops (file-skip scan, COW
                            # merge/delete) — driver-visible via this group
                            "g1_file_skip", "g1_merge_delete"],
@@ -3574,8 +3614,8 @@ _TAIL = [
     "domain_topk", "pagerank", "lm_fluency", "kmeans_assign",
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
-    "bpe_learn", "hll_distinct", "cm_topk", "g1_file_skip",
-    "g1_merge_delete", "g1_catalog_pip",
+    "bpe_learn", "hll_distinct", "cm_topk", "qsk_quantiles",
+    "fetch_schedule", "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must

@@ -182,6 +182,23 @@ def streaming_cm_counters(pages: DataFrame, width: int = 1024) -> DataFrame:
             .groupBy("row_base", "cell").agg(F.count("*").alias("n")))
 
 
+def streaming_qsk_counters(pages: DataFrame,
+                           group_col: str = "lang") -> DataFrame:
+    """Streaming quantile-sketch counter table: per-(group, log2-bucket)
+    COUNT over the doc stream — the streaming twin of the batch
+    qsk_quantiles counter fold (operators/sketch.py qsk_cells is shared,
+    so the tokenize/bucket arithmetic is IDENTICAL and the drained
+    counters equal the batch ones bit-for-bit; pytest pins this).  Third
+    member of the bounded-no-watermark sketch family: state is
+    <= |groups| x 32 rows FOREVER (bounded by the bucket space, not by
+    time) and COUNT-merge is additive, so availableNow restarts over the
+    same checkpoint converge to the counters of the full union.  Quantile
+    read side: sketch.qsk_estimate over the sink table."""
+    from ..operators.sketch import qsk_cells
+    return (qsk_cells(pages, group_col, spread=False)
+            .groupBy("grp", "bucket").agg(F.count("*").alias("cnt")))
+
+
 def streaming_pip_tiles(points: DataFrame, buffers: DataFrame,
                         window: str = "10 minutes",
                         watermark: str = "30 minutes") -> DataFrame:
