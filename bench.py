@@ -445,6 +445,14 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("hll_distinct", lambda: sketch.hll_distinct(docs))
     bench("cm_topk", lambda: sketch.cm_topk(docs))
     bench("qsk_quantiles", lambda: sketch.qsk_quantiles(docs))
+    # compact over a ~66k-cell covering (256x258 misaligned rectangle)
+    compact_cover = (spark.range(1000, 1256).selectExpr("id AS i")
+                     .crossJoin(spark.range(2001, 2259).selectExpr("id AS j"))
+                     .selectExpr(
+                         "CAST(9 * 72057594037927936 + j * 268435456 + i "
+                         "AS LONG) AS cell"))
+    bench("g3_compact", lambda: SP.compact_cells(compact_cover, res=9,
+                                                 min_res=5))
     bench("fetch_schedule", lambda: text.fetch_schedule(
         docs.selectExpr(
             "CONCAT('https://site', CAST(doc_id % 997 AS STRING), "

@@ -182,3 +182,44 @@ def test_pip_join_resolution_mismatch_raises(spark):
     ok = SP.street_buffers(SP.street_segments(gw), half_width_m=12.0,
                            res=SP.PIP_COVER_RES).localCheckpoint(eager=True)
     assert {r.url for r in SP.pip_join(pts, ok).collect()} == {"u1"}
+
+
+def test_compact_cells_roundtrip_minimality_and_guards(spark):
+    """H3-compact pair invariants: uncompact(compact(S)) == S exactly, no
+    4 output cells share a parent (minimality), duplicates in the input
+    are tolerated (set semantics), an aligned full quad folds all the way
+    to min_res, and uncompact rejects cells finer than the target."""
+    import numpy as np
+    import pytest
+    from collections import Counter
+    from tosidewalk_spark.kernel import cells as C
+    from tosidewalk_spark.operators import spatial as SP
+
+    ii, jj = np.meshgrid(np.arange(200, 221), np.arange(400, 417))
+    ids = [int(c) for c in C.pack_ij(ii.ravel(), jj.ravel(), 9)]
+    inp = spark.createDataFrame([(c,) for c in ids + ids[:50]], "cell long")
+    out = SP.compact_cells(inp, res=9, min_res=7).collect()
+    assert len(out) < len(ids)
+    par = Counter(C.parent(r.cell, r.cell_res - 1)
+                  for r in out if r.cell_res > 7)
+    assert not par or max(par.values()) < 4
+    back = sorted(r.cell for r in SP.uncompact_cells(
+        spark.createDataFrame([(r.cell,) for r in out], "cell long"),
+        res=9).collect())
+    assert back == sorted(ids)
+
+    # an aligned 8x8 block (i,j multiples of 8) folds to ONE res-6 cell
+    ii2, jj2 = np.meshgrid(np.arange(64, 72), np.arange(64, 72))
+    blk = spark.createDataFrame(
+        [(int(c),) for c in C.pack_ij(ii2.ravel(), jj2.ravel(), 9)],
+        "cell long")
+    folded = SP.compact_cells(blk, res=9, min_res=6).collect()
+    assert len(folded) == 1 and folded[0].cell_res == 6
+    assert folded[0].cell == C.pack_ij(8, 8, 6)
+
+    with pytest.raises(ValueError):
+        SP.compact_cells(blk, res=9, min_res=10)
+    with pytest.raises(Exception):  # ASSERT_TRUE surfaces as SparkException
+        SP.uncompact_cells(
+            spark.createDataFrame([(int(C.pack_ij(1, 1, 9)),)], "cell long"),
+            res=8).collect()

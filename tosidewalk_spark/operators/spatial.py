@@ -447,3 +447,105 @@ def vectorize_tiles(tiles: DataFrame, threshold: float = 1.0,
             .agg(F.min("c").alias("c0"), F.max("c").alias("c1"),
                  F.round(F.sum("v"), 6).alias("mass"))
             .select("cell9", "r", "c0", "c1", "mass"))
+
+
+# --- H3-style coverage compaction (compact / uncompact) ---------------------
+
+def _res_expr(cell: str) -> str:
+    """Resolution field of a cell id (dialect-portable: FLOOR-division,
+    same rule as sqlfns.parent_sql)."""
+    return f"CAST(FLOOR(({cell}) / {sqlfns.POW2_56}) AS INT)"
+
+
+def compact_cells(cover: DataFrame, res: int,
+                  min_res: int = 6) -> DataFrame:
+    """H3 ``compact`` analog over the quadtree lattice: fold every
+    COMPLETE 4-sibling group into its parent, recursively from ``res``
+    down to ``min_res``, producing the MINIMAL mixed-resolution covering
+    of the input cell set — the operator that turns a polyfill of 10^6
+    res-9 cells into the few-hundred-cell set a broadcast join or an
+    index manifest can actually carry.  Input: ``cover`` with a BIGINT
+    ``cell`` column, all at resolution ``res`` (duplicates tolerated — the
+    first step is DISTINCT, matching H3's set semantics).
+
+    Plan per round (res - min_res rounds, a small constant like the
+    pagerank/k-means unrolled loops): split the current set on the res
+    field, then ONE map-side-combinable groupBy on the parent id with a
+    bounded collect_list (a parent has at most 4 children, so the list
+    is a <= 4-element struct, not a skew risk) — complete groups emit the
+    parent, incomplete groups re-emit their children via explode.  No
+    join anywhere; per-round persist keeps round k's lineage from
+    recomputing rounds 1..k-1 (the k-means discipline).  Exchange per
+    round carries <= |cells at r| rows keyed by parent — cells/4 keys,
+    evenly spread by construction of the lattice.
+
+    Output: (cell, cell_res) — the covering, every complete quad folded.
+    Invariant (pinned by pytest + the DuckDB twin): uncompact_cells of
+    the output at ``res`` is EXACTLY the input set, and no 4 cells of the
+    output share a parent."""
+    if not (0 <= min_res <= res):
+        raise ValueError(f"need 0 <= min_res <= res, got {min_res}..{res}")
+    cur = cover.select(F.col("cell").cast("long").alias("cell")).distinct()
+    keep = []
+    cached = []
+    for r in range(res, min_res, -1):
+        at_r = cur.filter(F.expr(f"{_res_expr('cell')} = {r}"))
+        # cells already coarser than r are settled for this round
+        keep.append(cur.filter(F.expr(f"{_res_expr('cell')} <> {r}")))
+        grouped = (at_r
+                   .withColumn("p", F.expr(
+                       sqlfns.parent_sql("cell", r, r - 1)))
+                   .groupBy("p")
+                   .agg(F.count("*").alias("n"),
+                        F.collect_list("cell").alias("kids")))
+        promoted = grouped.filter("n = 4").select(F.col("p").alias("cell"))
+        survivors = (grouped.filter("n < 4")
+                     .select(F.explode("kids").alias("cell")))
+        cur = promoted.unionByName(survivors).persist()
+        cur.count()  # materialize: cut the per-round lineage chain
+        cached.append(cur)
+    out = cur
+    for k in keep:
+        out = out.unionByName(k)
+    out = out.select("cell", F.expr(_res_expr("cell")).alias("cell_res"))
+    # Scope the per-round caches to the result (the knn_join discipline —
+    # VERDICT.md r2 'What's wrong' #3): DataFrame persist is never
+    # auto-evicted, and the `keep` slices read earlier rounds' caches
+    # lazily, so eager unpersist would be wrong.  When the returned
+    # DataFrame is collected and dropped, the caches release; a derived
+    # plan that outlives it merely recomputes from lineage.
+    for c in cached:
+        weakref.finalize(out, _safe_unpersist, c)
+    return out
+
+
+def uncompact_cells(cover: DataFrame, res: int) -> DataFrame:
+    """H3 ``uncompact`` analog: expand every cell of a mixed-resolution
+    covering to its resolution-``res`` descendants (4^(res - r) children
+    per cell — two SEQUENCE explodes over the i/j child offsets, pure
+    codegen, zero shuffles).  Cells already at ``res`` pass through;
+    cells finer than ``res`` are an error (H3 contract)."""
+    d = f"({res} - {_res_expr('cell')})"
+    j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
+    i = f"(cell % {sqlfns.POW2_28})"
+    # side = 2^d via CASE (d is a small non-negative integer; no shift op
+    # syntax shared by both engines)
+    side = ("(CASE " + " ".join(
+        f"WHEN {d} = {k} THEN {1 << k}" for k in range(0, 16))
+        + " END)")
+    return (cover
+            .select(F.col("cell").cast("long").alias("cell"))
+            # filter-folded guard (the prune-proof ASSERT_TRUE idiom used
+            # by pip_join): evaluates per row, raises on the first cell
+            # finer than the target res
+            .filter(F.expr(
+                f"ASSERT_TRUE({_res_expr('cell')} <= {res}, "
+                f"'uncompact: cell finer than target res') IS NULL"))
+            .select("cell", F.expr(f"EXPLODE(SEQUENCE(0, {side} - 1))")
+                    .alias("di"))
+            .select("cell", "di", F.expr(f"EXPLODE(SEQUENCE(0, {side} - 1))")
+                    .alias("dj"))
+            .select(F.expr(
+                f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
+                f"+ ({j} * {side} + dj) * {sqlfns.POW2_28} "
+                f"+ ({i} * {side} + di)").alias("cell")))

@@ -3244,6 +3244,69 @@ def o_qsk_quantiles() -> str:
     return sketch.qsk_quantiles_oracle()
 
 
+_COMPACT_RECT = (101, 138, 53, 82)  # misaligned res-9 rectangle: partial
+# quads on every edge, complete quads inside => genuinely mixed-res output
+
+
+def _compact_rect_cells(spark: SparkSession) -> DataFrame:
+    """37 x 29 res-9 cell rectangle (a polyfill stand-in) — tiny generator
+    cross join, documented small side."""
+    i0, i1, j0, j1 = _COMPACT_RECT
+    return (spark.range(i0, i1).selectExpr("id AS i")
+            .crossJoin(spark.range(j0, j1).selectExpr("id AS j"))
+            .selectExpr(f"CAST(9 * {sqlfns.POW2_56} + j * {sqlfns.POW2_28}"
+                        f" + i AS LONG) AS cell"))
+
+
+def _compact_rect_sql() -> str:
+    i0, i1, j0, j1 = _COMPACT_RECT
+    return (f"SELECT CAST(9 * {sqlfns.POW2_56} + jj.j * {sqlfns.POW2_28}"
+            f" + ii.i AS BIGINT) AS cell"
+            f" FROM range({i0}, {i1}) ii(i), range({j0}, {j1}) jj(j)")
+
+
+def q_g3_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style compact of the rectangle covering: minimal mixed-res set."""
+    return SP.compact_cells(_compact_rect_cells(spark), res=9, min_res=6)
+
+
+def o_g3_compact() -> str:
+    """DuckDB twin: the identical promote-complete-quads rounds unrolled
+    as a CTE chain (9->8->7->6), same parent arithmetic (sqlfns.parent_sql
+    is dialect-portable)."""
+    res_of = f"CAST(FLOOR(cell / {sqlfns.POW2_56}) AS INT)"
+    ctes = [f"c9 AS ({_compact_rect_sql()})"]
+    cur = "c9"
+    for r in range(9, 6, -1):
+        p = sqlfns.parent_sql("cell", r, r - 1)
+        ctes.append(f"""par_{r} AS (
+          SELECT cell, {p} AS p FROM {cur} WHERE {res_of} = {r})""")
+        ctes.append(f"""cnt_{r} AS (
+          SELECT p, COUNT(*) AS n FROM par_{r} GROUP BY p)""")
+        ctes.append(f"""nxt_{r} AS (
+          SELECT p AS cell FROM cnt_{r} WHERE n = 4
+          UNION ALL
+          SELECT par_{r}.cell FROM par_{r}
+          JOIN cnt_{r} USING (p) WHERE cnt_{r}.n < 4
+          UNION ALL
+          SELECT cell FROM {cur} WHERE {res_of} <> {r})""")
+        cur = f"nxt_{r}"
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT cell, {res_of} AS cell_res FROM {cur}")
+
+
+def q_g3_uncompact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uncompact(compact(S), 9) must be EXACTLY S — the pair's defining
+    identity, with the plain rectangle as the closed-form oracle."""
+    compacted = SP.compact_cells(_compact_rect_cells(spark), res=9,
+                                 min_res=6)
+    return SP.uncompact_cells(compacted.select("cell"), res=9)
+
+
+def o_g3_uncompact_roundtrip() -> str:
+    return _compact_rect_sql()
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling over synthesized pages; the oracle re-derives
     the url/host scheme in closed form (page synthesis is pure SQL)."""
@@ -3280,6 +3343,9 @@ QUERIES.update({
     "cm_topk": (q_cm_topk, o_cm_topk),
     "qsk_quantiles": (q_qsk_quantiles, o_qsk_quantiles),
     "fetch_schedule": (q_fetch_schedule, o_fetch_schedule),
+    "g3_compact": (q_g3_compact, o_g3_compact),
+    "g3_uncompact_roundtrip": (q_g3_uncompact_roundtrip,
+                               o_g3_uncompact_roundtrip),
 })
 
 
@@ -3416,6 +3482,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                       ("p50_lo", "i"), ("p90_lo", "i"), ("p99_lo", "i")],
     "fetch_schedule": [("url", "s"), ("host", "s"), ("rank_in_host", "i"),
                        ("slot", "i")],
+    "g3_compact": [("cell", "h"), ("cell_res", "i")],
+    "g3_uncompact_roundtrip": [("cell", "h")],
     # catalog metadata ops (already aggregated outputs; kinds are plain)
     "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
     "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
@@ -3554,7 +3622,9 @@ _AUDIT_GROUPS = {
                                  "multimodal_features",
                                  # catalog-backed spatial join (north-rule
                                  # composition: z-order scan feeds PIP)
-                                 "g1_catalog_pip"],
+                                 "g1_catalog_pip",
+                                 # H3-style coverage compaction pair
+                                 "g3_compact", "g3_uncompact_roundtrip"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -3615,7 +3685,8 @@ _TAIL = [
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
     "bpe_learn", "hll_distinct", "cm_topk", "qsk_quantiles",
-    "fetch_schedule", "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
+    "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip",
+    "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
