@@ -283,3 +283,59 @@ def test_catalog_scan_pushdown_and_single_stage(spark, tmp_path):
     assert "Exchange" not in plan and "Python" not in plan
     # file-level pruning actually happened and the scan reads ONLY kept files
     assert 0 < len(got.inputFiles()) < len(man["files"])
+
+
+def test_qsk_quantiles_partial_agg_no_python(spark):
+    """The quantile-sketch counter fold must be a two-phase hash agg
+    (map-side partial COUNT before the exchange — the exchange carries
+    bucket counts, never one row per doc) with zero python stages; the
+    read-side window runs over the tiny counter table only."""
+    from tosidewalk_spark.operators import sketch
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sketch.qsk_quantiles(docs)
+    plan = _executed_plan(out)
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # two-phase agg: a partial_count must appear below the first exchange
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+
+def test_fetch_schedule_one_host_exchange_no_global_sort(spark):
+    """fetch_schedule's contract: ONE hash exchange on host for the
+    window, and no global ordering anywhere (rangepartitioning would be
+    the single-partition bottleneck the docstring rules out)."""
+    from tosidewalk_spark.operators import text as TX
+    out = TX.fetch_schedule(synth.pages(spark, 2000), per_slot=2)
+    plan = _executed_plan(out)
+    # AQE prints the materialized stage once inside AQEShuffleRead and once
+    # as the original subtree — count distinct shuffle STAGES, not lines
+    import re
+    stages = set(re.findall(r"ShuffleQueryStage (\d+)", plan))
+    assert len(stages) == 1, plan
+    # and the one exchange keys on host, never a global range partitioning
+    for m in re.findall(r"Exchange (\w+)\(([^,)]+)", plan):
+        assert m[0] == "hashpartitioning" and m[1].startswith("host"), m
+    assert "rangepartitioning" not in plan, plan
+    assert "Python" not in plan
+
+
+def test_compact_cells_no_join_and_caches_release(spark):
+    """compact_cells' promote rounds are groupBy-only — NO join operator
+    anywhere in the returned plan (the collect_list re-emit replaces the
+    children-vs-counts join) — and the per-round caches release when the
+    result is dropped (the weakref scoping, knn_join discipline)."""
+    import gc
+    from tosidewalk_spark.kernel import cells as C
+    import numpy as np
+    ii, jj = np.meshgrid(np.arange(0, 16), np.arange(0, 16))
+    inp = spark.createDataFrame(
+        [(int(c),) for c in C.pack_ij(ii.ravel(), jj.ravel(), 9)],
+        "cell long")
+    out = SP.compact_cells(inp, res=9, min_res=6)
+    plan = _optimized_plan(out)
+    assert "Join" not in plan, plan
+    n_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_before >= 3  # one cache per promote round
+    del out
+    gc.collect()
+    n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_after < n_before, (n_before, n_after)
