@@ -453,6 +453,10 @@ def run_queries(spark, buffers) -> dict[str, float]:
                          "AS LONG) AS cell"))
     bench("g3_compact", lambda: SP.compact_cells(compact_cover, res=9,
                                                  min_res=5))
+    # city-scale polygon at res 11 (~0.02 deg across => ~50k candidates)
+    bench("g3_polyfill", lambda: SP.polyfill_cells(
+        spark, [(47.55, -122.40), (47.68, -122.37), (47.66, -122.28),
+                (47.57, -122.30)], res=11))
     bench("fetch_schedule", lambda: text.fetch_schedule(
         docs.selectExpr(
             "CONCAT('https://site', CAST(doc_id % 997 AS STRING), "

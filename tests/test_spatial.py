@@ -223,3 +223,53 @@ def test_compact_cells_roundtrip_minimality_and_guards(spark):
         SP.uncompact_cells(
             spark.createDataFrame([(int(C.pack_ij(1, 1, 9)),)], "cell long"),
             res=8).collect()
+
+
+def test_polyfill_cells_exact_interior_and_compact_compose(spark):
+    """True-polygon polyfill: equals the python crossing-number twin cell
+    for cell, is a strict subset of the bbox cover, rejects degenerate
+    polygons, and composes with compact_cells (the canonical H3
+    polyfill -> compact workflow) such that uncompacting the compacted
+    covering returns exactly the polyfill set."""
+    import math
+    import pytest
+    from tosidewalk_spark.kernel import cells as C
+    from tosidewalk_spark.operators import spatial as SP
+
+    poly = [(47.652, -122.351), (47.664, -122.332), (47.6455, -122.3085),
+            (47.6362, -122.3348)]
+    got = sorted(r.cell for r in
+                 SP.polyfill_cells(spark, poly, res=9).collect())
+
+    def inside(py_, px_):
+        n = len(poly); c = False
+        for k in range(n):
+            y1, x1 = poly[k]; y2, x2 = poly[(k + 1) % n]
+            if (y1 > py_) != (y2 > py_) and \
+                    px_ < x1 + (x2 - x1) * (py_ - y1) / (y2 - y1):
+                c = not c
+        return c
+
+    s = C.cell_size_deg(9)
+    j0 = math.floor((min(p[0] for p in poly) + 90) / s)
+    j1 = math.floor((max(p[0] for p in poly) + 90) / s)
+    i0 = math.floor((min(p[1] for p in poly) + 180) / s)
+    i1 = math.floor((max(p[1] for p in poly) + 180) / s)
+    want = sorted(int(C.pack_ij(i, j, 9))
+                  for j in range(j0, j1 + 1) for i in range(i0, i1 + 1)
+                  if inside((j + 0.5) * s - 90, (i + 0.5) * s - 180))
+    assert got == want and len(got) > 0
+    bbox = set(int(c) for c in C.polyfill(
+        [p[0] for p in poly], [p[1] for p in poly], 9))
+    assert set(got) < bbox
+
+    compacted = SP.compact_cells(
+        SP.polyfill_cells(spark, poly, res=9), res=9, min_res=6)
+    n_compact = compacted.count()
+    assert 0 < n_compact < len(got)
+    back = sorted(r.cell for r in SP.uncompact_cells(
+        compacted.select("cell"), res=9).collect())
+    assert back == got
+
+    with pytest.raises(ValueError):
+        SP.polygon_contains_sql("x", "y", poly[:2])

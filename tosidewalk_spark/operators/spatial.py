@@ -549,3 +549,66 @@ def uncompact_cells(cover: DataFrame, res: int) -> DataFrame:
                 f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
                 f"+ ({j} * {side} + dj) * {sqlfns.POW2_28} "
                 f"+ ({i} * {side} + di)").alias("cell")))
+
+
+# --- H3-style polygon polyfill (polygonToCells analog) -----------------------
+
+def polygon_contains_sql(clat: str, clng: str,
+                         poly: list[tuple[float, float]]) -> str:
+    """Crossing-number (even-odd) containment of a point in a CONSTANT
+    polygon, as one dialect-portable SQL expression: the polygon is an API
+    argument (H3 polygonToCells shape), so its E edges unroll into E CASE
+    arms summed and reduced mod 2 — pure codegen, no join against a vertex
+    table.  Horizontal edges contribute 0 via the first conjunct; their
+    (y2-y1)=0 division yields an IEEE Infinity (double division never
+    raises under ANSI — only integer division does) which both engines
+    compare identically, so no divide guard is needed.  Boundary points
+    are zero-measure and NOT part of the contract (same stance as
+    rect_inside_sql's cap/edge hits)."""
+    if len(poly) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    arms = []
+    for k in range(len(poly)):
+        y1, x1 = poly[k]
+        y2, x2 = poly[(k + 1) % len(poly)]
+        d = lambda v: sqlfns.dlit(v)
+        cross = (f"(({d(y1)} > ({clat})) <> ({d(y2)} > ({clat})))"
+                 f" AND (({clng}) < {d(x1)} + ({d(x2)} - {d(x1)})"
+                 f" * (({clat}) - {d(y1)}) / ({d(y2)} - {d(y1)}))")
+        arms.append(f"(CASE WHEN {cross} THEN 1 ELSE 0 END)")
+    return f"(({' + '.join(arms)}) % 2 = 1)"
+
+
+def polyfill_cells(spark, poly: list[tuple[float, float]],
+                   res: int = cells.DEFAULT_RES):
+    """H3 ``polygonToCells`` analog: every res-``res`` cell whose CENTER
+    lies inside the polygon (H3's default containment mode).  The
+    bbox candidate grid is two SEQUENCE ranges (driver computes only the
+    four integer bounds — no geometry leaves the plan), the ray-cast
+    refine is the unrolled crossing-number expression above, and the
+    whole operator is a single codegen projection + filter with ZERO
+    shuffles: at res 9 a city-sized polygon is ~10^5 candidate rows per
+    executor slice, embarrassingly parallel.  Composes with
+    compact_cells(polyfill_cells(...)) — the canonical H3 workflow for
+    shipping a coverage as a broadcast list.  Upgrade over
+    kernel.cells.polyfill, which returns the conservative bbox SUPERSET.
+
+    Output: (cell) BIGINT rows at resolution ``res``."""
+    lats = [p[0] for p in poly]
+    lngs = [p[1] for p in poly]
+    s = cells.cell_size_deg(res)
+    import math
+    j0 = int(math.floor((min(lats) + 90.0) / s))
+    j1 = int(math.floor((max(lats) + 90.0) / s))
+    i0 = int(math.floor((min(lngs) + 180.0) / s))
+    i1 = int(math.floor((max(lngs) + 180.0) / s))
+    # center coords: s = 360 / 2^(res+9) is an exact power-of-two quotient,
+    # so (j + 0.5) * s is one rounding on both engines (shared template)
+    clat = f"((j + 0.5e0) * {sqlfns.dlit(s)} - 90.0e0)"
+    clng = f"((i + 0.5e0) * {sqlfns.dlit(s)} - 180.0e0)"
+    inside = polygon_contains_sql(clat, clng, poly)
+    return (spark.range(i0, i1 + 1).selectExpr("id AS i")
+            .crossJoin(spark.range(j0, j1 + 1).selectExpr("id AS j"))
+            .filter(F.expr(inside))
+            .selectExpr(f"CAST({res} AS BIGINT) * {sqlfns.POW2_56}"
+                        f" + j * {sqlfns.POW2_28} + i AS cell"))

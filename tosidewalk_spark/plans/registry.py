@@ -3307,6 +3307,42 @@ def o_g3_uncompact_roundtrip() -> str:
     return _compact_rect_sql()
 
 
+_POLYFILL_PENTAGON = [(47.601, -122.341), (47.613, -122.329),
+                      (47.6065, -122.3135), (47.5932, -122.3178),
+                      (47.5911, -122.3369)]  # non-grid-aligned vertices:
+# no cell center lies on an edge, so the zero-measure boundary caveat of
+# the crossing-number template never engages
+
+
+def q_g3_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 polygonToCells analog: res-9 cells whose center is inside the
+    pentagon (center-containment, H3's default mode)."""
+    return SP.polyfill_cells(spark, _POLYFILL_PENTAGON, res=9)
+
+
+def o_g3_polyfill() -> str:
+    """DuckDB twin: identical bbox integer bounds, identical center
+    arithmetic, identical unrolled crossing-number expression (the
+    template is dialect-portable)."""
+    from ..kernel import cells as C
+    import math
+    poly = _POLYFILL_PENTAGON
+    s = C.cell_size_deg(9)
+    j0 = math.floor((min(p[0] for p in poly) + 90.0) / s)
+    j1 = math.floor((max(p[0] for p in poly) + 90.0) / s)
+    i0 = math.floor((min(p[1] for p in poly) + 180.0) / s)
+    i1 = math.floor((max(p[1] for p in poly) + 180.0) / s)
+    clat = f"((j + 0.5e0) * {sqlfns.dlit(s)} - 90.0e0)"
+    clng = f"((i + 0.5e0) * {sqlfns.dlit(s)} - 180.0e0)"
+    inside = SP.polygon_contains_sql(clat, clng, poly)
+    return f"""
+    SELECT CAST(9 AS BIGINT) * {sqlfns.POW2_56} + j * {sqlfns.POW2_28} + i
+             AS cell
+    FROM range({i0}, {i1 + 1}) ii(i), range({j0}, {j1 + 1}) jj(j)
+    WHERE {inside}
+    """
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling over synthesized pages; the oracle re-derives
     the url/host scheme in closed form (page synthesis is pure SQL)."""
@@ -3346,6 +3382,7 @@ QUERIES.update({
     "g3_compact": (q_g3_compact, o_g3_compact),
     "g3_uncompact_roundtrip": (q_g3_uncompact_roundtrip,
                                o_g3_uncompact_roundtrip),
+    "g3_polyfill": (q_g3_polyfill, o_g3_polyfill),
 })
 
 
@@ -3484,6 +3521,7 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                        ("slot", "i")],
     "g3_compact": [("cell", "h"), ("cell_res", "i")],
     "g3_uncompact_roundtrip": [("cell", "h")],
+    "g3_polyfill": [("cell", "h")],
     # catalog metadata ops (already aggregated outputs; kinds are plain)
     "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
     "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
@@ -3623,8 +3661,10 @@ _AUDIT_GROUPS = {
                                  # catalog-backed spatial join (north-rule
                                  # composition: z-order scan feeds PIP)
                                  "g1_catalog_pip",
-                                 # H3-style coverage compaction pair
-                                 "g3_compact", "g3_uncompact_roundtrip"],
+                                 # H3-style coverage compaction pair +
+                                 # true-polygon polyfill
+                                 "g3_compact", "g3_uncompact_roundtrip",
+                                 "g3_polyfill"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -3685,7 +3725,7 @@ _TAIL = [
     "semantic_dedup", "dsir_weights", "mixture_weights", "hash_embed",
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
     "bpe_learn", "hll_distinct", "cm_topk", "qsk_quantiles",
-    "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip",
+    "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip", "g3_polyfill",
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
