@@ -273,3 +273,29 @@ def test_polyfill_cells_exact_interior_and_compact_compose(spark):
 
     with pytest.raises(ValueError):
         SP.polygon_contains_sql("x", "y", poly[:2])
+
+
+def test_cells_to_geojson_valid_and_matches_kernel(spark):
+    """Every exported feature parses as RFC 7946 JSON, its ring is closed
+    CCW, and the corner coordinates equal the kernel lattice decode to
+    the printed precision — across MIXED resolutions."""
+    import json
+    from tosidewalk_spark.kernel import cells as C
+    from tosidewalk_spark.operators import spatial as SP
+    ids = [int(C.pack_ij(5, 7, 9)), int(C.pack_ij(3, 2, 6)),
+           int(C.pack_ij(100, 200, 11))]
+    rows = SP.cells_to_geojson(
+        spark.createDataFrame([(c,) for c in ids], "cell long")).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        f = json.loads(r.feature)
+        assert f["type"] == "Feature" and f["properties"]["cell"] == r.cell
+        ring = f["geometry"]["coordinates"][0]
+        assert len(ring) == 5 and ring[0] == ring[-1]
+        res = f["properties"]["res"]
+        s = C.cell_size_deg(res)
+        i, j = C.cell_ij(r.cell)
+        assert abs(ring[0][0] - (int(i) * s - 180.0)) < 1e-6
+        assert abs(ring[0][1] - (int(j) * s - 90.0)) < 1e-6
+        assert abs(ring[2][0] - ((int(i) + 1) * s - 180.0)) < 1e-6
+        assert abs(ring[2][1] - ((int(j) + 1) * s - 90.0)) < 1e-6

@@ -612,3 +612,39 @@ def polyfill_cells(spark, poly: list[tuple[float, float]],
             .filter(F.expr(inside))
             .selectExpr(f"CAST({res} AS BIGINT) * {sqlfns.POW2_56}"
                         f" + j * {sqlfns.POW2_28} + i AS cell"))
+
+
+def cells_to_geojson(cover: DataFrame, precision: int = 6) -> DataFrame:
+    """Covering export: one canonical GeoJSON Polygon Feature per cell of
+    a (possibly mixed-resolution) covering — how a polyfill/compact result
+    leaves the engine for a map (the R20 export discipline applied to the
+    G3 cell ops).  Corner math is the exact lattice inverse: s(res) =
+    360/2^(res+9) is an exact double (360 = 45·2^3, so s = 45/2^(res+6)
+    has a short mantissa), corners are one multiply + one subtract per
+    coordinate, resolved per row via a CASE lookup over the 20 legal
+    resolutions.  Floats are frozen with FORMAT_STRING('%.{p}f', ...) —
+    the same C-printf fixed-point contract as to_geojson_canonical, so
+    the DuckDB twin (printf) is byte-exact.  One codegen projection,
+    zero shuffles, no python.
+
+    Output: (cell, feature) with feature a complete RFC 7946 Feature."""
+    res = _res_expr("cell")
+    j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
+    i = f"(cell % {sqlfns.POW2_28})"
+    s = ("(CASE " + " ".join(
+        f"WHEN {res} = {r} THEN {sqlfns.dlit(cells.cell_size_deg(r))}"
+        for r in range(20)) + " END)")
+    f6 = lambda x: f"FORMAT_STRING('%.{precision}f', {x})"
+    lat0, lat1 = f"({j} * {s} - 90.0e0)", f"(({j} + 1) * {s} - 90.0e0)"
+    lng0, lng1 = f"({i} * {s} - 180.0e0)", f"(({i} + 1) * {s} - 180.0e0)"
+    ring_pts = [(lng0, lat0), (lng1, lat0), (lng1, lat1), (lng0, lat1),
+                (lng0, lat0)]  # closed ring, CCW (RFC 7946 exterior)
+    ring = ", ',', ".join(
+        f"CONCAT('[', {f6(x)}, ',', {f6(y)}, ']')" for x, y in ring_pts)
+    feature = (
+        "CONCAT('{\"type\":\"Feature\",\"properties\":{\"cell\":', "
+        "CAST(cell AS STRING), ',\"res\":', CAST(" + res + " AS STRING), "
+        "'},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[', "
+        + ring + ", ']]}}')")
+    return (cover.select(F.col("cell").cast("long").alias("cell"))
+            .select("cell", F.expr(feature).alias("feature")))

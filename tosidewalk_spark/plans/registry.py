@@ -3343,6 +3343,42 @@ def o_g3_polyfill() -> str:
     """
 
 
+def q_g3_cells_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covering export: GeoJSON Polygon features for the COMPACTED
+    rectangle covering (mixed resolutions exercise the per-row size
+    lookup and the exact corner math at every level)."""
+    compacted = SP.compact_cells(_compact_rect_cells(spark), res=9,
+                                 min_res=6)
+    return SP.cells_to_geojson(compacted.select("cell"))
+
+
+def o_g3_cells_geojson() -> str:
+    """DuckDB twin: the compact chain (o_g3_compact verbatim, as a derived
+    table) + the identical corner arithmetic with printf (the
+    FORMAT_STRING C-contract pair, same as the R20 canonical export)."""
+    res = f"CAST(FLOOR(cell / {sqlfns.POW2_56}) AS INT)"
+    j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
+    i = f"(cell % {sqlfns.POW2_28})"
+    from ..kernel import cells as C
+    s = ("(CASE " + " ".join(
+        f"WHEN {res} = {r} THEN {sqlfns.dlit(C.cell_size_deg(r))}"
+        for r in range(20)) + " END)")
+    f6 = lambda x: f"printf('%.6f', {x})"
+    lat0, lat1 = f"({j} * {s} - 90.0e0)", f"(({j} + 1) * {s} - 90.0e0)"
+    lng0, lng1 = f"({i} * {s} - 180.0e0)", f"(({i} + 1) * {s} - 180.0e0)"
+    ring_pts = [(lng0, lat0), (lng1, lat0), (lng1, lat1), (lng0, lat1),
+                (lng0, lat0)]
+    ring = " || ',' || ".join(
+        f"('[' || {f6(x)} || ',' || {f6(y)} || ']')" for x, y in ring_pts)
+    feature = (
+        "'{\"type\":\"Feature\",\"properties\":{\"cell\":' || "
+        "CAST(cell AS VARCHAR) || ',\"res\":' || CAST(" + res +
+        " AS VARCHAR) || '},\"geometry\":{\"type\":\"Polygon\","
+        "\"coordinates\":[[' || " + ring + " || ']]}}'")
+    return (f"SELECT cell, {feature} AS feature FROM "
+            f"({o_g3_compact()}) src")
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling over synthesized pages; the oracle re-derives
     the url/host scheme in closed form (page synthesis is pure SQL)."""
@@ -3383,6 +3419,7 @@ QUERIES.update({
     "g3_uncompact_roundtrip": (q_g3_uncompact_roundtrip,
                                o_g3_uncompact_roundtrip),
     "g3_polyfill": (q_g3_polyfill, o_g3_polyfill),
+    "g3_cells_geojson": (q_g3_cells_geojson, o_g3_cells_geojson),
 })
 
 
@@ -3522,6 +3559,7 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "g3_compact": [("cell", "h"), ("cell_res", "i")],
     "g3_uncompact_roundtrip": [("cell", "h")],
     "g3_polyfill": [("cell", "h")],
+    "g3_cells_geojson": [("cell", "h"), ("feature", "s")],
     # catalog metadata ops (already aggregated outputs; kinds are plain)
     "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
     "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
@@ -3664,7 +3702,7 @@ _AUDIT_GROUPS = {
                                  # H3-style coverage compaction pair +
                                  # true-polygon polyfill
                                  "g3_compact", "g3_uncompact_roundtrip",
-                                 "g3_polyfill"],
+                                 "g3_polyfill", "g3_cells_geojson"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -3726,7 +3764,7 @@ _TAIL = [
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
     "bpe_learn", "hll_distinct", "cm_topk", "qsk_quantiles",
     "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip", "g3_polyfill",
-    "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
+    "g3_cells_geojson", "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
