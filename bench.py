@@ -458,6 +458,9 @@ def run_queries(spark, buffers) -> dict[str, float]:
         spark, [(47.55, -122.40), (47.68, -122.37), (47.66, -122.28),
                 (47.57, -122.30)], res=11))
     bench("g3_cells_geojson", lambda: SP.cells_to_geojson(compact_cover))
+    bench("g3_focal_sum", lambda: SP.focal_sum(
+        pts.groupBy(F.col("cell9").alias("cell"))
+        .agg(F.count("*").alias("n")), k=1))
     bench("fetch_schedule", lambda: text.fetch_schedule(
         docs.selectExpr(
             "CONCAT('https://site', CAST(doc_id % 997 AS STRING), "

@@ -299,3 +299,29 @@ def test_cells_to_geojson_valid_and_matches_kernel(spark):
         assert abs(ring[0][1] - (int(j) * s - 90.0)) < 1e-6
         assert abs(ring[2][0] - ((int(i) + 1) * s - 180.0)) < 1e-6
         assert abs(ring[2][1] - ((int(j) + 1) * s - 90.0)) < 1e-6
+
+
+def test_focal_sum_exact_window_semantics(spark):
+    """Focal sum equals the brute-force python 3x3 window on a planted
+    sparse grid, keeps sparse semantics (empty-disk cells absent), and
+    rejects k < 1."""
+    import pytest
+    from collections import defaultdict
+    from tosidewalk_spark.kernel import cells as C
+    from tosidewalk_spark.operators import spatial as SP
+    pts = {(10, 10): 5, (11, 10): 2, (13, 13): 7, (10, 11): 1}
+    df = spark.createDataFrame(
+        [(int(C.pack_ij(i, j, 9)), n) for (i, j), n in pts.items()],
+        "cell long, n long")
+    got = {r.cell: r.focal_sum for r in SP.focal_sum(df, k=1).collect()}
+    want = defaultdict(int)
+    for (i, j), n in pts.items():
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                want[int(C.pack_ij(i + di, j + dj, 9))] += n
+    assert got == dict(want)
+    # the isolated (13,13) cluster does not bleed into (10,10)'s disk
+    assert got[int(C.pack_ij(10, 10, 9))] == 8
+    assert got[int(C.pack_ij(13, 13, 9))] == 7
+    with pytest.raises(ValueError):
+        SP.focal_sum(df, k=0)

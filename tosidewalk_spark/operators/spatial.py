@@ -648,3 +648,44 @@ def cells_to_geojson(cover: DataFrame, precision: int = 6) -> DataFrame:
         + ring + ", ']]}}')")
     return (cover.select(F.col("cell").cast("long").alias("cell"))
             .select("cell", F.expr(feature).alias("feature")))
+
+
+def focal_sum(cell_counts: DataFrame, k: int = 1,
+              value_col: str = "n") -> DataFrame:
+    """Focal (neighborhood) sum over a sparse cell raster — the smoothing
+    primitive behind density heatmaps and hotspot detection: each cell's
+    output is the sum of ``value_col`` over its Chebyshev-(<= k) disk
+    ((2k+1)^2 cells, the kernel.cells.disk neighborhood).  Input:
+    (cell, value) one row per NON-EMPTY cell; output keeps sparse
+    semantics — a cell appears iff some disk neighbor is non-empty, so
+    an ocean of empty cells costs nothing at any scale.
+
+    Plan: scatter-as-gather — each input cell CONTRIBUTES its value to
+    its own (2k+1)^2 neighbors via two SEQUENCE explodes (pure codegen),
+    then ONE map-side-combinable hash agg on the receiving cell.  The
+    exchange carries (2k+1)^2 x |non-empty cells| partial rows at most;
+    dense urban areas combine map-side first.  No join, no window, no
+    python.  Lattice edges: offsets that underflow i/j land on cells
+    outside any data (negative coordinates cannot collide with real
+    cells because pack keeps i, j non-negative) and simply materialize
+    as sparse cells with their true partial sums — at lat/lng bounds
+    the disk is the clipped physical neighborhood, same as H3 kRing on
+    a pentagon-free patch."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    res = _res_expr("cell")
+    j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
+    i = f"(cell % {sqlfns.POW2_28})"
+    return (cell_counts
+            .select(F.col("cell").cast("long").alias("cell"),
+                    F.col(value_col).alias("v"))
+            .select("cell", "v",
+                    F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("di"))
+            .select("cell", "v", "di",
+                    F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("dj"))
+            .select(F.expr(
+                f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
+                f"+ ({j} + dj) * {sqlfns.POW2_28} + ({i} + di)")
+                .alias("cell"), "v")
+            .groupBy("cell")
+            .agg(F.sum("v").cast("long").alias("focal_sum")))

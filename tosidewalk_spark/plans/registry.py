@@ -3379,6 +3379,35 @@ def o_g3_cells_geojson() -> str:
             f"({o_g3_compact()}) src")
 
 
+def q_g3_focal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal sum over the per-cell9 entity-point counts: the density
+    smoothing pass a hotspot map runs on the G3 encode output."""
+    counts = (_points(spark, sf_dir)
+              .groupBy(F.col("cell9").alias("cell"))
+              .agg(F.count("*").alias("n")))
+    return SP.focal_sum(counts, k=1)
+
+
+def o_g3_focal_sum() -> str:
+    """DuckDB twin: the shared point-derivation CTE, the same per-cell
+    count, and the identical scatter-as-gather 9-offset expansion."""
+    j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
+    i = f"(cell % {sqlfns.POW2_28})"
+    return f"""
+    WITH pts AS ({_duck_points()}),
+    counts AS (SELECT cell9 AS cell, COUNT(*) AS n FROM pts GROUP BY cell9),
+    scattered AS (
+      SELECT CAST(9 AS BIGINT) * {sqlfns.POW2_56}
+               + ({j} + dj.dj) * {sqlfns.POW2_28} + ({i} + di.di) AS cell,
+             n
+      FROM counts,
+           (SELECT unnest([-1, 0, 1]) AS di) di,
+           (SELECT unnest([-1, 0, 1]) AS dj) dj)
+    SELECT cell, CAST(SUM(n) AS BIGINT) AS focal_sum
+    FROM scattered GROUP BY cell
+    """
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling over synthesized pages; the oracle re-derives
     the url/host scheme in closed form (page synthesis is pure SQL)."""
@@ -3420,6 +3449,7 @@ QUERIES.update({
                                o_g3_uncompact_roundtrip),
     "g3_polyfill": (q_g3_polyfill, o_g3_polyfill),
     "g3_cells_geojson": (q_g3_cells_geojson, o_g3_cells_geojson),
+    "g3_focal_sum": (q_g3_focal_sum, o_g3_focal_sum),
 })
 
 
@@ -3560,6 +3590,7 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "g3_uncompact_roundtrip": [("cell", "h")],
     "g3_polyfill": [("cell", "h")],
     "g3_cells_geojson": [("cell", "h"), ("feature", "s")],
+    "g3_focal_sum": [("cell", "h"), ("focal_sum", "i")],
     # catalog metadata ops (already aggregated outputs; kinds are plain)
     "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
     "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
@@ -3702,7 +3733,8 @@ _AUDIT_GROUPS = {
                                  # H3-style coverage compaction pair +
                                  # true-polygon polyfill
                                  "g3_compact", "g3_uncompact_roundtrip",
-                                 "g3_polyfill", "g3_cells_geojson"],
+                                 "g3_polyfill", "g3_cells_geojson",
+                                 "g3_focal_sum"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -3764,7 +3796,8 @@ _TAIL = [
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
     "bpe_learn", "hll_distinct", "cm_topk", "qsk_quantiles",
     "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip", "g3_polyfill",
-    "g3_cells_geojson", "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
+    "g3_cells_geojson", "g3_focal_sum",
+    "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
