@@ -520,6 +520,50 @@ def test_streaming_qsk_counters_match_batch_and_resume(spark, tmp_path):
     assert sum(as_map(got2).values()) > sum(as_map(got1).values())
 
 
+def test_streaming_focal_counts_match_batch_and_resume(spark, tmp_path):
+    """Streaming hotspot counter: drained complete-mode focal counts equal
+    batch focal_sum of the per-cell counts bit-for-bit (shared
+    scatter_disk stage + SUM linearity), and a second availableNow drain
+    after new files converges to the full-union counts (additive COUNT,
+    the restart contract)."""
+    from pyspark.sql import functions as F
+    from tosidewalk_spark.kernel import cells as C
+    from tosidewalk_spark.operators import spatial as SP
+
+    base = int(C.pack_ij(50, 60, 9))
+
+    def pts(lo, hi):
+        # points hop across a small neighborhood: (50 + id%4, 60 + id%3)
+        return spark.range(lo, hi).selectExpr(
+            f"CAST({base} + (id % 4) + (id % 3) * {1 << C.J_SHIFT} "
+            f"AS LONG) AS cell9")
+
+    src = str(tmp_path / "focal_src")
+    ckpt = str(tmp_path / "ckpt_focal")
+    pts(0, 200).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def drain(name):
+        stream = spark.readStream.schema("cell9 long").parquet(src)
+        counts = jobs.streaming_focal_counts(stream, k=1)
+        jobs.run_available_now(counts, name, ckpt, output_mode="complete")
+        return spark.table(name)
+
+    as_map = lambda df: {r.cell: r.focal_sum for r in df.collect()}
+    got1 = drain("focal_counts_1")
+    want1 = SP.focal_sum(
+        pts(0, 200).groupBy(F.col("cell9").alias("cell"))
+        .agg(F.count("*").alias("n")), k=1)
+    assert as_map(got1) == as_map(want1) and len(as_map(got1)) > 0
+
+    pts(200, 350).coalesce(1).write.mode("append").parquet(src)
+    got2 = drain("focal_counts_2")
+    want2 = SP.focal_sum(
+        pts(0, 350).groupBy(F.col("cell9").alias("cell"))
+        .agg(F.count("*").alias("n")), k=1)
+    assert as_map(got2) == as_map(want2)
+    assert sum(as_map(got2).values()) > sum(as_map(got1).values())
+
+
 # --- catalog metadata scan planning + copy-on-write (round-4 wave) -----------
 
 def _grid_df(spark, n=10000):

@@ -673,19 +673,27 @@ def focal_sum(cell_counts: DataFrame, k: int = 1,
     a pentagon-free patch."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    return (scatter_disk(
+                cell_counts.select(F.col("cell").cast("long").alias("cell"),
+                                   F.col(value_col).alias("v")), k)
+            .groupBy("cell")
+            .agg(F.sum("v").cast("long").alias("focal_sum")))
+
+
+def scatter_disk(rows: DataFrame, k: int) -> DataFrame:
+    """The scatter stage of focal_sum, factored out so the STREAMING
+    hotspot counter (streaming/jobs.py streaming_focal_counts) folds the
+    IDENTICAL neighbor arithmetic: replicate every row to the (2k+1)^2
+    cells of its Chebyshev disk, keeping all other columns.  Pure
+    codegen (two SEQUENCE explodes), runs unchanged on a stream."""
     res = _res_expr("cell")
     j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
     i = f"(cell % {sqlfns.POW2_28})"
-    return (cell_counts
-            .select(F.col("cell").cast("long").alias("cell"),
-                    F.col(value_col).alias("v"))
-            .select("cell", "v",
-                    F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("di"))
-            .select("cell", "v", "di",
-                    F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("dj"))
+    rest = [c for c in rows.columns if c != "cell"]
+    return (rows
+            .select("*", F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("di"))
+            .select("*", F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("dj"))
             .select(F.expr(
                 f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
                 f"+ ({j} + dj) * {sqlfns.POW2_28} + ({i} + di)")
-                .alias("cell"), "v")
-            .groupBy("cell")
-            .agg(F.sum("v").cast("long").alias("focal_sum")))
+                .alias("cell"), *rest))

@@ -199,6 +199,26 @@ def streaming_qsk_counters(pages: DataFrame,
             .groupBy("grp", "bucket").agg(F.count("*").alias("cnt")))
 
 
+def streaming_focal_counts(points: DataFrame, k: int = 1) -> DataFrame:
+    """Streaming hotspot counter: per-cell focal (Chebyshev-k disk) point
+    counts over a geocoded point stream — the streaming twin of the batch
+    spatial.focal_sum over per-cell counts (spatial.scatter_disk is
+    shared, so the neighbor arithmetic is IDENTICAL, and by linearity of
+    SUM the drained counters equal focal_sum of the batch per-cell counts
+    bit-for-bit; pytest pins this).  Same bounded-no-watermark family as
+    the HLL/CM/quantile sketches, with a geographic twist: state is one
+    COUNT per non-empty disk cell — bounded by the DATA's footprint
+    (cells a point ever landed near), not by time — and COUNT-merge is
+    additive, so availableNow restarts over a shared checkpoint converge
+    to the counts of the full union."""
+    from ..operators.spatial import scatter_disk
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pts = points.select(F.col("cell9").cast("long").alias("cell"))
+    return (scatter_disk(pts, k)
+            .groupBy("cell").agg(F.count("*").alias("focal_sum")))
+
+
 def streaming_pip_tiles(points: DataFrame, buffers: DataFrame,
                         window: str = "10 minutes",
                         watermark: str = "30 minutes") -> DataFrame:
