@@ -325,3 +325,35 @@ def test_focal_sum_exact_window_semantics(spark):
     assert got[int(C.pack_ij(13, 13, 9))] == 7
     with pytest.raises(ValueError):
         SP.focal_sum(df, k=0)
+
+
+def test_compact_uncompact_property_random_sets(spark):
+    """Property over RANDOM cell sets (hypothesis): for any finite set S
+    of res-9 cells, uncompact(compact(S), 9) == S exactly AND no 4 output
+    cells share a parent (minimality) — the pair's contract on arbitrary
+    shapes, not just the rectangle/block fixtures."""
+    from collections import Counter
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+    from tosidewalk_spark.kernel import cells as C
+    from tosidewalk_spark.operators import spatial as SP
+
+    ij = st.tuples(st.integers(min_value=0, max_value=23),
+                   st.integers(min_value=0, max_value=23))
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.sets(ij, min_size=1, max_size=48))
+    def prop(pts):
+        ids = sorted(int(C.pack_ij(i, j, 9)) for i, j in pts)
+        inp = spark.createDataFrame([(c,) for c in ids], "cell long")
+        out = SP.compact_cells(inp, res=9, min_res=6).collect()
+        back = sorted(r.cell for r in SP.uncompact_cells(
+            spark.createDataFrame([(r.cell,) for r in out], "cell long"),
+            res=9).collect())
+        assert back == ids
+        par = Counter(C.parent(r.cell, r.cell_res - 1)
+                      for r in out if r.cell_res > 6)
+        assert not par or max(par.values()) < 4
+
+    prop()
