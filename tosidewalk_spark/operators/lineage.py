@@ -73,6 +73,12 @@ def run_stage_with_resume(spark: SparkSession, base: str, stage: str,
     # r1 'What's wrong' #6; test_lineage asserts single evaluation now)
     pending = staged.join(F.broadcast(done), "part_id", "left_anti").persist()
     try:
+        # Documented driver action (the exception the no-isEmpty rule
+        # allows): the resume FAST PATH must decide "nothing pending"
+        # before issuing any write, and `pending` is already persisted, so
+        # this evaluates at most one cached partition.  Unlike the old
+        # network.py probes this is not avoidable in-plan: a zero-pending
+        # resume must skip BOTH the data write and the lineage append.
         if not pending.isEmpty():
             t0 = time.perf_counter()
             pending.write.mode("overwrite").partitionBy("part_id").parquet(data_path)
