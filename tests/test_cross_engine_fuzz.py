@@ -115,3 +115,56 @@ def test_hash_templates_bit_identical_spark_duckdb_python(spark):
         return cells.hash63(s)
     for (h31, _h37, _fp), s in zip(got_spark, pdf.s.tolist()):
         assert h31 == py31(s)
+
+
+def test_round4_templates_bit_identical_spark_duckdb_python(spark):
+    """Fuzz the round-4-close templates: the BIN()-length log2 bucket
+    (quantile sketch) over random BIGINTs including power-of-two
+    boundaries, and the unrolled crossing-number polygon containment
+    over random points against a fixed irregular polygon — Spark ==
+    DuckDB == python on every row."""
+    from tosidewalk_spark.operators import sketch, spatial
+
+    vals = np.concatenate([
+        RNG.integers(0, 2**31 - 2, 400),
+        np.array([0, 1, 2, 3], dtype=np.int64),
+        (2 ** RNG.integers(1, 30, 60)).astype(np.int64) - 1,
+        (2 ** RNG.integers(1, 30, 36)).astype(np.int64),
+    ]).astype(np.int64)
+    poly = [(47.6012, -122.3417), (47.6133, -122.3291),
+            (47.6066, -122.3137), (47.5933, -122.3179),
+            (47.5912, -122.3368)]
+    lat = RNG.uniform(47.585, 47.62, len(vals))
+    lng = RNG.uniform(-122.35, -122.30, len(vals))
+    pdf = pd.DataFrame({"i": np.arange(len(vals), dtype=np.int64),
+                        "v": vals, "plat": lat, "plng": lng})
+    exprs = {
+        "bkt": sketch._log2_bucket_sql("v"),
+        "inp": f"CAST({spatial.polygon_contains_sql('plat', 'plng', poly)}"
+               f" AS INT)",
+    }
+    sel = ", ".join(f"{e} AS {k}" for k, e in exprs.items())
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("fuzz4")
+    got_spark = [(r.bkt, r.inp) for r in
+                 spark.sql(f"SELECT {sel} FROM fuzz4 ORDER BY i").collect()]
+    con = duckdb.connect()
+    con.register("fuzz4", pdf)
+    got_duck = [(int(a), int(b)) for a, b in con.execute(
+        f"SELECT {sel} FROM fuzz4 ORDER BY i").fetchall()]
+    assert got_spark == got_duck
+
+    def py_inside(py_, px_):
+        n = len(poly); c = False
+        for k in range(n):
+            y1, x1 = poly[k]; y2, x2 = poly[(k + 1) % n]
+            if (y1 > py_) != (y2 > py_) and \
+                    px_ < x1 + (x2 - x1) * (py_ - y1) / (y2 - y1):
+                c = not c
+        return c
+
+    for (bkt, inp), v, la, ln in zip(got_spark, vals, lat, lng):
+        assert bkt == int(v + 1).bit_length() - 1, (v, bkt)
+        assert inp == int(py_inside(la, ln)), (la, ln, inp)
+    # non-vacuous: the random points straddle the polygon boundary
+    assert 0 < sum(i for _, i in got_spark) < len(got_spark)
