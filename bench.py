@@ -445,6 +445,7 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("hll_distinct", lambda: sketch.hll_distinct(docs))
     bench("cm_topk", lambda: sketch.cm_topk(docs))
     bench("qsk_quantiles", lambda: sketch.qsk_quantiles(docs))
+    bench("gopher_rules", lambda: text.gopher_rules(docs))
     # compact over a ~66k-cell covering (256x258 misaligned rectangle)
     compact_cover = (spark.range(1000, 1256).selectExpr("id AS i")
                      .crossJoin(spark.range(2001, 2259).selectExpr("id AS j"))

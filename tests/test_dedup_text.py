@@ -868,3 +868,40 @@ def test_fetch_schedule_politeness_and_determinism(spark):
     import pytest
     with pytest.raises(ValueError):
         TX.fetch_schedule(pages, per_slot=0)
+
+
+def test_gopher_rules_planted_boundaries(spark):
+    """Each Gopher rule trips on its planted violator and ONLY that rule;
+    a compliant doc passes all five.  Boundary doc sits exactly ON the
+    mean-word-length bound (integer cross-multiplication must treat the
+    bound as inclusive)."""
+    from tosidewalk_spark.operators import text as TX
+    good = " ".join(["the and with data point value"] * 10)  # 60 words
+    short = "the and for with data point"                    # < 50 words
+    longwords = " ".join(                                    # mean 14.5 > 10
+        ["abcdefghijklmnopqrstuvwxyz abcdefghijklmnopqrstuvwxyz the and"]
+        * 20)
+    symbols = " ".join(                                      # symbol-heavy,
+        ["the# and... with# data... point# value... the and"] * 10
+    )  # but every token still has an alpha char and plain stopwords exist
+    nostop = " ".join(["zzz qqq www rrr ttt yyy"] * 10)      # no stopwords
+    exact3 = " ".join(["abc the and"] * 25)                  # mean exactly 3
+    rows = [(1, good), (2, short), (3, longwords), (4, symbols),
+            (5, nostop), (6, exact3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TX.gopher_rules(df).collect()}
+    assert out[1].keep
+    assert not out[2].ok_words and out[2].ok_mean_len
+    assert not out[3].ok_mean_len and out[3].ok_words
+    assert not out[4].ok_symbols and out[4].ok_words
+    assert not out[5].ok_stop and out[5].ok_alpha
+    assert out[6].ok_mean_len and out[6].keep  # inclusive lower bound
+    # rule independence: each violator fails EXACTLY its planted rule
+    for doc, rule in [(2, "ok_words"), (3, "ok_mean_len"),
+                      (4, "ok_symbols"), (5, "ok_stop")]:
+        flags = {k: getattr(out[doc], k) for k in
+                 ("ok_words", "ok_mean_len", "ok_alpha", "ok_symbols",
+                  "ok_stop")}
+        assert not flags.pop(rule)
+        assert all(flags.values()), (doc, flags)
+        assert not out[doc].keep

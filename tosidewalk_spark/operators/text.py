@@ -54,6 +54,63 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.round((F.col("alpha_ratio") + F.least(F.col("stopword_ratio") * 4, F.lit(1.0))) / 2, 6))
 
 
+def gopher_rules(docs: DataFrame,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: int = 3, max_mean_len: int = 10,
+                 min_alpha_pct: int = 80,
+                 max_symbol_pct: int = 10,
+                 min_stopword_hits: int = 2) -> DataFrame:
+    """The Gopher corpus-filter rule set (Rae et al. 2021 §A1.1, public):
+    per-document booleans for each rule plus the conjunctive keep verdict
+    — the canonical pre-training filter a corpus pipeline runs before any
+    model-based scoring.  EVERY rule boolean is an INTEGER comparison
+    (means and ratios test via cross-multiplication — 3 <= sum/n <= 10 is
+    3*n <= sum AND sum <= 10*n), so the DuckDB twin is exact with no
+    float thresholds anywhere.  One codegen projection over the scan,
+    zero shuffles, zero joins; predicates and column pruning push down
+    around it untouched.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_len, max_mean_len]; >= min_alpha_pct% of words contain an
+    alphabetic character; '#'-or-'...' symbol-to-word ratio <=
+    max_symbol_pct%; >= min_stopword_hits DISTINCT stopwords present.
+
+    Output: (doc_id, n_words, sum_word_chars, n_alpha_words, n_symbols,
+    n_stop_hits, ok_words, ok_mean_len, ok_alpha, ok_symbols, ok_stop,
+    keep)."""
+    toks = _tokens()
+    stop_arr = "ARRAY(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"CAST(SIZE({toks}) AS BIGINT)").alias("n_words"),
+        F.expr(f"CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT)")
+        .alias("sum_word_chars"),
+        F.expr(f"CAST(SIZE(FILTER({toks}, "
+               f"t -> t RLIKE '[A-Za-z]')) AS BIGINT)").alias("n_alpha_words"),
+        # '#' chars + '...' runs, the two Gopher symbol classes; the '...'
+        # count via length difference is exact for non-overlapping runs
+        F.expr("CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', '')) "
+               "+ CAST((LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3 "
+               "AS BIGINT) AS BIGINT)").alias("n_symbols"),
+        F.expr(f"CAST(SIZE(ARRAY_INTERSECT(ARRAY_DISTINCT({toks}), "
+               f"{stop_arr})) AS BIGINT)").alias("n_stop_hits"),
+    )
+    return base.select(
+        "*",
+        F.expr(f"n_words >= {int(min_words)} AND n_words <= {int(max_words)}")
+        .alias("ok_words"),
+        F.expr(f"sum_word_chars >= {int(min_mean_len)} * n_words AND "
+               f"sum_word_chars <= {int(max_mean_len)} * n_words")
+        .alias("ok_mean_len"),
+        F.expr(f"n_alpha_words * 100 >= {int(min_alpha_pct)} * n_words")
+        .alias("ok_alpha"),
+        F.expr(f"n_symbols * 100 <= {int(max_symbol_pct)} * n_words")
+        .alias("ok_symbols"),
+        F.expr(f"n_stop_hits >= {int(min_stopword_hits)}").alias("ok_stop"),
+    ).withColumn("keep", F.expr(
+        "ok_words AND ok_mean_len AND ok_alpha AND ok_symbols AND ok_stop"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-free language-ID heuristic: score against tiny per-language
     marker lexicons; deterministic argmax with fixed tie order."""

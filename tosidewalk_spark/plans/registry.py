@@ -3408,6 +3408,50 @@ def o_g3_focal_sum() -> str:
     """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.gopher_rules(docs)
+
+
+def o_gopher_rules() -> str:
+    """DuckDB twin: identical tokenizer, counts and integer-crossmultiplied
+    rule booleans (no float thresholds anywhere on either engine)."""
+    stop = "[" + ",".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '),
+                         t -> length(t) > 0) AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(length(toks) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT)
+               AS sum_word_chars,
+             CAST(length(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + CAST((length(text) - length(replace(text, '...', '')))
+                         / 3 AS BIGINT) AS BIGINT) AS n_symbols,
+             CAST(length(list_intersect(list_distinct(toks), {stop}))
+                  AS BIGINT) AS n_stop_hits
+      FROM t)
+    SELECT *,
+           (ok_words AND ok_mean_len AND ok_alpha AND ok_symbols
+            AND ok_stop) AS keep
+    FROM (
+      SELECT *,
+             (n_words >= 50 AND n_words <= 100000) AS ok_words,
+             (sum_word_chars >= 3 * n_words AND
+              sum_word_chars <= 10 * n_words) AS ok_mean_len,
+             (n_alpha_words * 100 >= 80 * n_words) AS ok_alpha,
+             (n_symbols * 100 <= 10 * n_words) AS ok_symbols,
+             (n_stop_hits >= 2) AS ok_stop
+      FROM c)
+    """
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling over synthesized pages; the oracle re-derives
     the url/host scheme in closed form (page synthesis is pure SQL)."""
@@ -3450,6 +3494,7 @@ QUERIES.update({
     "g3_polyfill": (q_g3_polyfill, o_g3_polyfill),
     "g3_cells_geojson": (q_g3_cells_geojson, o_g3_cells_geojson),
     "g3_focal_sum": (q_g3_focal_sum, o_g3_focal_sum),
+    "gopher_rules": (q_gopher_rules, o_gopher_rules),
 })
 
 
@@ -3591,6 +3636,12 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "g3_polyfill": [("cell", "h")],
     "g3_cells_geojson": [("cell", "h"), ("feature", "s")],
     "g3_focal_sum": [("cell", "h"), ("focal_sum", "i")],
+    "gopher_rules": [("doc_id", "i"), ("n_words", "i"),
+                     ("sum_word_chars", "i"), ("n_alpha_words", "i"),
+                     ("n_symbols", "i"), ("n_stop_hits", "i"),
+                     ("ok_words", "b"), ("ok_mean_len", "b"),
+                     ("ok_alpha", "b"), ("ok_symbols", "b"),
+                     ("ok_stop", "b"), ("keep", "b")],
     # catalog metadata ops (already aggregated outputs; kinds are plain)
     "g1_file_skip": [("n_rows", "i"), ("n_entities", "i"), ("sm_cell", "i")],
     "g1_merge_delete": [("lang", "s"), ("n_docs", "i"), ("sum_chars", "i"),
@@ -3696,7 +3747,7 @@ def _audit_group_oracle(ops: list[str]):
 _AUDIT_GROUPS = {
     "wave2_text_audit": ["normalize_text", "pii_scrub", "url_dedup",
                          "remove_boilerplate", "ngram_counts",
-                         "fetch_schedule",
+                         "fetch_schedule", "gopher_rules",
                          "inverted_index", "tfidf_topk", "domain_topk",
                          "lm_fluency", "dsir_weights", "hash_embed",
                          "chunk_windows", "jsonl_roundtrip",
@@ -3796,7 +3847,7 @@ _TAIL = [
     "image_phash_dedup", "jsonl_roundtrip", "chunk_windows", "bpe_tokenize",
     "bpe_learn", "hll_distinct", "cm_topk", "qsk_quantiles",
     "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip", "g3_polyfill",
-    "g3_cells_geojson", "g3_focal_sum",
+    "g3_cells_geojson", "g3_focal_sum", "gopher_rules",
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
