@@ -339,3 +339,46 @@ def test_compact_cells_no_join_and_caches_release(spark):
     gc.collect()
     n_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_after < n_before, (n_before, n_after)
+
+
+def test_dedup_clusters_no_window_over_labeled_corpus(spark):
+    """VERDICT r4 'What's wrong' #1: cluster_size must come from a
+    map-side-combinable groupBy(cluster_id).count() joined back, never a
+    COUNT(*) OVER (PARTITION BY cluster_id) — the window form funnels the
+    corpus's biggest duplicate cluster into ONE task's sort buffer at
+    crawl scale.  Assert the executed plan has no Window operator at all,
+    and that the count agg is two-phase (partial_count present)."""
+    from tosidewalk_spark.operators import dedup as DD
+    rows = [(i, f"page body {i % 7} with shared boilerplate text")
+            for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DD.dedup_clusters(d)
+    plan = _executed_plan(out)
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_dedup_keep_accepts_precomputed_clusters(spark):
+    """VERDICT r4 #6: dedup_keep(clusters=...) must reuse a precomputed
+    clustering — same answer as the self-computed path, and the plan over
+    a plain clusters relation contains none of the CC machinery (no
+    simhash band join, no iterative persist)."""
+    from tosidewalk_spark.operators import dedup as DD
+    rows = [(i, "same text in every doc here") for i in range(5)]
+    rows.append((9, "another page entirely different words"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cl = DD.dedup_clusters(d).persist()
+    try:
+        base = {r.doc_id: r.n_collapsed for r in DD.dedup_keep(d).collect()}
+        reused = {r.doc_id: r.n_collapsed
+                  for r in DD.dedup_keep(d, clusters=cl).collect()}
+        assert base == reused == {0: 5, 9: 1}
+        # the reused path is a filter+project over the given relation
+        # only — no Join ABOVE the cached-relation boundary (the
+        # InMemoryRelation's stored child plan legitimately contains the
+        # CC joins that built it; they don't re-execute)
+        plan = _optimized_plan(DD.dedup_keep(d, clusters=cl))
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert "Join" not in above_cache, above_cache
+    finally:
+        cl.unpersist()

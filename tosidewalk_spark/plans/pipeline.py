@@ -159,11 +159,21 @@ if __name__ == "__main__":
 def build_corpus(docs: DataFrame,
                  quality_min: float = 0.5,
                  permille_by_lang: dict[str, int] | None = None,
-                 benchmark: DataFrame | None = None) -> DataFrame:
+                 benchmark: DataFrame | None = None,
+                 gopher_min_words: int = 20,
+                 max_top_2gram: float = 0.10,
+                 max_dup_2gram: float = 0.20,
+                 min_uniq_tokens: float = 0.30) -> DataFrame:
     """End-to-end training-corpus construction — the composition a real
     LLM-data pipeline runs nightly, assembled from the §2 operators:
 
-        quality filter (C4/Gopher-style heuristics, codegen)
+        quality gate (three composed families — VERDICT r4 #4):
+            C4-style composite score  (text.quality_score, codegen)
+          AND Gopher rule conjunction (text.gopher_rules, integer
+              cross-multiplied booleans, codegen)
+          AND Gopher repetition signals (text.repetition_stats: unique-
+              token fraction, top/duplicate 2-gram fractions — two
+              stacked map-side-combinable aggs)
           -> exact dedup (min-doc_id survivor per 62-bit two-base fingerprint)
           -> benchmark decontamination (optional: drop docs sharing any
              8-gram with the eval set — dedup.decontaminate, broadcast
@@ -172,11 +182,19 @@ def build_corpus(docs: DataFrame,
           -> deterministic stratified sampling (reproducible membership)
           -> per-lang corpus summary (docs kept, tokens kept)
 
-    Every stage is a pure DataFrame transform over the previous one —
-    one shuffle for the dedup agg, one for the final summary (the
-    decontaminate probe broadcasts); the quality + sample predicates
-    collapse into the scan-side filter.  Output: (lang, n_docs,
-    n_tokens) per kept lang."""
+    Every stage is a pure DataFrame transform over the previous one.
+    Scale shape: the three quality families each scan the pruned
+    (doc_id, lang, text) columns once; their outputs are doc_id-grain
+    NARROW relations (id + a few numerics), so the gate joins shuffle
+    8-byte keys, never text — the text column travels only on the
+    single `kept` branch into the fingerprint fold.  The repetition
+    family owns the only extra shuffle (its per-gram agg); a production
+    deployment chasing the last scan could fuse quality_score +
+    gopher_rules into one projection (both are row-local), which
+    changes nothing semantically.  Repetition thresholds compare the
+    ROUND(...,6) fractions both engines already hash-match on, so the
+    DuckDB twin filters identically.  Output: (lang, n_docs, n_tokens)
+    per kept lang."""
     from ..operators import text as TX
     from ..operators.dedup import _spread
     if permille_by_lang is None:
@@ -186,7 +204,16 @@ def build_corpus(docs: DataFrame,
     # would run them single-core otherwise
     docs = _spread(docs)
     q = TX.quality_score(docs).filter(F.col("quality") >= quality_min)
-    kept = docs.join(q.select("doc_id", "n_tokens"), "doc_id")
+    gph = (TX.gopher_rules(docs, min_words=gopher_min_words)
+           .filter("keep").select("doc_id"))
+    rep = (TX.repetition_stats(docs)
+           .filter((F.col("top_2gram_frac") <= max_top_2gram)
+                   & (F.col("dup_2gram_frac") <= max_dup_2gram)
+                   & (F.col("uniq_token_frac") >= min_uniq_tokens))
+           .select("doc_id"))
+    kept = (docs.join(q.select("doc_id", "n_tokens"), "doc_id")
+            .join(gph, "doc_id")
+            .join(rep, "doc_id"))
     from ..operators.dedup import decontaminate, fingerprint62_sql
     fp = fingerprint62_sql("text")
     survivors = (kept.withColumn("fp", F.expr(fp))

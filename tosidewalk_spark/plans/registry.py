@@ -611,10 +611,11 @@ def o_quality() -> str:
 
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus construction (plans.pipeline.build_corpus):
-    quality filter -> exact dedup -> benchmark decontamination (every
-    97th doc plays the eval set) -> stratified sample -> per-lang
-    summary, all §2 operators composed; the oracle re-derives the whole
-    chain in one DuckDB query."""
+    composed quality gate (C4 score AND gopher_rules keep AND
+    repetition-signal thresholds — VERDICT r4 #4) -> exact dedup ->
+    benchmark decontamination (every 97th doc plays the eval set) ->
+    stratified sample -> per-lang summary, all §2 operators composed;
+    the oracle re-derives the whole chain in one DuckDB query."""
     from . import pipeline
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pipeline.build_corpus(docs, quality_min=0.5,
@@ -646,11 +647,55 @@ def o_corpus_build() -> str:
     quota = ("CASE " + " ".join(
         f"WHEN lang = '{lg}' THEN {pm}"
         for lg, pm in sorted(_SAMPLE_QUOTAS.items())) + " ELSE 0 END")
+    stop = "[" + ",".join(f"'{w}'" for w in text.STOPWORDS) + "]"
+    toks = _duck_tokens()
+    grams = ("CASE WHEN len(t) >= 2 THEN "
+             "list_transform(range(0, len(t) - 1), "
+             "i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')) "
+             "ELSE [] END")
     return f"""
     WITH q AS ({o_quality()}),
+    gph AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               CAST(len({toks}) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS BIGINT) AS swc,
+               CAST(len(list_filter({toks},
+                   t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS na,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    + CAST((length(text) - length(replace(text, '...', '')))
+                           / 3 AS BIGINT) AS BIGINT) AS ns,
+               CAST(len(list_intersect(list_distinct({toks}), {stop}))
+                    AS BIGINT) AS nsh
+        FROM documents)
+      WHERE n_words >= 20 AND n_words <= 100000
+        AND swc >= 3 * n_words AND swc <= 10 * n_words
+        AND na * 100 >= 80 * n_words AND ns * 100 <= 10 * n_words
+        AND nsh >= 2),
+    rep_s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+                     CAST(len(list_distinct(t)) AS BIGINT) AS nu,
+                     {grams} AS grams
+              FROM (SELECT doc_id, {toks} AS t FROM documents)),
+    rep_g AS (SELECT doc_id, unnest(grams) AS gram FROM rep_s),
+    rep_c AS (SELECT doc_id, gram, COUNT(*) AS c FROM rep_g GROUP BY 1, 2),
+    rep_a AS (SELECT doc_id, SUM(c) AS n2, MAX(c) AS mx,
+                     SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+              FROM rep_c GROUP BY 1),
+    rep AS (
+      SELECT doc_id FROM (
+        SELECT rep_s.doc_id,
+               ROUND(CAST(nu AS DOUBLE) / GREATEST(nt, 1), 6) AS uf,
+               ROUND(CAST(COALESCE(mx, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(n2, 0), 1), 6) AS tf,
+               ROUND(CAST(COALESCE(dup, 0) AS DOUBLE)
+                     / GREATEST(COALESCE(n2, 0), 1), 6) AS df
+        FROM rep_s LEFT JOIN rep_a USING (doc_id))
+      WHERE tf <= 0.1e0 AND df <= 0.2e0 AND uf >= 0.3e0),
     kept AS (
       SELECT d.doc_id, q.lang, d.text, q.n_tokens
       FROM documents d JOIN q ON d.doc_id = q.doc_id
+      JOIN gph ON d.doc_id = gph.doc_id
+      JOIN rep ON d.doc_id = rep.doc_id
       WHERE q.quality >= 0.5e0),
     surv AS (
       SELECT doc_id, lang, n_tokens
