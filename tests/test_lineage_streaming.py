@@ -809,3 +809,21 @@ def test_stream_catalog_ingest_exactly_once(spark, tmp_path):
                                           man1["stream_epoch"])
     assert len(c.snapshots("pages")) == n_snaps
     assert c.load("pages").count() == 450
+
+
+def test_catalog_zorder_rejects_oversized_coordinates(spark, tmp_path):
+    """ADVICE r4: zorder_sql interleaves only 16 bits per axis, so a
+    column with values >= 2**16 collides in the Morton key and the layout
+    silently prunes nothing.  Catalog.write now fails loudly from the
+    footer max stats instead of publishing a useless layout."""
+    import pytest
+    c = cat.Catalog(spark, str(tmp_path / "wh"))
+    big = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id * 100 AS BIGINT) AS ci", "id % 50 AS cj")
+    with pytest.raises(ValueError, match="2\\*\\*16"):
+        c.write("t", big, zorder_by=("ci", "cj"), target_files=4)
+    # in-range coordinates still publish
+    ok = spark.range(0, 1000).selectExpr(
+        "id AS k", "id % 200 AS ci", "id % 50 AS cj")
+    man = c.write("t2", ok, zorder_by=("ci", "cj"), target_files=4)
+    assert man["table"] == "t2" and man["files"]

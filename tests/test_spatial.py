@@ -357,3 +357,64 @@ def test_compact_uncompact_property_random_sets(spark):
         assert not par or max(par.values()) < 4
 
     prop()
+
+
+def test_uncompact_cells_gap_case_is_total(spark):
+    """ADVICE r4 (medium): the side=2^d CASE previously stopped at d=15
+    with no ELSE, so a cell more than 15 resolutions coarser than the
+    target made side NULL and SEQUENCE/EXPLODE silently emitted ZERO
+    rows.  Now (a) res outside [0,19] raises loudly at the API, and
+    (b) the CASE covers the full legal gap range 0..19 — asserted
+    structurally on the optimized plan (the d=16..19 arms fold to
+    sequence bounds 65535/131071/262143/524287), because a 4^16-row
+    expansion cannot be materialized and Spark's CollectLimit does not
+    short-circuit nested Generates (measured: take(1) scales with the
+    full expansion).  A gap-8 expansion (65,536 children) additionally
+    verifies an arm beyond the old roundtrip fixtures end-to-end."""
+    import pytest
+    from tosidewalk_spark.operators import spatial as SP
+    P56, P28 = 72057594037927936, 268435456
+    parent = 3 * P56 + 5 * P28 + 7  # res 3, j=5, i=7
+    inp = spark.createDataFrame([(parent,)], "cell long")
+    with pytest.raises(ValueError, match=r"res must be in \[0, 19\]"):
+        SP.uncompact_cells(inp, res=25)
+    plan = (SP.uncompact_cells(inp, res=19)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    for bound in (65535, 131071, 262143, 524287):  # d = 16..19
+        assert f" {bound}" in plan, f"missing CASE arm folding to {bound}"
+    # end-to-end at gap 8: exactly 4^8 distinct res-11 children of the
+    # res-3 parent's block
+    out = SP.uncompact_cells(inp, res=11)
+    side = 1 << 8
+    rows = out.collect()
+    assert len(rows) == side * side
+    cs = {r.cell for r in rows}
+    assert len(cs) == side * side
+    lo = 11 * P56 + (5 * side) * P28 + 7 * side
+    assert min(cs) == lo
+    assert max(cs) == 11 * P56 + (6 * side - 1) * P28 + (8 * side - 1)
+
+
+def test_scatter_disk_does_not_alias_across_field_bounds(spark):
+    """ADVICE r4: an i=0 cell's di=-1 ghost is bit-identical to the REAL
+    cell (i_max, j-1), so without the field-bound filter a lattice-edge
+    disk leaked its sum across the antimeridian onto a real cell's row.
+    The disk of an (i=0, j=0) cell must now contain exactly the 4 in-
+    bounds neighbors — and no output id may decode to i or j outside
+    [0, 2^28)."""
+    from tosidewalk_spark.operators import spatial as SP
+    import pyspark.sql.functions as F
+    P56, P28 = 72057594037927936, 268435456
+    corner = 9 * P56 + 0 * P28 + 0  # res 9, j=0, i=0
+    out = SP.scatter_disk(
+        spark.createDataFrame([(corner, 1)], "cell long, v int"), k=1)
+    got = sorted(r.cell for r in out.collect())
+    want = sorted(9 * P56 + j * P28 + i for i in (0, 1) for j in (0, 1))
+    assert got == want
+    # and an i=i_max cell must not overflow into (j+1, i=0)
+    edge = 9 * P56 + 5 * P28 + (P28 - 1)
+    got2 = sorted(r.cell for r in SP.scatter_disk(
+        spark.createDataFrame([(edge, 1)], "cell long, v int"), k=1).collect())
+    want2 = sorted(9 * P56 + j * P28 + i
+                   for i in (P28 - 2, P28 - 1) for j in (4, 5, 6))
+    assert got2 == want2

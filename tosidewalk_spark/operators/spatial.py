@@ -525,13 +525,22 @@ def uncompact_cells(cover: DataFrame, res: int) -> DataFrame:
     per cell — two SEQUENCE explodes over the i/j child offsets, pure
     codegen, zero shuffles).  Cells already at ``res`` pass through;
     cells finer than ``res`` are an error (H3 contract)."""
+    if not 0 <= res <= 19:
+        # with res validated, the d CASE below is TOTAL over every legal
+        # input (cell res 0..19, gap 0..19) — no NULL arm can ever make
+        # SEQUENCE silently emit zero rows (ADVICE r4)
+        raise ValueError(f"res must be in [0, 19], got {res}")
     d = f"({res} - {_res_expr('cell')})"
     j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
     i = f"(cell % {sqlfns.POW2_28})"
     # side = 2^d via CASE (d is a small non-negative integer; no shift op
-    # syntax shared by both engines)
+    # syntax shared by both engines).  The CASE covers the FULL legal gap
+    # range 0..19 (lattice res spans 0..19, so a res-0 cell uncompacted to
+    # res 19 is legal): ADVICE r4 flagged that the previous 0..15 range
+    # had no ELSE, so a wider gap made side NULL and SEQUENCE/EXPLODE
+    # silently emitted zero rows — silent data loss instead of an answer.
     side = ("(CASE " + " ".join(
-        f"WHEN {d} = {k} THEN {1 << k}" for k in range(0, 16))
+        f"WHEN {d} = {k} THEN {1 << k}" for k in range(0, 20))
         + " END)")
     return (cover
             .select(F.col("cell").cast("long").alias("cell"))
@@ -665,12 +674,13 @@ def focal_sum(cell_counts: DataFrame, k: int = 1,
     then ONE map-side-combinable hash agg on the receiving cell.  The
     exchange carries (2k+1)^2 x |non-empty cells| partial rows at most;
     dense urban areas combine map-side first.  No join, no window, no
-    python.  Lattice edges: offsets that underflow i/j land on cells
-    outside any data (negative coordinates cannot collide with real
-    cells because pack keeps i, j non-negative) and simply materialize
-    as sparse cells with their true partial sums — at lat/lng bounds
-    the disk is the clipped physical neighborhood, same as H3 kRing on
-    a pentagon-free patch."""
+    python.  Lattice edges: offsets that would underflow or overflow
+    the 28-bit i/j fields are FILTERED in scatter_disk (ADVICE r4: at
+    res 19 the i axis occupies the full field, so an i=0 cell's di=-1
+    ghost would otherwise alias onto the real cell (i_max, j-1) and
+    leak disk sums across the antimeridian), so the disk at a lattice
+    bound is the clipped physical neighborhood, same as H3 kRing on a
+    pentagon-free patch."""
     if k < 1:
         raise ValueError("k must be >= 1")
     return (scatter_disk(
@@ -685,7 +695,16 @@ def scatter_disk(rows: DataFrame, k: int) -> DataFrame:
     hotspot counter (streaming/jobs.py streaming_focal_counts) folds the
     IDENTICAL neighbor arithmetic: replicate every row to the (2k+1)^2
     cells of its Chebyshev disk, keeping all other columns.  Pure
-    codegen (two SEQUENCE explodes), runs unchanged on a stream."""
+    codegen (two SEQUENCE explodes + a field-bound filter), runs
+    unchanged on a stream.
+
+    Offsets that leave the 28-bit i/j fields are dropped: i + di = -1
+    is bit-identical to (j - 1, i = 2^28 - 1) in the packed id, so a
+    ghost at a lattice bound would alias onto a REAL cell's row and
+    corrupt its focal sum (ADVICE r4).  The filter costs two codegen
+    comparisons per replicated row and makes edge disks honestly
+    clipped at every resolution, including res 19 where i spans the
+    whole field."""
     res = _res_expr("cell")
     j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
     i = f"(cell % {sqlfns.POW2_28})"
@@ -693,6 +712,9 @@ def scatter_disk(rows: DataFrame, k: int) -> DataFrame:
     return (rows
             .select("*", F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("di"))
             .select("*", F.expr(f"EXPLODE(SEQUENCE(-{k}, {k}))").alias("dj"))
+            .filter(F.expr(
+                f"({i} + di) >= 0 AND ({i} + di) < {sqlfns.POW2_28} "
+                f"AND ({j} + dj) >= 0 AND ({j} + dj) < {sqlfns.POW2_28}"))
             .select(F.expr(
                 f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
                 f"+ ({j} + dj) * {sqlfns.POW2_28} + ({i} + di)")

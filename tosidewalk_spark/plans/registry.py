@@ -48,6 +48,28 @@ LNG_LO = sqlfns.dlit(CITY_LNG - 0.0002)
 LNG_HI = sqlfns.dlit(CITY_LNG + (G - 1) * LNG_STEP + 0.0002)
 
 
+# temp dirs created by fixture-building queries (catalog warehouses, WARC/
+# JSONL round-trip shards, the staged-run output).  ADVICE r4: plain
+# mkdtemp leaked full snapshot copies of the points/docs tables to /tmp on
+# every correctness/audit run.  The returned DataFrames read these files
+# LAZILY (the driver collects after the query function returns), so the
+# earliest safe cleanup point is interpreter exit — register one atexit
+# sweep and route every mkdtemp through it.
+_TMP_DIRS: list = []
+
+
+def _tmp_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+    if not _TMP_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in list(_TMP_DIRS)])
+    p = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(p)
+    return p
+
+
 # --------------------------------------------------------------------------
 # shared builders — Spark side
 # --------------------------------------------------------------------------
@@ -1567,7 +1589,7 @@ def _staged_run(spark: SparkSession, sf_dir: str):
     from . import pipeline
     key = (id(spark), sf_dir)
     if key not in _STAGED_CACHE:
-        out_dir = tempfile.mkdtemp(prefix="staged_oracle_")
+        out_dir = _tmp_dir(prefix="staged_oracle_")
         c1 = pipeline.run_staged(spark, sf_dir, out_dir, grid=G, resume=True)
         c2 = pipeline.run_staged(spark, sf_dir, out_dir, grid=G, resume=True)
         _STAGED_CACHE.clear()
@@ -1634,7 +1656,7 @@ def q_g1_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.catalog import Catalog
-    root = tempfile.mkdtemp(prefix="g1_catalog_")
+    root = _tmp_dir(prefix="g1_catalog_")
     cat = Catalog(spark, root)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cat.write("docs_by_lang", docs.coalesce(1), partition_by=["lang"])
@@ -1666,7 +1688,7 @@ def q_g1_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..sources.catalog import Catalog
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_tt_"))
+    cat = Catalog(spark, _tmp_dir(prefix="g1_tt_"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     cat.write("docs", docs.filter("doc_id % 2 = 0").coalesce(1),
               partition_by=["lang"])
@@ -1840,7 +1862,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CONCAT('doc://', CAST(doc_id AS STRING))").alias("url"),
         F.expr("TIMESTAMP '2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, doc_id)").alias("warc_ts"),
         F.expr("CAST(CONCAT('<html><body><p>', text, '</p></body></html>') AS BINARY)").alias("html"))
-    d = tempfile.mkdtemp(prefix="warc_rt_")
+    d = _tmp_dir(prefix="warc_rt_")
     warc.write_warc(pages, d, shards=4).collect()  # materialize the sink manifest
     got = warc.scan_warc(spark, d)
     ext = TX.extract_text(got)
@@ -1934,7 +1956,7 @@ def q_g1_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synth.geo_entities_from_documents(docs).selectExpr(
         "url", "entity", "cell9",
         f"{_FS_CI} AS ci", f"{_FS_CJ} AS cj")
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_fskip_"))
+    cat = Catalog(spark, _tmp_dir(prefix="g1_fskip_"))
     cat.write("points", pts, zorder_by=("ci", "cj"), target_files=8)
     return cat.scan("points", _FS_RANGES).agg(
         F.count("*").alias("n_rows"),
@@ -1967,7 +1989,7 @@ def q_g1_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import Catalog
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "lang", "n_chars"))
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_md_"))
+    cat = Catalog(spark, _tmp_dir(prefix="g1_md_"))
     cat.write("docs", docs.repartitionByRange(4, "doc_id")
               .sortWithinPartitions("doc_id"))
     ups = (docs.filter("doc_id % 13 = 5")
@@ -2029,7 +2051,7 @@ def q_g1_catalog_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synth.geo_entities_from_documents(docs).selectExpr(
         "url", "entity", "lat", "lng", "cell9",
         f"{_FS_CI} AS ci", f"{_FS_CJ} AS cj")
-    cat = Catalog(spark, tempfile.mkdtemp(prefix="g1_cpip_"))
+    cat = Catalog(spark, _tmp_dir(prefix="g1_cpip_"))
     cat.write("pages_points", pts, zorder_by=("ci", "cj"), target_files=8)
     city = cat.scan("pages_points", _CP_RANGES)
     out = SP.pip_join(city, _grid_buffers(spark))
@@ -2185,7 +2207,7 @@ def q_incremental_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One tiny dir + catalog entry intentionally outlives the call: the
     # returned DataFrame reads the table lazily, so it cannot be dropped
     # here (bounded: one per driver/pytest invocation).
-    path = tempfile.mkdtemp(prefix="fp_corpus_oracle_")
+    path = _tmp_dir(prefix="fp_corpus_oracle_")
     table = os.path.basename(path)
     dedup.write_fingerprint_corpus(
         docs.filter("doc_id % 7 != 3"), table, path, n_buckets=16)
@@ -3184,7 +3206,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter("doc_id % 3 = 0")
             .select("doc_id", "lang", "text"))
-    d = tempfile.mkdtemp(prefix="jsonl_rt_")
+    d = _tmp_dir(prefix="jsonl_rt_")
     jsonl.write_jsonl(docs, d, shards=8)
     return jsonl.scan_jsonl(spark, d)
 
@@ -3447,7 +3469,9 @@ def o_g3_focal_sum() -> str:
              n
       FROM counts,
            (SELECT unnest([-1, 0, 1]) AS di) di,
-           (SELECT unnest([-1, 0, 1]) AS dj) dj)
+           (SELECT unnest([-1, 0, 1]) AS dj) dj
+      WHERE ({i} + di.di) >= 0 AND ({i} + di.di) < {sqlfns.POW2_28}
+        AND ({j} + dj.dj) >= 0 AND ({j} + dj.dj) < {sqlfns.POW2_28})
     SELECT cell, CAST(SUM(n) AS BIGINT) AS focal_sum
     FROM scattered GROUP BY cell
     """

@@ -186,7 +186,14 @@ class Catalog:
         a compact 2-D block of the (i, j) lattice, so the per-file min/max
         stats this method records make ``scan`` rectangle predicates skip
         most files — the data-layout half of Iceberg-style metadata pruning.
-        Returns the new manifest."""
+
+        PRECONDITION (ADVICE r4): both z-order columns must be < 2**16 —
+        zorder_sql interleaves only the low 16 bits, so larger coordinates
+        collide in the Morton key and the layout is quietly useless (the
+        scan stays CORRECT because it re-applies the residual filter, but
+        no file gets skipped).  Enforced after the write from the parquet
+        footer max stats this method collects anyway: a violating write
+        raises instead of publishing.  Returns the new manifest."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = None
@@ -211,6 +218,20 @@ class Catalog:
         dirs = [snap]
         files = list(new_files)
         stats = self._collect_stats(name, new_files)
+        if zorder_by is not None:
+            # loud guard instead of a quietly useless layout: zorder_sql
+            # drops bits above bit 15, so coords >= 2**16 collide in the
+            # Morton key (ADVICE r4).  Footer max stats are already in
+            # hand — metadata-only check, no extra data pass.
+            for col in zorder_by:
+                worst = max((fs.get("max", {}).get(col, 0)
+                             for fs in stats.values()), default=0)
+                if isinstance(worst, int) and worst >= 1 << 16:
+                    raise ValueError(
+                        f"zorder_by column {col!r} has max {worst} >= 2**16; "
+                        f"zorder_sql interleaves 16 bits per axis, so this "
+                        f"layout would not skip any files — rescale the "
+                        f"coordinates or z-order a coarser derived column")
         if mode == "append" and parent is not None:
             if (partition_by or []) != parent["partition_spec"]:
                 raise ValueError("append must keep the parent partition spec")
