@@ -313,16 +313,40 @@ def run_queries(spark, buffers) -> dict[str, float]:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timings: dict[str, float] = {}
+    # per-query noise hygiene (VERDICT r4 'What's wrong' #3: the committed
+    # close-run carried g5_knn 16.2 s / lsh_topk 5.9 s that re-measures
+    # showed were host settling noise — the per-query phase had no quiet
+    # gate, so warmup AND both samples landed in one noise window).  Same
+    # discipline as the scaling phase, scaled down: a bounded shared wait
+    # budget before each query's timed samples, per-query ambient-load
+    # annotation, spread-triggered extra samples, and an end-of-phase
+    # re-measure of the queries whose samples were taken under load.
+    run_queries.ambient = {}
+    run_queries.remeasured = []
+    _fns: dict = {}
+    pq_budget = [float(os.environ.get("SPARK_GRAFT_PQ_QUIET_TOTAL_S", "300"))]
+
+    def _run_once(df_fn) -> float:
+        return _timed(
+            lambda: df_fn().write.mode("overwrite").format("noop").save())[1]
 
     def bench(name, df_fn):
         # one untimed warmup (codegen JIT, broadcast build, Arrow init) +
         # min-of-2 timed runs: round 2 timed a single cold run and recorded
         # a 2.3x phantom regression on extract_text that was host noise
         # (VERDICT.md r2 perf section / 'Next round' #5)
+        _fns[name] = df_fn
         df_fn().write.mode("overwrite").format("noop").save()
-        secs = min(_timed(lambda: df_fn().write.mode("overwrite").format("noop").save())[1]
-                   for _ in range(2))
-        timings[name] = secs
+        allowance = min(45.0, pq_budget[0])
+        pq_budget[0] -= _wait_quiet(allowance, QUIET_THRESH)
+        run_queries.ambient[name] = _load1()
+        samples = [_run_once(df_fn) for _ in range(2)]
+        # spread-triggered third sample: if the two samples disagree >2.5x,
+        # one of them was a window — a third cheap sample lets min() reject
+        # it instead of averaging it in
+        if max(samples) > 2.5 * min(samples):
+            samples.append(_run_once(df_fn))
+        timings[name] = min(samples)
 
     pts = synth.geo_entities_from_documents(docs).persist()
     pts.count()
@@ -521,6 +545,24 @@ def run_queries(spark, buffers) -> dict[str, float]:
             for _ in range(2))
     finally:
         shutil.rmtree(cdir, ignore_errors=True)
+    # end-of-phase re-measure: any query whose samples were all taken at
+    # ambient load >= QUIET_THRESH gets one more quiet-gated sample now —
+    # by this point the window that inflated it has usually passed, and
+    # min() keeps whichever is honest.  Legs whose fixtures are already
+    # cleaned up (warc/jsonl shards, catalog warehouse) cannot re-run and
+    # keep their annotated record.
+    _gone = {"warc_scan_100k", "jsonl_scan", "catalog_skip_scan",
+             "catalog_pip", "catalog_cow_merge"}
+    flagged = [n for n, ld in run_queries.ambient.items()
+               if ld >= QUIET_THRESH and n in _fns and n not in _gone]
+    for name in flagged[:8]:
+        pq_budget[0] -= _wait_quiet(min(45.0, pq_budget[0]), QUIET_THRESH)
+        if _load1() >= QUIET_THRESH:
+            continue  # still loaded; annotation already tells the story
+        t = _run_once(_fns[name])
+        if t < timings[name]:
+            timings[name] = t
+            run_queries.remeasured.append(name)
     pts.unpersist()
     seg_cells.unpersist()
     return timings
@@ -546,8 +588,11 @@ def main() -> None:
     # runs and what BENCH_r*_local.json records.
     if os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "1") != "0":
         queries = run_queries(spark, buffers)
+        queries_ambient = getattr(run_queries, "ambient", {})
+        queries_remeasured = getattr(run_queries, "remeasured", [])
     else:
         queries = {}
+        queries_ambient, queries_remeasured = {}, []
     spark.stop()
 
     scaling = curve = disjoint = None
@@ -583,9 +628,15 @@ def main() -> None:
         # as the cluster-representative pair (ADVICE.md r2: the 8->32 pair
         # is in the official JSON too) — on one box the large legs share a
         # memory controller that N separate cluster nodes would not
-        curve = [scaling_pair(4, 16, SCALING_PAGES, rounds=1)]
+        # rounds=2 since r5 (VERDICT r4 #7): with one round the curve's
+        # efficiency_paired_median degenerates to the single ratio and the
+        # "8->32 = host bandwidth ceiling" claim was asserted, not
+        # measured; two time-separated rounds give each curve entry a
+        # min-based AND a paired-median estimator plus per-sample ambient
+        # loads, same as the official pair
+        curve = [scaling_pair(4, 16, SCALING_PAGES, rounds=2)]
         official_round()
-        curve.append(scaling_pair(8, 32, SCALING_PAGES, rounds=1))
+        curve.append(scaling_pair(8, 32, SCALING_PAGES, rounds=2))
         official_round()
         # disjoint-core legs (ADVICE.md r2): small leg on cores 24-25, big
         # on 8-15 — no core overlap with each other, same efficiency as the
@@ -615,6 +666,12 @@ def main() -> None:
         "pages": N_PAGES,
         "pages_per_sec": round(N_PAGES / flag_sec, 1),  # generated-input path
         "parquet_scan": scan,  # scan-inclusive path, measured separately
+        # per-query hygiene record (VERDICT r4 #3): the 1-min load read
+        # just before each query's timed samples, and which queries the
+        # end-of-phase quiet re-measure improved — a reader can tell a
+        # plan regression from a noise window without re-running
+        "queries_ambient_load": queries_ambient,
+        "queries_remeasured": queries_remeasured,
     }
     # emit each scaling artifact iff it was measured: with
     # SPARK_GRAFT_SCALING_ROUNDS=0 the old single `if scaling:` gate

@@ -114,3 +114,26 @@ def test_jsonl_roundtrip_deterministic_and_failfast(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         jsonl.scan_jsonl(spark, bad).collect()
+
+
+def test_write_warc_committed_through_hadoop_fs(spark, tmp_path):
+    """VERDICT r4 #5: the cluster-correct sink — tasks write attempt-
+    unique temp shards, the driver publishes each with an atomic rename
+    through the JVM Hadoop FileSystem API.  Shard bytes must be
+    IDENTICAL to the local-mode write_warc output (same partitioning +
+    in-shard sort), the _temporary dir must be gone after commit, and
+    scan_warc must round-trip the pages."""
+    pages = synth.pages(spark, 200)
+    d_plain, d_fs = str(tmp_path / "plain"), str(tmp_path / "hfs")
+    warc.write_warc(pages, d_plain, shards=3).collect()
+    committed = warc.write_warc_committed(pages, d_fs, shards=3)
+    assert sum(c["n_records"] for c in committed) == 200
+    assert not os.path.exists(os.path.join(d_fs, "_temporary"))
+    for p1 in sorted(glob.glob(os.path.join(d_plain, "*.warc"))):
+        p2 = os.path.join(d_fs, os.path.basename(p1))
+        with open(p1, "rb") as f1, open(p2, "rb") as f2:
+            assert f1.read() == f2.read(), p1
+    got = warc.scan_warc(spark, d_fs).collect()
+    want = {r.url: bytes(r.html) for r in pages.collect()}
+    assert len(got) == 200
+    assert all(bytes(r.html) == want[r.url] for r in got)
