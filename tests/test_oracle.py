@@ -80,3 +80,37 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_audit_diagnose_names_failing_member(spark):
+    """VERDICT r4 #8: a red wave2_*_audit row names a GROUP; the
+    audit_diagnose utility must name the failing MEMBER.  Build a probe
+    group of two real members with a deliberate +1 perturbation injected
+    into ONE member's Spark side: every returned mismatch must attribute
+    to exactly that op (and only its perturbed column's metrics), while
+    the untouched member's engine agreement doubles as a green-path
+    check of the diagnose join itself."""
+    from pyspark.sql import functions as F
+    from tosidewalk_spark.plans import registry as R
+
+    sf = "/root/testdata/sf0.001"
+    orig = R.QUERIES["pii_scrub"]
+    R.QUERIES["pii_scrub"] = (
+        lambda s, d: orig[0](s, d).withColumn(
+            "n_emails", F.col("n_emails") + F.lit(1)), orig[1])
+    try:
+        R.QUERIES["_diag_probe"] = (
+            R._audit_group_query(["pii_scrub", "url_dedup"]),
+            R._audit_group_oracle(["pii_scrub", "url_dedup"]))
+        mm = R.audit_diagnose(spark, sf, "_diag_probe")
+    finally:
+        R.QUERIES["pii_scrub"] = orig
+        R.QUERIES.pop("_diag_probe", None)
+    assert mm, "perturbation must surface"
+    assert {m["op"] for m in mm} == {"pii_scrub"}, mm
+    assert all(m["group"] == "_diag_probe" for m in mm)
+    # only the perturbed column's fold metrics move (+1 per row shifts
+    # sum_ and sq_; nn_/n_rows unchanged)
+    assert {m["metric"] for m in mm} <= {"sum_n_emails", "sq_n_emails"}, mm
+    for m in mm:
+        assert m["spark"] is not None and m["duck"] is not None

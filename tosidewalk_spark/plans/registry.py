@@ -3861,6 +3861,44 @@ for _g, _gops in _AUDIT_GROUPS.items():
     QUERIES[_g] = (_audit_group_query(_gops), _audit_group_oracle(_gops))
 
 
+def audit_diagnose(spark: SparkSession, sf_dir: str,
+                   group: str | None = None) -> list[dict]:
+    """Member attribution for a red ``wave2_*_audit`` row (VERDICT r4 #8).
+
+    A driver CORRECTNESS mismatch on an audit group names the GROUP, not
+    the operator — each group checksums 13-17 members.  This runs the
+    same Spark group query and DuckDB group oracle side by side and
+    joins them on (op, metric), returning one dict per disagreeing
+    metric: ``{"group", "op", "metric", "spark", "duck"}`` — the ``op``
+    field IS the failing member.  Empty list = all members agree.
+
+    Diagnostic-only (never in a hot path): two full group evaluations,
+    driver-collected metric rows (#metrics ≤ ~250 per group)."""
+    import duckdb
+
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    groups = [group] if group else sorted(_AUDIT_GROUPS)
+    out: list[dict] = []
+    for g in groups:
+        qfn, ofn = QUERIES[g]
+        got = {(r["op"], r["metric"]): r["value"]
+               for r in qfn(spark, sf_dir).collect()}
+        con = duckdb.connect()
+        try:
+            for t in tables:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{sf_dir}/{t}.parquet')")
+            want = {(op, m): v for op, m, v in con.execute(ofn()).fetchall()}
+        finally:
+            con.close()
+        for key in sorted(set(got) | set(want)):
+            if got.get(key) != want.get(key):
+                out.append({"group": g, "op": key[0], "metric": key[1],
+                            "spark": got.get(key), "duck": want.get(key)})
+    return out
+
+
 # --- driver correctness window ordering ---------------------------------------
 # The round-3 driver evaluated only the FIRST 50 QUERIES entries in insertion
 # order, silently skipping the 11 past that point — including four SURVEY §2
