@@ -448,6 +448,15 @@ def run_queries(spark, buffers) -> dict[str, float]:
         emb, k=8, n_iter=2, cos_threshold=0.4))
     bench("lm_fluency", lambda: text.lm_fluency(
         docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")))
+    bench("ccnet_buckets", lambda: text.ccnet_buckets(
+        docs.filter("doc_id % 5 != 0"), docs.filter("doc_id % 5 = 0")))
+    bench("url_filter", lambda: text.url_filter(
+        synth.pages(spark, 1_000_000),
+        spark.range(40).selectExpr(
+            "CONCAT('site', CAST(id * 31 % 997 AS STRING), "
+            "'.example') AS domain"),
+        bad_words=["7", "13"]))
+    bench("winnowing", lambda: dedup.winnowing(docs))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))

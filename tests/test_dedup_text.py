@@ -905,3 +905,105 @@ def test_gopher_rules_planted_boundaries(spark):
         assert not flags.pop(rule)
         assert all(flags.values()), (doc, flags)
         assert not out[doc].keep
+
+
+def _winnow_py(words, k=3, w=4):
+    """Pure-python winnowing reference (Schleimer et al. 2003): min hash
+    per window, rightmost on ties — the operator's independent twin."""
+    P = 2147483647
+
+    def h(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % P
+        return a
+
+    grams = [h(" ".join(words[i:i + k])) for i in range(len(words) - k + 1)]
+    if not grams:
+        return set()
+    sel = set()
+    for s in range(max(len(grams) - w + 1, 1)):
+        win = grams[s:s + w]
+        m = min(win)
+        # rightmost occurrence of the min
+        j = max(i for i, g in enumerate(win) if g == m)
+        sel.add((s + j + 1, m))  # 1-based gram position
+    return sel
+
+
+def test_winnowing_matches_python_reference(spark, docs):
+    got = {(r.doc_id, r.pos, r.gram_hash)
+           for r in dedup.winnowing(docs.limit(40), k=3, w=4).collect()}
+    want = set()
+    for r in docs.limit(40).collect():
+        words = [t for t in (r.text or "").split(" ") if t]
+        for pos, gh in _winnow_py(words, 3, 4):
+            want.add((r.doc_id, pos, gh))
+    assert got == want
+
+
+def test_winnowing_coverage_theorem(spark):
+    """Any shared word run of length >= k + w - 1 = 6 must surface as a
+    shared selected hash between the two documents (the winnowing
+    guarantee), whatever surrounds it."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    d = spark.createDataFrame(
+        [(1, f"one two three {shared} four five six"),
+         (2, f"{shared} seven eight nine ten eleven twelve")],
+        "doc_id long, text string")
+    out = dedup.winnowing(d, k=3, w=4).collect()
+    h1 = {r.gram_hash for r in out if r.doc_id == 1}
+    h2 = {r.gram_hash for r in out if r.doc_id == 2}
+    assert h1 & h2, (h1, h2)
+
+
+def test_winnowing_short_doc_selects_global_min(spark):
+    """Fewer grams than the window: the single truncated window selects
+    exactly one fingerprint — the min over all grams."""
+    d = spark.createDataFrame([(7, "a b c d")], "doc_id long, text string")
+    out = dedup.winnowing(d, k=3, w=4).collect()  # 2 grams < w
+    assert len(out) == 1
+    words = ["a", "b", "c", "d"]
+    assert (out[0].pos, out[0].gram_hash) in _winnow_py(words, 3, 4)
+
+
+def test_ccnet_buckets_threshold_ordering(spark, docs):
+    """Within every language: every tail qscore <= every middle qscore <=
+    every head qscore, all three buckets non-trivially populated over the
+    sf0.001 corpus, and the split covers each candidate doc exactly once."""
+    cand = docs.filter("doc_id % 5 != 0")
+    out = text.ccnet_buckets(cand, docs.filter("doc_id % 5 = 0")).collect()
+    assert len(out) == cand.count()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.qscore)
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, (lang, set(b))
+        assert max(b["tail"]) <= min(b["middle"]), lang
+        assert max(b["middle"]) < min(b["head"]), lang
+        # thresholds, not terciles: each bucket holds SOME mass but ties
+        # spill downward, so tail >= the exact third is the only bound
+        n = sum(len(v) for v in b.values())
+        assert len(b["tail"]) * 3 >= n, lang
+
+
+def test_url_filter_exact_counts_and_blocklist(spark):
+    pages = spark.createDataFrame(
+        [("https://Bad.Example/casino/casino",),
+         ("https://ok.example/a?x=casino",),
+         ("https://ok.example/clean",),
+         ("https://xxx.example/xxx",)], "url string")
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    out = {r.url: r for r in
+           text.url_filter(pages, bl, bad_words=["casino", "xxx"],
+                           max_bad=1).collect()}
+    r0 = out["https://Bad.Example/casino/casino"]
+    assert r0.domain == "bad.example" and r0.blocked and not r0.keep
+    assert r0.n_bad_words == 2
+    r1 = out["https://ok.example/a?x=casino"]
+    assert not r1.blocked and r1.n_bad_words == 1 and r1.keep
+    assert out["https://ok.example/clean"].keep
+    r3 = out["https://xxx.example/xxx"]
+    # 'xxx' occurs in host AND path: 2 > max_bad=1 -> dropped though
+    # unblocked (the substring rule is independent of the blocklist)
+    assert not r3.blocked and r3.n_bad_words == 2 and not r3.keep

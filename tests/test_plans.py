@@ -382,3 +382,58 @@ def test_dedup_keep_accepts_precomputed_clusters(spark):
         assert "Join" not in above_cache, above_cache
     finally:
         cl.unpersist()
+
+
+def test_url_filter_broadcast_no_shuffle(spark):
+    """One codegen projection + one broadcast join: the page side never
+    hash-partitions and no python stage appears."""
+    from tosidewalk_spark.operators import text
+    from tosidewalk_spark.sources import synth
+    import re
+    pages = synth.pages(spark, 2000)
+    bl = spark.range(10).selectExpr(
+        "CONCAT('site', CAST(id AS STRING), '.example') AS domain")
+    plan = _executed_plan(text.url_filter(pages, bl))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert not re.findall(r"Exchange hashpartitioning", final), final[:3000]
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_winnowing_single_exchange_distinct_reuses_partitioning(spark):
+    """Gram explode -> ONE doc_id exchange for the window; the closing
+    DISTINCT's grouping keys are a superset of the partition key, so no
+    second exchange; zero python stages."""
+    from tosidewalk_spark.operators import dedup
+    import re
+    docs = spark.read.parquet(f"{SF}/documents.parquet").coalesce(8)
+    plan = _executed_plan(dedup.winnowing(docs.filter("doc_id % 10 = 0")))
+    final = plan.split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning", final)
+    assert len(exchanges) == 1, f"{len(exchanges)} exchanges:\n{final[:3000]}"
+    assert "Window" in final
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_ccnet_buckets_window_runs_over_histogram_not_docs(spark):
+    """The only Window in the plan consumes the (lang, qscore) histogram
+    aggregate — bounded at n_q+1 rows per language — never the document
+    relation (the dedup_clusters cluster_size lesson, VERDICT r4 #1); the
+    threshold side reaches the labeling via broadcast."""
+    from tosidewalk_spark.operators import text
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = text.ccnet_buckets(docs.filter("doc_id % 5 != 0"),
+                            docs.filter("doc_id % 5 = 0"))
+    # the Window lives on the broadcast (threshold) side, which AQE
+    # prints as an opaque reused stage in the executed plan — assert on
+    # the optimized logical plan, which prints the full tree
+    plan = _optimized_plan(df)
+    assert plan.count("Window [") == 1, plan[:3000]
+    win_line = plan.split("Window [", 1)[1].split("\n")[0]
+    assert "doc_id" not in win_line, win_line
+    # directly below the Window (before the cached document relation):
+    # the (lang, qscore) count histogram the running sum consumes
+    below = plan.split("Window [", 1)[1].split("InMemoryRelation")[0]
+    assert "Aggregate [lang" in below and "count(1)" in below, below

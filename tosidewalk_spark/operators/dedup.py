@@ -747,3 +747,71 @@ def bloom_dedup(new_docs: DataFrame, corpus: DataFrame,
     return (hit.join(exact, "fp", "left")
             .select("doc_id", "bloom_maybe",
                     F.expr("_dup IS NOT NULL").alias("exact_dup")))
+
+
+# winnowing position encoding: polyhash < 2^31 (HASH_P), so
+# enc = hash * 2^21 + (2^21 - 1 - pos) fits in 52 bits and MIN(enc)
+# selects (min hash, rightmost position) lexicographically in ONE ANSI
+# window aggregate — no engine-specific arg-min needed
+_WINNOW_POS_BITS = 21
+
+
+def winnowing(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) at word grain: hash every k-gram,
+    slide a window of ``w`` consecutive gram hashes over each document,
+    and select the minimum hash of each window, rightmost occurrence on
+    ties.  The selected (position, hash) set is the document's
+    fingerprint sketch: any shared substring of length >= k + w - 1
+    words between two documents is GUARANTEED to surface as a shared
+    selected hash (the winnowing coverage theorem), which makes the
+    output directly joinable for plagiarism/near-dup span detection at a
+    density of ~2/(w+1) selections per token.
+
+    Engine-exact selection trick: each gram row carries
+    ``enc = hash * 2^21 + (2^21 - 1 - pos)`` so a plain ``MIN(enc)`` over
+    the ANSI frame ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING``
+    implements (min hash, rightmost pos) without MAX_BY/arg-min dialect
+    differences; hash and position decode back with one DIV/MOD each.
+    Documents longer than 2^21 grams would alias the encoding — a
+    per-row ASSERT_TRUE fails the job loudly instead (the
+    stratified_quota starvation-guard discipline).
+
+    Scale shape: explode to gram grain (the inverted_index grain), one
+    exchange on doc_id for the window (partitions bounded by the longest
+    document, the same bound every per-doc window here lives with), and
+    the closing DISTINCT on (doc_id, pos, gram_hash) reuses the doc_id
+    partitioning (grouping keys are a superset of the partition key — no
+    second exchange).  Short documents (fewer than w windows) keep the
+    paper's semantics: the frame truncates at the partition edge, so the
+    single surviving window is the min over all grams.
+
+    Output: (doc_id, pos, gram_hash) — pos is the selected gram's 1-based
+    word position."""
+    toks = "FILTER(SPLIT(text, ' '), t -> LENGTH(t) > 0)"
+    lim = 1 << _WINNOW_POS_BITS
+    base = (_spread(docs)
+            .select("doc_id", F.expr(toks).alias("toks"))
+            .select("doc_id",
+                    F.expr(f"SIZE(toks) - {k} + 1").alias("m"),
+                    F.expr(f"EXPLODE(CASE WHEN SIZE(toks) >= {k} THEN "
+                           f"SEQUENCE(1, SIZE(toks) - {k} + 1) "
+                           f"ELSE ARRAY() END)").alias("pos"),
+                    "toks")
+            .withColumn("gram", F.expr(f"ARRAY_JOIN(SLICE(toks, pos, {k}), ' ')"))
+            .select("doc_id", "m", "pos",
+                    F.expr(sqlfns.polyhash_spark("gram")).alias("gh")))
+    enc = (base.filter(F.expr(
+        f"ASSERT_TRUE(pos < {lim}, 'winnowing: document exceeds "
+        f"2^{_WINNOW_POS_BITS} grams — encoding would alias') IS NULL"))
+        .withColumn("enc", F.expr(
+            f"gh * CAST({lim} AS BIGINT) + ({lim} - 1 - pos)")))
+    mn = enc.withColumn("mn", F.expr(
+        f"MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)"))
+    return (mn.filter(F.expr(f"pos <= GREATEST(m - {w} + 1, 1)"))
+            .select("doc_id",
+                    F.expr(f"CAST({lim} - 1 - (mn % {lim}) AS BIGINT)")
+                    .alias("pos"),
+                    F.expr(f"mn DIV {lim}").alias("gram_hash"))
+            .distinct())

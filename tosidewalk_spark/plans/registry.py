@@ -3567,6 +3567,145 @@ QUERIES.update({
 })
 
 
+# --- round-5 additions: CCNet buckets, URL filtering, winnowing ---------------
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail split of the candidate corpus against the same
+    doc_id%5 reference split lm_fluency uses."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.ccnet_buckets(docs.filter("doc_id % 5 != 0"),
+                              docs.filter("doc_id % 5 = 0"))
+
+
+def o_ccnet_buckets() -> str:
+    t = _duck_tokens()
+    grams = (f"CASE WHEN len({t}) >= 2 THEN "
+             f"list_transform(range(1, len({t})), "
+             f"i -> {t}[i] || ' ' || {t}[i + 1]) ELSE [] END")
+    scale, n_q = text.LM_SCALE, 4096
+    return f"""
+    WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    cand AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 != 0),
+    rg AS (SELECT unnest({grams}) AS bigram FROM ref),
+    c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM rg GROUP BY 1),
+    c1 AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                  CAST(COUNT(*) AS BIGINT) AS c1 FROM rg GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS _v
+          FROM (SELECT unnest({t}) AS tok FROM ref)),
+    dg AS (SELECT doc_id, unnest({grams}) AS bigram FROM cand),
+    sc AS (SELECT dg.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(COALESCE(SUM(CAST(FLOOR(
+                      CAST({scale} AS BIGINT)
+                      * (CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                         / CAST(COALESCE(c1.c1, 0) + _v AS DOUBLE))
+                      + 0.5e0) AS BIGINT)), 0) AS BIGINT) AS score_fx
+           FROM dg
+           LEFT JOIN c2 USING (bigram)
+           LEFT JOIN c1 ON string_split(dg.bigram, ' ')[1] = c1.w1
+           CROSS JOIN v
+           GROUP BY dg.doc_id),
+    scored AS (SELECT cand.doc_id, cand.lang,
+                      CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                      CASE WHEN COALESCE(sc.n_bigrams, 0) = 0
+                           THEN CAST(0 AS BIGINT)
+                           ELSE (sc.score_fx // sc.n_bigrams)
+                                // {scale // n_q} END AS qscore
+               FROM cand LEFT JOIN sc USING (doc_id)),
+    hist AS (SELECT lang, qscore, CAST(COUNT(*) AS BIGINT) AS c
+             FROM scored GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY 1),
+    cum AS (SELECT h.lang, h.qscore, t.n,
+                   SUM(c) OVER (PARTITION BY h.lang ORDER BY h.qscore
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM hist h JOIN tot t USING (lang)),
+    thr AS (SELECT lang,
+                   MIN(CASE WHEN cum * 3 >= n THEN qscore END) AS t1,
+                   MIN(CASE WHEN cum * 3 >= 2 * n THEN qscore END) AS t2
+            FROM cum GROUP BY 1)
+    SELECT s.doc_id, s.lang, s.n_bigrams, s.qscore,
+           CASE WHEN s.qscore <= t.t1 THEN 'tail'
+                WHEN s.qscore <= t.t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored s JOIN thr t USING (lang)
+    """
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist + bad-substring filtering over synthesized pages; the
+    40-domain blocklist is itself a deterministic relation both engines
+    re-derive (range -> id*31 % 997)."""
+    pages = synth.pages(spark, 3000)
+    bl = spark.range(40).selectExpr(
+        "CONCAT('site', CAST(id * 31 % 997 AS STRING), '.example') AS domain")
+    return text.url_filter(pages, bl, bad_words=["7", "13"], max_bad=2)
+
+
+def o_url_filter() -> str:
+    n7 = "((LENGTH(url) - LENGTH(REPLACE(url, '7', ''))) // 1)"
+    n13 = "((LENGTH(url) - LENGTH(REPLACE(url, '13', ''))) // 2)"
+    return f"""
+    WITH p AS (
+      SELECT 'https://site' || CAST(id % 997 AS VARCHAR) || '.example/p/'
+               || CAST(id AS VARCHAR) AS url,
+             'site' || CAST(id % 997 AS VARCHAR) || '.example' AS domain
+      FROM range(0, 3000) t(id)),
+    bl AS (SELECT DISTINCT 'site' || CAST(id * 31 % 997 AS VARCHAR)
+                    || '.example' AS domain
+           FROM range(0, 40) t(id)),
+    m AS (SELECT p.url, p.domain,
+                 (bl.domain IS NOT NULL) AS blocked,
+                 CAST({n7} + {n13} AS BIGINT) AS n_bad_words
+          FROM p LEFT JOIN bl USING (domain))
+    SELECT url, domain, blocked, n_bad_words,
+           (NOT blocked AND n_bad_words <= 2) AS keep
+    FROM m
+    """
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.winnowing(docs, k=3, w=4)
+
+
+def o_winnowing() -> str:
+    k, w = 3, 4
+    lim = 1 << dedup._WINNOW_POS_BITS
+    gh = sqlfns.polyhash_duckdb("gram")
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  t -> length(t) > 0) AS toks
+               FROM documents),
+    g0 AS (SELECT doc_id, len(toks) - {k} + 1 AS m, toks
+           FROM d WHERE len(toks) >= {k}),
+    g AS (SELECT doc_id, m, unnest(range(1, m + 1)) AS pos, toks FROM g0),
+    h AS (SELECT doc_id, m, pos,
+                 array_to_string(toks[pos:pos + {k - 1}], ' ') AS gram
+          FROM g),
+    e AS (SELECT doc_id, m, pos,
+                 ({gh}) * CAST({lim} AS BIGINT) + ({lim} - 1 - pos) AS enc
+          FROM h),
+    wmin AS (SELECT doc_id, m, pos,
+                    MIN(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND {w - 1} FOLLOWING) AS mn
+             FROM e)
+    SELECT DISTINCT doc_id,
+           CAST({lim} - 1 - (mn % {lim}) AS BIGINT) AS pos,
+           mn // {lim} AS gram_hash
+    FROM wmin WHERE pos <= GREATEST(m - {w} + 1, 1)
+    """
+
+
+QUERIES.update({
+    "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
+    "url_filter": (q_url_filter, o_url_filter),
+    "winnowing": (q_winnowing, o_winnowing),
+})
+
+
 # --- wave-2 composed audits (driver-visible rows for tail operators) ----------
 # The driver evaluates only the FIRST 50 QUERIES entries, and round 4 added 19
 # real training-pipeline operators past that window (pytest-oracle-green but
@@ -3718,6 +3857,12 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "g1_catalog_pip": [("url", "s"), ("entity", "s"), ("cell9", "h"),
                        ("dist_r4", "d"), ("seg_mid_lat", "d"),
                        ("seg_mid_lng", "d")],
+    # round-5 additions
+    "ccnet_buckets": [("doc_id", "i"), ("lang", "s"), ("n_bigrams", "i"),
+                      ("qscore", "i"), ("bucket", "s")],
+    "url_filter": [("url", "s"), ("domain", "s"), ("blocked", "b"),
+                   ("n_bad_words", "i"), ("keep", "b")],
+    "winnowing": [("doc_id", "i"), ("pos", "i"), ("gram_hash", "h")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -3820,14 +3965,18 @@ _AUDIT_GROUPS = {
                          "inverted_index", "tfidf_topk", "domain_topk",
                          "lm_fluency", "dsir_weights", "hash_embed",
                          "chunk_windows", "jsonl_roundtrip",
-                         "bpe_tokenize", "bpe_learn"],
+                         "bpe_tokenize", "bpe_learn",
+                         # round-5: CCNet buckets + RefinedWeb URL filter
+                         "ccnet_buckets", "url_filter"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup", "image_phash_dedup",
                           # second pass: demoted dedup-family variants
                           "fingerprint", "simhash", "simhash_pairs",
                           "minhash_signatures", "jaccard_pairs",
-                          "incremental_dedup_bucketed"],
+                          "incremental_dedup_bucketed",
+                          # round-5: winnowing fingerprint sketch
+                          "winnowing"],
     "wave2_mixing_audit": ["sequence_packing", "stratified_quota",
                            "global_shuffle", "length_quantiles",
                            "mixture_weights",
@@ -3956,6 +4105,7 @@ _TAIL = [
     "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip", "g3_polyfill",
     "g3_cells_geojson", "g3_focal_sum", "gopher_rules",
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
+    "ccnet_buckets", "url_filter", "winnowing",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
