@@ -168,3 +168,84 @@ def test_round4_templates_bit_identical_spark_duckdb_python(spark):
         assert inp == int(py_inside(la, ln)), (la, ln, inp)
     # non-vacuous: the random points straddle the polygon boundary
     assert 0 < sum(i for _, i in got_spark) < len(got_spark)
+
+
+def test_round5_templates_bit_identical_spark_duckdb_python(spark):
+    """Fuzz the round-5 templates.  (a) Full winnowing over TIE-DENSE
+    random documents (2-letter word alphabet, plus all-identical-word
+    docs where every gram hash collides): the encode/MIN-window/decode
+    pipeline must agree Spark == DuckDB-oracle == a direct python
+    winnower on the rightmost-min tie rule, the exact place an arg-min
+    dialect difference would hide.  (b) The ccnet integer-division chain
+    and the url_filter LENGTH/REPLACE substring-count identity over
+    random values/strings."""
+    from tosidewalk_spark.plans import registry as R
+
+    words_pool = ["aa", "ab", "ba", "aa"]  # duplicates force hash ties
+    texts = []
+    for j in range(120):
+        n = int(RNG.integers(0, 30))
+        texts.append(" ".join(RNG.choice(words_pool, size=n)))
+    texts += ["aa " * 12, "ab " * 7, "", "aa", "aa ab"]  # degenerate tails
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                        "text": [t.strip() for t in texts]})
+
+    sdf = spark.createDataFrame(pdf)
+    got_spark = {(r.doc_id, r.pos, r.gram_hash)
+                 for r in dedup.winnowing(sdf, k=3, w=4).collect()}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got_duck = {(int(a), int(b), int(c)) for a, b, c in
+                con.execute(R.o_winnowing()).fetchall()}
+    assert got_spark == got_duck
+
+    # python third leg (independent winnower, rightmost-min tie rule)
+    P = 2147483647
+
+    def h(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % P
+        return a
+
+    want = set()
+    for doc_id, t in zip(pdf.doc_id.tolist(), pdf.text.tolist()):
+        ws = [x for x in t.split(" ") if x]
+        grams = [h(" ".join(ws[i:i + 3])) for i in range(len(ws) - 2)]
+        for s0 in range(max(len(grams) - 3, 1) if grams else 0):
+            win = grams[s0:s0 + 4]
+            m = min(win)
+            j = max(i for i, g in enumerate(win) if g == m)
+            want.add((doc_id, s0 + j + 1, m))
+    assert got_spark == want
+    # non-vacuous tie coverage: the all-'aa' doc selects the RIGHTMOST
+    # gram of each window, so its selected positions step by one
+    aa_doc = int(pdf.doc_id[pdf.text == ("aa " * 12).strip()].iloc[0])
+    aa_pos = sorted(p for d, p, _ in got_spark if d == aa_doc)
+    assert aa_pos == list(range(4, 11)), aa_pos
+
+    # (b) integer-division chain + substring-count identity
+    vals = pd.DataFrame({
+        "i": np.arange(300, dtype=np.int64),
+        "sf": RNG.integers(0, 10**15, 300),
+        "nb": RNG.integers(1, 10**4, 300),
+        "u": ["x" + "".join(RNG.choice(list("a7b13c"),
+                                       size=RNG.integers(0, 40)))
+              for _ in range(300)]})
+    q = 244140625
+    spark_sel = (f"(sf DIV nb) DIV {q} AS d2, "
+                 f"((LENGTH(u) - LENGTH(REPLACE(u, '13', ''))) DIV 2) AS c13")
+    duck_sel = (f"(sf // nb) // {q} AS d2, "
+                f"((LENGTH(u) - LENGTH(REPLACE(u, '13', ''))) // 2) AS c13")
+    spark.createDataFrame(vals).createOrReplaceTempView("fuzz5")
+    got_s = [(r.d2, r.c13) for r in spark.sql(
+        f"SELECT {spark_sel} FROM fuzz5 ORDER BY i").collect()]
+    con2 = duckdb.connect()
+    con2.register("fuzz5", vals)
+    got_d = [(int(a), int(b)) for a, b in con2.execute(
+        f"SELECT {duck_sel} FROM fuzz5 ORDER BY i").fetchall()]
+    assert got_s == got_d
+    for (d2, c13), sf, nb, u in zip(got_s, vals.sf, vals.nb, vals.u):
+        assert d2 == (int(sf) // int(nb)) // q
+        assert c13 == u.count("13")
