@@ -457,6 +457,13 @@ def run_queries(spark, buffers) -> dict[str, float]:
             "'.example') AS domain"),
         bad_words=["7", "13"]))
     bench("winnowing", lambda: dedup.winnowing(docs))
+    from tosidewalk_spark.plans import registry as _REG
+    bench("grid_paths", lambda: SP.grid_paths(
+        pts.selectExpr("entity AS pair_id", "cell9 AS cell_a",
+                       f"CAST({_REG._CENTER_CELL9} AS BIGINT) AS cell_b")
+        .distinct()))
+    bench("containment_pairs",
+          lambda: dedup.containment_pairs(docs, threshold=0.6))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))

@@ -1007,3 +1007,28 @@ def test_url_filter_exact_counts_and_blocklist(spark):
     # 'xxx' occurs in host AND path: 2 > max_bad=1 -> dropped though
     # unblocked (the substring rule is independent of the blocklist)
     assert not r3.blocked and r3.n_bad_words == 2 and not r3.keep
+
+
+def test_containment_pairs_detects_subset_jaccard_misses(spark):
+    """A page fully contained in a 4x larger page: containment 1.0 on
+    the contained side while Jaccard is ~0.25 (below any useful
+    threshold) — the asymmetric case the operator exists for."""
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} pad{i} tail{i}" for i in range(8))
+    d = spark.createDataFrame(
+        [(1, small), (2, f"{small} {filler}"),
+         (3, "completely different content about other topics entirely")],
+        "doc_id long, text string")
+    out = dedup.containment_pairs(d, threshold=0.9)
+    rows = {(r.doc_a, r.doc_b): r for r in out.collect()}
+    assert (1, 2) in rows
+    r = rows[(1, 2)]
+    assert r.cont_ab == 1.0          # small's shingles all inside big
+    assert r.cont_ba < 0.5           # big is NOT contained in small
+    # the Jaccard/LSH sibling either misses the pair entirely (minhash
+    # band probability ~ jaccard^4 — the recall collapse that forced the
+    # rare-shingle candidate design) or scores it far below containment
+    jac = dedup.shingle_jaccard_pairs(d, threshold=0.0).collect()
+    j12 = [x.jaccard for x in jac if (x.doc_a, x.doc_b) == (1, 2)]
+    assert not j12 or j12[0] < 0.5
+    assert (1, 3) not in rows and (2, 3) not in rows

@@ -418,3 +418,68 @@ def test_scatter_disk_does_not_alias_across_field_bounds(spark):
     want2 = sorted(9 * P56 + j * P28 + i
                    for i in (P28 - 2, P28 - 1) for j in (4, 5, 6))
     assert got2 == want2
+
+
+def test_grid_paths_properties_and_python_twin(spark):
+    """Endpoints exact, length = grid_dist + 1, every hop Chebyshev-1,
+    and the whole path equals an independent python twin of the
+    round-half-up interpolation."""
+    from tosidewalk_spark.kernel import cells as KC
+    from tosidewalk_spark.operators import spatial as SP
+
+    P28, P56 = 1 << 28, 1 << 56
+    cases = [("p0", (47.60, -122.33), (47.60, -122.33)),   # d = 0
+             ("p1", (47.60, -122.33), (47.61, -122.30)),
+             ("p2", (47.59, -122.31), (47.62, -122.34)),   # negative di
+             ("p3", (47.605, -122.33), (47.605, -122.30))]  # axis-aligned
+    rows = [(pid, int(KC.cell(a[0], a[1], 9)), int(KC.cell(b[0], b[1], 9)))
+            for pid, a, b in cases]
+    pairs = spark.createDataFrame(
+        rows, "pair_id string, cell_a long, cell_b long")
+    out = SP.grid_paths(pairs).collect()
+
+    def py_path(ca, cb):
+        ia, ja = ca % P28, (ca % P56) // P28
+        ib, jb = cb % P28, (cb % P56) // P28
+        adi, adj = abs(ib - ia), abs(jb - ja)
+        si, sj = (1 if ib >= ia else -1), (1 if jb >= ja else -1)
+        d = max(adi, adj)
+        res = ca // P56
+        path = []
+        for t in range(d + 1):
+            oi = 0 if d == 0 else (2 * adi * t + d) // (2 * d)
+            oj = 0 if d == 0 else (2 * adj * t + d) // (2 * d)
+            path.append(res * P56 + (ja + sj * oj) * P28 + (ia + si * oi))
+        return d, path
+
+    by_pair = {}
+    for r in out:
+        by_pair.setdefault(r.pair_id, []).append(r)
+    for (pid, ca, cb) in rows:
+        d, want = py_path(ca, cb)
+        got = sorted(by_pair[pid], key=lambda r: r.step)
+        assert [r.cell for r in got] == want, pid
+        assert all(r.grid_dist == d for r in got)
+        assert got[0].cell == ca and got[-1].cell == cb, pid
+        for u, v in zip(got, got[1:]):  # every hop is Chebyshev-adjacent
+            iu, ju = u.cell % P28, (u.cell % P56) // P28
+            iv, jv = v.cell % P28, (v.cell % P56) // P28
+            assert max(abs(iu - iv), abs(ju - jv)) == 1, pid
+
+
+def test_grid_paths_mixed_res_fails_loudly(spark):
+    from tosidewalk_spark.kernel import cells as KC
+    from tosidewalk_spark.operators import spatial as SP
+    import pytest as _pt
+    pairs = spark.createDataFrame(
+        [("x", int(KC.cell(47.6, -122.33, 9)),
+          int(KC.cell(47.6, -122.33, 8)))],
+        "pair_id string, cell_a long, cell_b long")
+    with _pt.raises(Exception, match="resolutions"):
+        SP.grid_paths(pairs).collect()
+
+
+def test_registry_center_cell_constant_matches_kernel(spark):
+    from tosidewalk_spark.kernel import cells as KC
+    from tosidewalk_spark.plans import registry as R
+    assert R._CENTER_CELL9 == int(KC.cell(47.60, -122.33, 9))

@@ -815,3 +815,134 @@ def winnowing(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
                     .alias("pos"),
                     F.expr(f"mn DIV {lim}").alias("gram_hash"))
             .distinct())
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8,
+                      w: int = 3, max_df: int = 64) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs — the asymmetric sibling of
+    shingle_jaccard_pairs (Broder 1997 distinguishes resemblance from
+    containment): C(A in B) = |S(A) ∩ S(B)| / |S(A)| finds documents
+    mostly SWALLOWED by another (quotes, boilerplate-wrapped reposts,
+    page A = section of page B) that Jaccard misses whenever the
+    container is much larger — |A∩B|/|A∪B| shrinks with |B| while
+    |A∩B|/|A| does not.
+
+    Candidate generation is NOT minhash-LSH: a band matches with
+    probability ~jaccard^4, and for a true containment pair jaccard =
+    |A|/|B| can be arbitrarily small, so LSH recall collapses exactly on
+    the pairs this operator exists for (caught by the unit test before
+    it shipped).  Candidates instead come from SHARED RARE SHINGLES —
+    the inverted-index discipline: explode distinct shingle hashes, keep
+    hashes whose document frequency is <= ``max_df`` (one map-side
+    combinable count agg + semi-join, the LSH_MAX_BUCKET cap shape), and
+    pair documents sharing any surviving hash.  A contained document
+    shares ALL its shingles with its container, so the pair is missed
+    only if every one of its shingles is commoner than ``max_df``
+    (boilerplate-only pages — the same documented trade as every capped
+    bucket here).  Worst-case candidate emit is bounded by
+    df <= max_df per shingle: max_df^2/2 pairs per kept shingle, never
+    quadratic in the corpus.
+
+    Exact verify on candidates only, BOTH directions; a pair is emitted
+    when EITHER direction clears ``threshold``, with both rounded
+    containments returned so the caller can tell container from
+    contained.  Output: (doc_a, doc_b, cont_ab, cont_ba)."""
+    import weakref
+
+    from .spatial import _safe_unpersist
+    sh = (_spread(docs).select(
+        "doc_id",
+        F.expr(f"ARRAY_SORT(ARRAY_DISTINCT({_shingles('text', w)}))")
+        .alias("toks"))
+        .withColumn("nt", F.size("toks"))
+        .persist())  # feeds the candidate explode AND both verify sides
+    ex = sh.select("doc_id", F.explode(F.expr(
+        "TRANSFORM(toks, t -> " + sqlfns.polyhash_spark("t") + ")"))
+        .alias("gh"))
+    rare = (ex.groupBy("gh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df).select("gh"))
+    exk = ex.join(rare, "gh", "left_semi")
+    cand = (exk.select(F.col("doc_id").alias("doc_a"), "gh")
+            .join(exk.select(F.col("doc_id").alias("doc_b"), "gh"), "gh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("toks").alias("toks_a"), F.col("nt").alias("nt_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("toks").alias("toks_b"), F.col("nt").alias("nt_b"))
+    result = (cand.join(a, "doc_a").join(b, "doc_b")
+              .withColumn("inter",
+                          F.size(F.array_intersect("toks_a", "toks_b")))
+              .withColumn("cont_ab", F.round(F.col("inter") / F.col("nt_a"), 6))
+              .withColumn("cont_ba", F.round(F.col("inter") / F.col("nt_b"), 6))
+              .filter(F.expr(f"GREATEST(cont_ab, cont_ba) >= {threshold}"))
+              .select("doc_a", "doc_b", "cont_ab", "cont_ba"))
+    weakref.finalize(result, _safe_unpersist, sh)
+    return result
+
+
+def line_dedup(docs: DataFrame) -> DataFrame:
+    """LINE-level exact dedup (the CCNet / RefinedWeb paragraph-dedup
+    grain, Wenzek et al. 2020 §3.1): any line that occurs more than once
+    ANYWHERE in the corpus is removed from every occurrence except the
+    globally first, and survivors are stitched back into the document.
+    The grain between document-level ``exact_dedup`` (whole page) and
+    ``substring_dedup`` (word k-gram spans): navigation bars, cookie
+    banners and footer boilerplate repeat VERBATIM line-for-line across
+    a crawl, so line hashing removes them without dropping the pages and
+    without the gram machinery's span merges.
+
+    Semantics (mirrored exactly by the DuckDB twin):
+    - lines are SPLIT on '\\n' (no trimming — normalization is
+      ``normalize_text``'s job, composed upstream); empty lines
+      participate, so the second-and-later blank lines of the corpus
+      are removed like any other duplicate;
+    - occurrences are keyed ``doc_id * 2^20 + pos`` (1-based line pos;
+      same bound discipline as substring_dedup) and the MIN key is the
+      keeper;
+    - reconstruction re-joins surviving lines with '\\n'; a document
+      whose every line was removed yields clean_text = ''.
+
+    Scale shape: line detection is ONE map-side-combinable aggregation
+    keyed by the 63-bit line hash (8-byte shuffle key — line TEXT never
+    enters the dup-detection shuffle), removal positions shuffle by
+    doc_id, and the rebuild is a row-local array FILTER after one
+    equi-join back to the corpus — substring_dedup's exact shape at the
+    coarser grain.  Ubiquitous boilerplate lines skew the occurrence
+    join on lh; AQE's skew split handles it, the agg is immune (partial
+    combine).  Hash collisions remove a non-duplicated line with
+    probability ~n_lines^2 / 2^63."""
+    lines = "SPLIT(COALESCE(text, ''), CHR(10))"
+    lh = sqlfns.polyhash_spark("o.l")
+    occ = (_spread(docs)
+           .select("doc_id", F.expr(f"{lines} AS _ls"))
+           .select("doc_id", F.expr(
+               "EXPLODE(TRANSFORM(SEQUENCE(CAST(1 AS BIGINT), "
+               "CAST(SIZE(_ls) AS BIGINT)), "
+               "p -> STRUCT(p AS p, ELEMENT_AT(_ls, CAST(p AS INT)) AS l)))"
+           ).alias("o"))
+           .select("doc_id", F.col("o.p").alias("p"),
+                   F.expr(f"CAST({lh} AS BIGINT)").alias("lh")))
+    occ = occ.withColumn("okey", F.expr(
+        "doc_id * CAST(1048576 AS BIGINT) + p"))
+    dup = (occ.groupBy("lh")
+           .agg(F.min("okey").alias("keep_key"), F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= 2))
+    removals = (occ.join(dup, "lh")
+                .filter(F.col("okey") != F.col("keep_key"))
+                .groupBy("doc_id")
+                .agg(F.collect_list("p").alias("_ps")))
+    kept = ("FILTER(TRANSFORM(SEQUENCE(1, SIZE(_ls)), "
+            "i -> CASE WHEN NOT ARRAY_CONTAINS(_rm, CAST(i AS BIGINT)) "
+            "THEN STRUCT(i AS i, ELEMENT_AT(_ls, CAST(i AS INT)) AS l) END), "
+            "x -> x IS NOT NULL)")
+    return (docs.select("doc_id", F.expr(f"{lines} AS _ls"))
+            .join(removals, "doc_id", "left")
+            .withColumn("_rm", F.expr(
+                "COALESCE(_ps, CAST(ARRAY() AS ARRAY<BIGINT>))"))
+            .select(
+                "doc_id",
+                F.expr("CAST(SIZE(_ls) AS BIGINT)").alias("n_lines"),
+                F.expr("CAST(SIZE(_rm) AS BIGINT)").alias("n_lines_removed"),
+                F.expr(f"ARRAY_JOIN(TRANSFORM({kept}, x -> x.l), CHR(10))")
+                .alias("clean_text")))

@@ -719,3 +719,54 @@ def scatter_disk(rows: DataFrame, k: int) -> DataFrame:
                 f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
                 f"+ ({j} + dj) * {sqlfns.POW2_28} + ({i} + di)")
                 .alias("cell"), *rest))
+
+
+def grid_paths(pairs: DataFrame) -> DataFrame:
+    """H3 ``gridDistance`` + ``gridPathCells`` analog over the quadtree
+    lattice: for every (cell_a, cell_b) pair at the SAME resolution,
+    emit the straight-line cell path a -> b and the grid distance — the
+    line-of-sight primitive behind corridor queries ("which cells does
+    this street segment cross") and routing heuristics.
+
+    On this lattice the neighborhood is the Chebyshev disk
+    (kernel.cells.disk / scatter_disk), so grid distance is
+    d = MAX(|di|, |dj|) and the path has exactly d + 1 cells: step t
+    lands on
+
+        i_t = i_a + sign(di) * ((2|di|t + d) DIV (2d))      (d > 0)
+
+    — integer round-half-up of |di|·t/d applied to the non-negative
+    MAGNITUDE, then signed, so every operand of DIV is non-negative and
+    truncation == floor on BOTH engines (Spark DIV truncates toward
+    zero, DuckDB // floors: they diverge only on negatives, which this
+    form never produces).  Overflow-safe: 2|di|t < 2^57 (|di| < 2^28,
+    t <= d < 2^28) inside int64.  Mixed-resolution pairs fail loudly via
+    ASSERT_TRUE (the winnowing/stratified_quota guard discipline).
+
+    Plan: pure codegen — one SEQUENCE(0, d) explode, zero joins, zero
+    exchanges; output size is sum of path lengths, bounded by the
+    caller's pair list.  Output: (pair_id, grid_dist, step, cell)."""
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    ra, rb = f"(cell_a DIV {P56})", f"(cell_b DIV {P56})"
+    ia, ja = f"(cell_a % {P28})", f"((cell_a % {P56}) DIV {P28})"
+    ib, jb = f"(cell_b % {P28})", f"((cell_b % {P56}) DIV {P28})"
+    return (pairs
+            .filter(F.expr(
+                f"ASSERT_TRUE({ra} = {rb}, 'grid_paths: resolutions "
+                f"differ — parent/child one side first') IS NULL"))
+            .select("pair_id", F.col("cell_a").cast("long").alias("cell_a"),
+                    F.col("cell_b").cast("long").alias("cell_b"))
+            .withColumn("adi", F.expr(f"ABS({ib} - {ia})"))
+            .withColumn("adj", F.expr(f"ABS({jb} - {ja})"))
+            .withColumn("si", F.expr(f"CASE WHEN {ib} >= {ia} THEN 1 ELSE -1 END"))
+            .withColumn("sj", F.expr(f"CASE WHEN {jb} >= {ja} THEN 1 ELSE -1 END"))
+            .withColumn("grid_dist", F.expr("GREATEST(adi, adj)"))
+            .select("pair_id", "cell_a", "adi", "adj", "si", "sj", "grid_dist",
+                    F.expr("EXPLODE(SEQUENCE(0, grid_dist))").alias("step"))
+            .select("pair_id", "grid_dist", "step", F.expr(
+                f"(cell_a DIV {P56}) * {P56} "
+                f"+ (((cell_a % {P56}) DIV {P28}) + sj * (CASE WHEN grid_dist = 0 "
+                f"THEN 0 ELSE (2 * adj * step + grid_dist) DIV (2 * grid_dist) END)) * {P28} "
+                f"+ ((cell_a % {P28}) + si * (CASE WHEN grid_dist = 0 "
+                f"THEN 0 ELSE (2 * adi * step + grid_dist) DIV (2 * grid_dist) END))")
+                .alias("cell")))

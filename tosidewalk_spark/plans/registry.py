@@ -3699,10 +3699,89 @@ def o_winnowing() -> str:
     """
 
 
+_CENTER_CELL9 = 648545242768778250  # kernel.cells.cell(47.60, -122.33, 9)
+
+
+def q_grid_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straight-line cell paths from every distinct entity's res-9 cell
+    to the city-center cell — one path per entity, H3 gridPathCells
+    shape.  The center-cell literal is pinned from kernel.cells (twin
+    asserted in tests)."""
+    pts = _points(spark, sf_dir)
+    pairs = (pts.select(F.col("entity").alias("pair_id"),
+                        F.expr(sqlfns.cell_sql("lat", "lng", 9))
+                        .alias("cell_a"),
+                        F.lit(_CENTER_CELL9).alias("cell_b"))
+             .distinct())
+    return SP.grid_paths(pairs)
+
+
+def o_grid_paths() -> str:
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    cell9 = sqlfns.cell_sql("lat", "lng", 9)
+    off = (lambda ad: f"(CASE WHEN grid_dist = 0 THEN 0 ELSE "
+           f"(2 * {ad} * step + grid_dist) // (2 * grid_dist) END)")
+    return f"""
+    WITH p AS ({_duck_points()}),
+    e AS (SELECT DISTINCT entity AS pair_id, {cell9} AS cell_a,
+                 CAST({_CENTER_CELL9} AS BIGINT) AS cell_b FROM p),
+    m AS (SELECT pair_id, cell_a,
+                 ABS((cell_b % {P28}) - (cell_a % {P28})) AS adi,
+                 ABS(((cell_b % {P56}) // {P28})
+                     - ((cell_a % {P56}) // {P28})) AS adj,
+                 CASE WHEN (cell_b % {P28}) >= (cell_a % {P28})
+                      THEN 1 ELSE -1 END AS si,
+                 CASE WHEN ((cell_b % {P56}) // {P28})
+                           >= ((cell_a % {P56}) // {P28})
+                      THEN 1 ELSE -1 END AS sj
+          FROM e),
+    g AS (SELECT *, GREATEST(adi, adj) AS grid_dist FROM m),
+    s AS (SELECT pair_id, cell_a, adi, adj, si, sj, grid_dist,
+                 unnest(range(0, grid_dist + 1)) AS step FROM g)
+    SELECT pair_id, grid_dist, step,
+           (cell_a // {P56}) * {P56}
+           + (((cell_a % {P56}) // {P28}) + sj * {off('adj')}) * {P28}
+           + ((cell_a % {P28}) + si * {off('adi')}) AS cell
+    FROM s
+    """
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.containment_pairs(docs, threshold=0.6)
+
+
+def o_containment_pairs() -> str:
+    sh = _duck_shingles()
+    ph = sqlfns.polyhash_duckdb("s")
+    inter = "CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)"
+    return f"""
+    WITH toks AS (SELECT doc_id, list_sort(list_distinct({sh})) AS t,
+                         len(list_distinct({sh})) AS nt FROM documents),
+    ex AS (SELECT doc_id, unnest(list_transform(t, s -> {ph})) AS gh
+           FROM toks),
+    rare AS (SELECT gh FROM ex GROUP BY gh HAVING COUNT(*) <= 64),
+    exk AS (SELECT ex.doc_id, ex.gh FROM ex
+            WHERE ex.gh IN (SELECT gh FROM rare)),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM exk x JOIN exk y
+               ON x.gh = y.gh AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND({inter} / a.nt, 6) AS cont_ab,
+           ROUND({inter} / b.nt, 6) AS cont_ba
+    FROM cand JOIN toks a ON cand.doc_a = a.doc_id
+              JOIN toks b ON cand.doc_b = b.doc_id
+    WHERE GREATEST(ROUND({inter} / a.nt, 6),
+                   ROUND({inter} / b.nt, 6)) >= 0.6e0
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
     "winnowing": (q_winnowing, o_winnowing),
+    "grid_paths": (q_grid_paths, o_grid_paths),
+    "containment_pairs": (q_containment_pairs, o_containment_pairs),
 })
 
 
@@ -3863,6 +3942,10 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "url_filter": [("url", "s"), ("domain", "s"), ("blocked", "b"),
                    ("n_bad_words", "i"), ("keep", "b")],
     "winnowing": [("doc_id", "i"), ("pos", "i"), ("gram_hash", "h")],
+    "grid_paths": [("pair_id", "s"), ("grid_dist", "i"), ("step", "i"),
+                   ("cell", "h")],
+    "containment_pairs": [("doc_a", "i"), ("doc_b", "i"),
+                          ("cont_ab", "d"), ("cont_ba", "d")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -3975,8 +4058,8 @@ _AUDIT_GROUPS = {
                           "fingerprint", "simhash", "simhash_pairs",
                           "minhash_signatures", "jaccard_pairs",
                           "incremental_dedup_bucketed",
-                          # round-5: winnowing fingerprint sketch
-                          "winnowing"],
+                          # round-5: winnowing sketch + asymmetric containment
+                          "winnowing", "containment_pairs"],
     "wave2_mixing_audit": ["sequence_packing", "stratified_quota",
                            "global_shuffle", "length_quantiles",
                            "mixture_weights",
@@ -4003,7 +4086,9 @@ _AUDIT_GROUPS = {
                                  # true-polygon polyfill
                                  "g3_compact", "g3_uncompact_roundtrip",
                                  "g3_polyfill", "g3_cells_geojson",
-                                 "g3_focal_sum"],
+                                 "g3_focal_sum",
+                                 # round-5: H3 gridPathCells analog
+                                 "grid_paths"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4105,7 +4190,8 @@ _TAIL = [
     "fetch_schedule", "g3_compact", "g3_uncompact_roundtrip", "g3_polyfill",
     "g3_cells_geojson", "g3_focal_sum", "gopher_rules",
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
-    "ccnet_buckets", "url_filter", "winnowing",
+    "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
+    "containment_pairs",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
