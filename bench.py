@@ -464,6 +464,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
         .distinct()))
     bench("containment_pairs",
           lambda: dedup.containment_pairs(docs, threshold=0.6))
+    bench("line_dedup", lambda: dedup.line_dedup(
+        docs.selectExpr("doc_id", f"{_REG._multiline_spark()} AS text")))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))

@@ -1032,3 +1032,37 @@ def test_containment_pairs_detects_subset_jaccard_misses(spark):
     j12 = [x.jaccard for x in jac if (x.doc_a, x.doc_b) == (1, 2)]
     assert not j12 or j12[0] < 0.5
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_line_dedup_ccnet_grain(spark):
+    """Global first occurrence keeps the line; every later verbatim copy
+    is removed, including repeats of the empty line; NULL text behaves
+    as a single (duplicable) empty line."""
+    d = spark.createDataFrame(
+        [(1, "keep me\nCOOKIE BANNER\nunique one"),
+         (2, "COOKIE BANNER\nother text\n\nmore"),
+         (3, "\nCOOKIE BANNER\nother text"),
+         (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(d).collect()}
+    assert out[1].clean_text == "keep me\nCOOKIE BANNER\nunique one"
+    assert out[1].n_lines_removed == 0
+    # doc2 loses only the banner; its empty line (pos 3) is the global
+    # first '' (okey 2*2^20+3 < 3*2^20+1 < 4*2^20+1)
+    assert out[2].clean_text == "other text\n\nmore"
+    assert (out[2].n_lines, out[2].n_lines_removed) == (4, 1)
+    # doc3: all three lines are later copies
+    assert out[3].clean_text == "" and out[3].n_lines_removed == 3
+    # NULL -> [''] -> removed as a dup of doc2's empty line
+    assert (out[4].n_lines, out[4].n_lines_removed) == (1, 1)
+
+
+def test_line_dedup_intra_document_repeat(spark):
+    """A line repeated INSIDE one document dedups to its first position
+    (corpus-global rule, same as substring_dedup's span keying)."""
+    d = spark.createDataFrame(
+        [(7, "chorus\nverse a\nchorus\nverse b\nchorus")],
+        "doc_id long, text string")
+    r = dedup.line_dedup(d).collect()[0]
+    assert r.clean_text == "chorus\nverse a\nverse b"
+    assert (r.n_lines, r.n_lines_removed) == (5, 2)

@@ -3776,12 +3776,71 @@ def o_containment_pairs() -> str:
     """
 
 
+_LINES_PER = 8  # tokens per synthetic line (multi-line view of documents)
+
+
+def _multiline_spark() -> str:
+    """SQL template: documents.text re-wrapped into CHR(10)-joined lines
+    of _LINES_PER tokens — the driver's documents table is single-line
+    token text, and line_dedup's grain needs real lines.  Shared-vocab
+    token streams make verbatim 8-token lines recur across docs, so the
+    dedup actually fires at sf0.01.  DuckDB twin below."""
+    t = dedup._tokens("text")
+    n = _LINES_PER
+    return (f"CASE WHEN SIZE({t}) = 0 THEN '' ELSE "
+            f"ARRAY_JOIN(TRANSFORM(SEQUENCE(CAST(1 AS BIGINT), "
+            f"CAST(CEIL(SIZE({t}) / {n}.0e0) AS BIGINT)), "
+            f"i -> CONCAT_WS(' ', SLICE({t}, CAST((i - 1) * {n} + 1 AS INT), {n}))), "
+            f"CHR(10)) END")
+
+
+def _multiline_duckdb() -> str:
+    t = _duck_tokens("text")
+    n = _LINES_PER
+    return (f"CASE WHEN len({t}) = 0 THEN '' ELSE "
+            f"array_to_string(list_transform("
+            f"range(1, CAST(CEIL(len({t}) / {n}.0e0) AS BIGINT) + 1), "
+            f"i -> array_to_string(list_slice({t}, (i - 1) * {n} + 1, "
+            f"(i - 1) * {n} + {n}), ' ')), chr(10)) END")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ml = docs.selectExpr("doc_id", f"{_multiline_spark()} AS text")
+    return dedup.line_dedup(ml)
+
+
+def o_line_dedup() -> str:
+    lh = sqlfns.polyhash_duckdb("s")
+    return f"""
+    WITH m AS (SELECT doc_id, {_multiline_duckdb()} AS text FROM documents),
+    l AS (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+          FROM m),
+    e AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS p FROM l),
+    occ AS (SELECT doc_id, p, ls[p] AS s,
+                   doc_id * 1048576 + p AS okey FROM e),
+    h AS (SELECT doc_id, p, okey, ({lh}) AS lh FROM occ),
+    dup AS (SELECT lh, MIN(okey) AS keep_key FROM h
+            GROUP BY lh HAVING COUNT(*) >= 2),
+    rem AS (SELECT doc_id, list(p) AS ps FROM h JOIN dup USING (lh)
+            WHERE okey != keep_key GROUP BY doc_id)
+    SELECT l.doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(COALESCE(len(ps), 0) AS BIGINT) AS n_lines_removed,
+           COALESCE(array_to_string(list_transform(
+               list_filter(range(1, len(ls) + 1),
+                           i -> NOT list_contains(COALESCE(ps, []), i)),
+               i -> ls[i]), chr(10)), '') AS clean_text
+    FROM l LEFT JOIN rem ON l.doc_id = rem.doc_id
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
     "winnowing": (q_winnowing, o_winnowing),
     "grid_paths": (q_grid_paths, o_grid_paths),
     "containment_pairs": (q_containment_pairs, o_containment_pairs),
+    "line_dedup": (q_line_dedup, o_line_dedup),
 })
 
 
@@ -3946,6 +4005,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                    ("cell", "h")],
     "containment_pairs": [("doc_a", "i"), ("doc_b", "i"),
                           ("cont_ab", "d"), ("cont_ba", "d")],
+    "line_dedup": [("doc_id", "i"), ("n_lines", "i"),
+                   ("n_lines_removed", "i"), ("clean_text", "s")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -4058,8 +4119,9 @@ _AUDIT_GROUPS = {
                           "fingerprint", "simhash", "simhash_pairs",
                           "minhash_signatures", "jaccard_pairs",
                           "incremental_dedup_bucketed",
-                          # round-5: winnowing sketch + asymmetric containment
-                          "winnowing", "containment_pairs"],
+                          # round-5: winnowing sketch + asymmetric
+                          # containment + CCNet line-grain dedup
+                          "winnowing", "containment_pairs", "line_dedup"],
     "wave2_mixing_audit": ["sequence_packing", "stratified_quota",
                            "global_shuffle", "length_quantiles",
                            "mixture_weights",
@@ -4191,7 +4253,7 @@ _TAIL = [
     "g3_cells_geojson", "g3_focal_sum", "gopher_rules",
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
     "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
-    "containment_pairs",
+    "containment_pairs", "line_dedup",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
