@@ -466,6 +466,12 @@ def run_queries(spark, buffers) -> dict[str, float]:
           lambda: dedup.containment_pairs(docs, threshold=0.6))
     bench("line_dedup", lambda: dedup.line_dedup(
         docs.selectExpr("doc_id", f"{_REG._multiline_spark()} AS text")))
+    bench("bm25_topk", lambda: SRCH.bm25_topk(
+        docs,
+        docs.filter("doc_id % 97 = 0").selectExpr(
+            "doc_id AS query_id",
+            f"EXPLODE(SLICE({text._tokens()}, 1, 8)) AS term"),
+        k=5))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))

@@ -93,3 +93,42 @@ def test_domain_topk_matches_single_window(spark, docs_sf001=None):
               .filter(F.col("rk") <= 4))
     expected = {(r.domain, r.doc_id, r.rk) for r in single.collect()}
     assert two_phase == expected and len(expected) == 12
+
+
+def test_bm25_length_normalization_beats_term_stuffing(spark):
+    """Two docs with the SAME tf for the query term: tf-idf scores them
+    identically, BM25 ranks the shorter one first (b = 0.75 penalizes
+    the padded doc).  Also pins tf saturation: 10x the tf in an
+    equal-length doc buys < 10x the partial score."""
+    pad = " ".join(f"pad{i}" for i in range(90))
+    d = spark.createDataFrame(
+        [(1, "zebra quick facts here now"),             # short, tf=1
+         (2, f"zebra {pad}"),                           # long, tf=1
+         (3, "zebra " * 10 + "x y z w v"),              # tf=10, short-ish
+         (4, "unrelated filler content entirely")],
+        "doc_id long, text string")
+    q = spark.createDataFrame([(100, "zebra")], "query_id long, term string")
+    r = {x.doc_id: x for x in search.bm25_topk(d, q, k=4).collect()}
+    assert set(r) == {1, 2, 3}                          # doc4 never hits
+    assert r[1].score_fx > r[2].score_fx                # same tf, shorter wins
+    assert r[3].rank == 1                               # higher tf still wins
+    # saturation: tf=10 partial < 10x the tf=1 partial at comparable length
+    assert r[3].score_fx < 10 * r[1].score_fx
+    # tfidf control: same tf => identical scores (what BM25 fixes)
+    t = {x.doc_id: x for x in search.tfidf_topk(d, q, k=4).collect()}
+    assert t[1].score_fx == t[2].score_fx
+
+
+def test_bm25_multi_term_and_tie_break(spark):
+    """Per-query DISTINCT terms, n_terms_hit counts matched terms, and
+    exact-tie ranks break by doc_id ascending."""
+    d = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple banana"), (3, "apple cherry")],
+        "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(9, "apple"), (9, "banana"), (9, "apple")],
+        "query_id long, term string")
+    out = sorted(search.bm25_topk(d, q, k=3).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in out] == [1, 2, 3]         # 1==2 tie -> doc_id
+    assert out[0].score_fx == out[1].score_fx
+    assert out[0].n_terms_hit == 2 and out[2].n_terms_hit == 1

@@ -249,3 +249,30 @@ def minhash_duckdb(hashes_col: str, a: int, b: int) -> str:
         f"list_min(list_transform({hashes_col}, "
         f"h -> ({a} * h + {b}) % {HASH_P}))"
     )
+
+
+def bm25_part_sql(tf: str = "tf", df: str = "df", dl: str = "dl",
+                  n_docs: str = "n_docs", avgdl: str = "avgdl") -> str:
+    """Per-(term, doc) BM25 partial, quantized to BIGINT — ONE template
+    valid in both Spark SQL and DuckDB (the shared-template discipline:
+    identical expression tree => identical IEEE doubles => identical
+    FLOOR quantization on both engines).
+
+    Rational-idf BM25 (k1 = 1.2, b = 0.75): the standard
+    ln((N - df + 0.5)/(df + 0.5) + 1) idf is replaced by the rational
+    factor (N - df + 0.5)/(df + 0.5) itself — LN is libm and drifts by
+    ulps between engines (the POWER(x,2) lesson, BENCH/BASELINE.md),
+    while +,-,*,/ are exactly rounded.  Rankings differ from log-BM25
+    only in how multi-term scores mix (rare terms weigh relatively
+    more); the saturation/length-normalization behavior BM25 exists for
+    lives in the tf term, which is exact Robertson-Sparck Jones.
+
+    The partial is scaled 1e4 and FLOOR(x + 0.5)-quantized BEFORE the
+    per-(query, doc) SUM so the aggregate is an order-free BIGINT sum —
+    deterministic at any parallelism (tfidf_topk's discipline)."""
+    idf = (f"((CAST({n_docs} - {df} AS DOUBLE) + 0.5e0) / "
+           f"(CAST({df} AS DOUBLE) + 0.5e0))")
+    num = f"(CAST({tf} AS DOUBLE) * 2.2e0)"
+    den = (f"(CAST({tf} AS DOUBLE) + 1.2e0 * "
+           f"(0.25e0 + 0.75e0 * (CAST({dl} AS DOUBLE) / {avgdl})))")
+    return f"CAST(FLOOR({idf} * {num} / {den} * 1.0e4 + 0.5e0) AS BIGINT)"

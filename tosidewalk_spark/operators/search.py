@@ -78,3 +78,50 @@ def tfidf_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "score_fx", "n_terms_hit", "rank"))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Ranked retrieval with BM25 length normalization (Robertson &
+    Walker 1994; the rational-idf variant — sqlfns.bm25_part_sql has the
+    cross-engine exactness argument): tf saturation (k1 = 1.2) and
+    document-length normalization (b = 0.75 against the corpus mean
+    length) fix tf-idf's bias toward long, term-stuffed pages — the
+    dominant spam shape in a web crawl.
+
+    Plan: tokenize in-scan carrying dl = SIZE(tokens) (no separate
+    doc-length join — dl rides the explode and folds into the tf agg as
+    MAX of a per-doc constant), ONE map-side-combinable (term, doc_id)
+    agg, window COUNT over term for df (the exchange that IS the on-disk
+    term bucketing), then the quantized partial sums per (query, doc) —
+    BIGINT, order-free, engine-exact.  The corpus-global scalars
+    (n_docs, avgdl) come from a 1-row aggregate cross-joined in: a
+    broadcast of exactly one row.  Queries broadcast as in tfidf_topk;
+    ties break by doc_id ascending."""
+    toks = _tokens()
+    ex = (_spread(docs)
+          .select("doc_id", F.expr(f"{toks} AS _t"))
+          .select("doc_id", F.expr("CAST(SIZE(_t) AS BIGINT)").alias("dl"),
+                  F.explode("_t").alias("term")))
+    tf = ex.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl"))
+    w = Window.partitionBy("term")
+    idx = tf.select("term", "doc_id", "tf", "dl",
+                    F.count("*").over(w).cast("long").alias("df"))
+    stats = docs.select(F.expr(f"CAST(SIZE({toks}) AS BIGINT)").alias("_dl")) \
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.expr("CAST(SUM(_dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
+             .alias("avgdl"))
+    q = queries.select("query_id", "term").distinct()
+    from ..functions import sqlfns
+    part = sqlfns.bm25_part_sql()
+    scored = (idx.join(F.broadcast(q), "term")
+              .join(F.broadcast(stats))
+              .select("query_id", "doc_id", F.expr(part).alias("part_fx"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("part_fx").alias("score_fx"),
+                   F.count("*").cast("long").alias("n_terms_hit")))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fx"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(rw).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score_fx", "n_terms_hit", "rank"))

@@ -3834,6 +3834,48 @@ def o_line_dedup() -> str:
     """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query set as tfidf_topk (first 8 tokens of every 97th doc) so
+    the two scorers are directly comparable; BM25's length normalization
+    re-ranks long token-stuffed docs DOWN relative to tf-idf."""
+    from ..operators import search
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter("doc_id % 97 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.expr(f"SLICE({text._tokens()}, 1, 8)")).alias("term"))
+    return search.bm25_topk(docs, queries, k=5)
+
+
+def o_bm25_topk() -> str:
+    t = _duck_tokens()
+    part = sqlfns.bm25_part_sql()
+    return f"""
+    WITH d AS (SELECT doc_id, {t} AS t FROM documents),
+    ex AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term
+           FROM d),
+    tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+           FROM ex GROUP BY 1, 2),
+    idx AS (SELECT term, doc_id, tf, dl,
+                   CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+            FROM tf),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(t)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  AS avgdl FROM d),
+    q AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id, unnest(list_slice({t}, 1, 8)) AS term
+            FROM documents WHERE doc_id % 97 = 0)),
+    sc AS (SELECT q.query_id, idx.doc_id,
+                  SUM({part}) AS score_fx,
+                  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+           FROM idx JOIN q USING (term), st GROUP BY 1, 2)
+    SELECT query_id, doc_id, CAST(score_fx AS BIGINT) AS score_fx,
+           n_terms_hit, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score_fx DESC, doc_id) AS rank FROM sc)
+    WHERE rank <= 5
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
@@ -3841,6 +3883,7 @@ QUERIES.update({
     "grid_paths": (q_grid_paths, o_grid_paths),
     "containment_pairs": (q_containment_pairs, o_containment_pairs),
     "line_dedup": (q_line_dedup, o_line_dedup),
+    "bm25_topk": (q_bm25_topk, o_bm25_topk),
 })
 
 
@@ -4007,6 +4050,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                           ("cont_ab", "d"), ("cont_ba", "d")],
     "line_dedup": [("doc_id", "i"), ("n_lines", "i"),
                    ("n_lines_removed", "i"), ("clean_text", "s")],
+    "bm25_topk": [("query_id", "i"), ("doc_id", "i"), ("score_fx", "i"),
+                  ("n_terms_hit", "i"), ("rank", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -4111,7 +4156,8 @@ _AUDIT_GROUPS = {
                          "chunk_windows", "jsonl_roundtrip",
                          "bpe_tokenize", "bpe_learn",
                          # round-5: CCNet buckets + RefinedWeb URL filter
-                         "ccnet_buckets", "url_filter"],
+                         # + BM25 length-normalized retrieval
+                         "ccnet_buckets", "url_filter", "bm25_topk"],
     "wave2_dedup_audit": ["substring_dedup", "cdc_chunks", "dedup_keep",
                           "decontaminate", "repetition_stats",
                           "bloom_dedup", "image_phash_dedup",
@@ -4253,7 +4299,7 @@ _TAIL = [
     "g3_cells_geojson", "g3_focal_sum", "gopher_rules",
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
     "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
-    "containment_pairs", "line_dedup",
+    "containment_pairs", "line_dedup", "bm25_topk",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
