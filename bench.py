@@ -40,6 +40,7 @@ from tosidewalk_spark.operators import similarity, spatial as SP, text  # noqa: 
 from tosidewalk_spark.operators import temporal as TP  # noqa: E402
 from tosidewalk_spark.plans import pipeline as PL  # noqa: E402
 from tosidewalk_spark.session import get_spark  # noqa: E402
+from tosidewalk_spark.functions import sqlfns as _sqlfns  # noqa: E402
 from tosidewalk_spark.sources import synth  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -472,6 +473,14 @@ def run_queries(spark, buffers) -> dict[str, float]:
             "doc_id AS query_id",
             f"EXPLODE(SLICE({text._tokens()}, 1, 8)) AS term"),
         k=5))
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    _traj_ent = ("CONCAT('loc_', CAST(user_id AS STRING), '_', "
+                 "CAST(event_id % 7 AS STRING))")
+    _tlat, _tlng = synth.entity_latlng_sql(_traj_ent)
+    bench("trajectory_stats", lambda: SP.trajectory_stats(
+        events.selectExpr(
+            "user_id AS traj_id", "ts", "event_id",
+            f"{_sqlfns.cell_sql(_tlat, _tlng, 9)} AS cell")))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))

@@ -483,3 +483,43 @@ def test_registry_center_cell_constant_matches_kernel(spark):
     from tosidewalk_spark.kernel import cells as KC
     from tosidewalk_spark.plans import registry as R
     assert R._CENTER_CELL9 == int(KC.cell(47.60, -122.33, 9))
+
+
+def test_trajectory_stats_integer_grid_metrics(spark):
+    """Path metrics are exact Chebyshev grid units; returns-to-start
+    give net_dist 0 while total_dist counts both legs; singleton
+    trajectories are all-zero."""
+    from datetime import datetime as DT
+    from tosidewalk_spark.kernel import cells as KC
+    from tosidewalk_spark.operators import spatial as SP
+    P28, P56 = 1 << 28, 1 << 56
+    mk = lambda lat, lng: int(KC.cell(lat, lng, 9))
+    c1, c2 = mk(47.60, -122.33), mk(47.61, -122.30)
+    cheb = max(abs(c1 % P28 - c2 % P28),
+               abs((c1 % P56) // P28 - (c2 % P56) // P28))
+    d = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0), 1, c1),
+         (1, DT(2024, 1, 1, 0, 5), 2, c2),
+         (1, DT(2024, 1, 1, 0, 9), 3, c2),      # dwell: no move
+         (1, DT(2024, 1, 1, 0, 12), 4, c1),     # return to start
+         (2, DT(2024, 1, 1, 1, 0), 5, mk(47.59, -122.31))],
+        "traj_id long, ts timestamp, event_id long, cell long")
+    out = {r.traj_id: r for r in SP.trajectory_stats(d).collect()}
+    r = out[1]
+    assert (r.n_points, r.n_moves) == (4, 2)
+    assert r.total_dist == 2 * cheb and r.max_step == cheb
+    assert r.start_cell == c1 and r.end_cell == c1 and r.net_dist == 0
+    assert (out[2].n_points, out[2].total_dist, out[2].net_dist) == (1, 0, 0)
+
+
+def test_trajectory_stats_mixed_res_fails_loudly(spark):
+    from datetime import datetime as DT
+    from tosidewalk_spark.kernel import cells as KC
+    from tosidewalk_spark.operators import spatial as SP
+    import pytest as _pt
+    d = spark.createDataFrame(
+        [(1, DT(2024, 1, 1), 1, int(KC.cell(47.6, -122.33, 9))),
+         (1, DT(2024, 1, 2), 2, int(KC.cell(47.6, -122.33, 8)))],
+        "traj_id long, ts timestamp, event_id long, cell long")
+    with _pt.raises(Exception, match="resolutions"):
+        SP.trajectory_stats(d).collect()

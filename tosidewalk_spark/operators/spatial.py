@@ -770,3 +770,63 @@ def grid_paths(pairs: DataFrame) -> DataFrame:
                 f"+ ((cell_a % {P28}) + si * (CASE WHEN grid_dist = 0 "
                 f"THEN 0 ELSE (2 * adi * step + grid_dist) DIV (2 * grid_dist) END))")
                 .alias("cell")))
+
+
+def trajectory_stats(points: DataFrame) -> DataFrame:
+    """Per-trajectory movement summary over the cell lattice: given
+    (traj_id, ts, event_id, cell) pings, order each trajectory by
+    (ts, event_id) and report path statistics in GRID units — the
+    trip-assembly primitive behind od-matrix / mobility rollups, and the
+    temporal sibling of grid_paths (which interpolates BETWEEN two
+    cells; this walks a measured sequence).
+
+    Distances are Chebyshev grid distances (the lattice neighborhood
+    metric — kernel.cells.disk), so every statistic is INTEGER and
+    engine-exact by construction; no geodesic floats enter.  Emits per
+    trajectory:
+      n_points, n_moves (steps with dist > 0), total_dist (sum of step
+      distances), max_step, start_cell, end_cell, net_dist (Chebyshev
+      start -> end) — total_dist / net_dist is the classic tortuosity
+      ratio, left to the caller to avoid a float column.
+
+    Mixed-resolution pings fail loudly via ASSERT_TRUE (grid_paths'
+    guard discipline).  Plan: ONE shuffle keyed traj_id feeding both the
+    ordering window and the final agg (same partitioning — Catalyst
+    reuses the exchange), zero joins.  Per-trajectory windows are
+    bounded by pings-per-trajectory; a hot trajectory (fleet vehicle,
+    bot user) skews its partition — the fetch_schedule host-skew trade,
+    inherent to the per-key ordering semantics."""
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    i, j = f"(cell % {P28})", f"((cell % {P56}) DIV {P28})"
+    pi, pj = f"(_pc % {P28})", f"((_pc % {P56}) DIV {P28})"
+    w = "PARTITION BY traj_id ORDER BY ts, event_id"
+    stepped = (points
+               .select("traj_id", "ts", "event_id",
+                       F.col("cell").cast("long").alias("cell"))
+               .selectExpr(
+                   "traj_id", "cell",
+                   f"LAG(cell) OVER ({w}) AS _pc",
+                   f"ROW_NUMBER() OVER ({w}) AS _rn",
+                   f"COUNT(*) OVER (PARTITION BY traj_id) AS _n")
+               .filter(F.expr(
+                   f"_pc IS NULL OR ASSERT_TRUE(_pc DIV {P56} = "
+                   f"cell DIV {P56}, 'trajectory_stats: mixed resolutions "
+                   f"in one trajectory') IS NULL"))
+               .selectExpr(
+                   "traj_id", "_rn", "_n",
+                   f"CASE WHEN _pc IS NULL THEN 0 ELSE "
+                   f"GREATEST(ABS({i} - {pi}), ABS({j} - {pj})) END AS step",
+                   "CASE WHEN _rn = 1 THEN cell END AS _start",
+                   "CASE WHEN _rn = _n THEN cell END AS _end"))
+    si, sj = f"(start_cell % {P28})", f"((start_cell % {P56}) DIV {P28})"
+    ei, ej = f"(end_cell % {P28})", f"((end_cell % {P56}) DIV {P28})"
+    return (stepped.groupBy("traj_id")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.expr("CAST(SUM(CASE WHEN step > 0 THEN 1 ELSE 0 END) "
+                        "AS BIGINT)").alias("n_moves"),
+                 F.expr("CAST(SUM(step) AS BIGINT)").alias("total_dist"),
+                 F.expr("CAST(MAX(step) AS BIGINT)").alias("max_step"),
+                 F.expr("MAX(_start)").alias("start_cell"),
+                 F.expr("MAX(_end)").alias("end_cell"))
+            .withColumn("net_dist", F.expr(
+                f"GREATEST(ABS({ei} - {si}), ABS({ej} - {sj}))")))

@@ -3876,6 +3876,56 @@ def o_bm25_topk() -> str:
     """
 
 
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as mobility pings: each (user_id, event_id % 7) pair
+    hash-geocodes to one of 7 deterministic anchor positions per user,
+    so trajectories really MOVE (repeat visits, returns, zero-length
+    steps all occur).  Cell encode via the shared templates — the DuckDB
+    twin reproduces every ping bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ent = ("CONCAT('loc_', CAST(user_id AS STRING), '_', "
+           "CAST(event_id % 7 AS STRING))")
+    lat, lng = synth.entity_latlng_sql(ent)
+    pts = ev.selectExpr("user_id AS traj_id", "ts", "event_id",
+                        f"{sqlfns.cell_sql(lat, lng, 9)} AS cell")
+    return SP.trajectory_stats(pts)
+
+
+def o_trajectory_stats() -> str:
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    ent = ("CONCAT('loc_', CAST(user_id AS VARCHAR), '_', "
+           "CAST(event_id % 7 AS VARCHAR))")
+    lat, lng = synth.entity_latlng_sql_duckdb(ent)
+    cell = sqlfns.cell_sql(lat, lng, 9)
+    i, j = f"(cell % {P28})", f"((cell % {P56}) // {P28})"
+    pi, pj = f"(pc % {P28})", f"((pc % {P56}) // {P28})"
+    si, sj = f"(start_cell % {P28})", f"((start_cell % {P56}) // {P28})"
+    ei, ej = f"(end_cell % {P28})", f"((end_cell % {P56}) // {P28})"
+    w = "PARTITION BY traj_id ORDER BY ts, event_id"
+    return f"""
+    WITH p AS (SELECT user_id AS traj_id, ts, event_id,
+                      CAST({cell} AS BIGINT) AS cell FROM events),
+    s AS (SELECT traj_id, cell, LAG(cell) OVER ({w}) AS pc,
+                 ROW_NUMBER() OVER ({w}) AS rn,
+                 COUNT(*) OVER (PARTITION BY traj_id) AS n FROM p),
+    st AS (SELECT traj_id,
+                  CASE WHEN pc IS NULL THEN 0 ELSE
+                       GREATEST(ABS({i} - {pi}), ABS({j} - {pj})) END AS step,
+                  CASE WHEN rn = 1 THEN cell END AS s0,
+                  CASE WHEN rn = n THEN cell END AS s1 FROM s),
+    agg AS (SELECT traj_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(CASE WHEN step > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_moves,
+                   CAST(SUM(step) AS BIGINT) AS total_dist,
+                   CAST(MAX(step) AS BIGINT) AS max_step,
+                   MAX(s0) AS start_cell, MAX(s1) AS end_cell
+            FROM st GROUP BY traj_id)
+    SELECT *, CAST(GREATEST(ABS({ei} - {si}), ABS({ej} - {sj})) AS BIGINT)
+              AS net_dist
+    FROM agg
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
@@ -3884,6 +3934,7 @@ QUERIES.update({
     "containment_pairs": (q_containment_pairs, o_containment_pairs),
     "line_dedup": (q_line_dedup, o_line_dedup),
     "bm25_topk": (q_bm25_topk, o_bm25_topk),
+    "trajectory_stats": (q_trajectory_stats, o_trajectory_stats),
 })
 
 
@@ -4052,6 +4103,10 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                    ("n_lines_removed", "i"), ("clean_text", "s")],
     "bm25_topk": [("query_id", "i"), ("doc_id", "i"), ("score_fx", "i"),
                   ("n_terms_hit", "i"), ("rank", "i")],
+    "trajectory_stats": [("traj_id", "i"), ("n_points", "i"),
+                         ("n_moves", "i"), ("total_dist", "i"),
+                         ("max_step", "i"), ("start_cell", "h"),
+                         ("end_cell", "h"), ("net_dist", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -4195,8 +4250,9 @@ _AUDIT_GROUPS = {
                                  "g3_compact", "g3_uncompact_roundtrip",
                                  "g3_polyfill", "g3_cells_geojson",
                                  "g3_focal_sum",
-                                 # round-5: H3 gridPathCells analog
-                                 "grid_paths"],
+                                 # round-5: H3 gridPathCells analog +
+                                 # per-trajectory movement rollup
+                                 "grid_paths", "trajectory_stats"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4299,7 +4355,7 @@ _TAIL = [
     "g3_cells_geojson", "g3_focal_sum", "gopher_rules",
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
     "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
-    "containment_pairs", "line_dedup", "bm25_topk",
+    "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
