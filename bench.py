@@ -481,6 +481,13 @@ def run_queries(spark, buffers) -> dict[str, float]:
         events.selectExpr(
             "user_id AS traj_id", "ts", "event_id",
             f"{_sqlfns.cell_sql(_tlat, _tlng, 9)} AS cell")))
+    bench("od_matrix", lambda: SP.od_matrix(
+        events.selectExpr(
+            "user_id AS traj_id", "ts", "event_id",
+            f"{_sqlfns.cell_sql(_tlat, _tlng, 9)} AS cell"),
+        parent_res=7, res=9))
+    bench("grid_dbscan", lambda: SP.grid_dbscan(
+        pts.selectExpr("cell9 AS cell"), min_pts=5))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))

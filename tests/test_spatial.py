@@ -523,3 +523,58 @@ def test_trajectory_stats_mixed_res_fails_loudly(spark):
         "traj_id long, ts timestamp, event_id long, cell long")
     with _pt.raises(Exception, match="resolutions"):
         SP.trajectory_stats(d).collect()
+
+
+def test_grid_dbscan_blobs_noise_and_isolation(spark):
+    """Adjacent dense cells merge; a dense cell 2+ away stays its own
+    cluster (Chebyshev-1 adjacency only); sparse cells are noise."""
+    from tosidewalk_spark.operators import spatial as SP
+    P28, P56 = 1 << 28, 1 << 56
+    mk = lambda i, j: 9 * P56 + j * P28 + i
+    rows = []
+    for cell, n in [(mk(10, 10), 4), (mk(11, 11), 5), (mk(11, 10), 4),
+                    (mk(10, 13), 4), (mk(50, 50), 6), (mk(20, 20), 1)]:
+        rows += [(cell,)] * n
+    d = spark.createDataFrame(rows, "cell long")
+    out = {r.cell: r for r in SP.grid_dbscan(d, min_pts=4).collect()}
+    a = mk(10, 10)
+    assert (out[mk(10, 10)].cluster_id == out[mk(11, 11)].cluster_id
+            == out[mk(11, 10)].cluster_id == a)   # diagonal adjacency merges
+    assert out[mk(10, 13)].cluster_id == mk(10, 13)  # gap 2: separate
+    assert out[mk(50, 50)].cluster_id == mk(50, 50)  # isolated singleton
+    assert mk(20, 20) not in out                     # sparse = noise
+    assert out[mk(11, 11)].n_points == 5
+
+
+def test_grid_dbscan_mixed_res_fails_loudly(spark):
+    from tosidewalk_spark.operators import spatial as SP
+    import pytest as _pt
+    P28, P56 = 1 << 28, 1 << 56
+    rows = [(9 * P56 + 10 * P28 + 10,)] * 4 + [(8 * P56 + 5 * P28 + 5,)] * 4
+    d = spark.createDataFrame(rows, "cell long")
+    with _pt.raises(Exception, match="mixed"):
+        SP.grid_dbscan(d, min_pts=4).collect()
+
+
+def test_od_matrix_transitions_and_distinct_trajs(spark):
+    """Consecutive pings roll up to parent zones; n_trans counts
+    transitions, n_trajs distinct trajectories; dwells kept."""
+    from datetime import datetime as DT
+    from tosidewalk_spark.operators import spatial as SP
+    P28, P56 = 1 << 28, 1 << 56
+    mk = lambda i, j: 9 * P56 + j * P28 + i
+    pz = lambda i, j: 7 * P56 + (j // 4) * P28 + (i // 4)
+    pings = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 0, 0), 1, mk(10, 10)),
+         (1, DT(2024, 1, 1, 0, 5), 2, mk(50, 50)),
+         (1, DT(2024, 1, 1, 0, 9), 3, mk(50, 50)),
+         (2, DT(2024, 1, 1, 1, 0), 4, mk(10, 10)),
+         (2, DT(2024, 1, 1, 1, 5), 5, mk(50, 50))],
+        "traj_id long, ts timestamp, event_id long, cell long")
+    om = {(r.o_zone, r.d_zone): r
+          for r in SP.od_matrix(pings, parent_res=7, res=9).collect()}
+    flow = om[(pz(10, 10), pz(50, 50))]
+    assert flow.n_trans == 2 and flow.n_trajs == 2
+    dwell = om[(pz(50, 50), pz(50, 50))]
+    assert dwell.n_trans == 1 and dwell.n_trajs == 1
+    assert len(om) == 2

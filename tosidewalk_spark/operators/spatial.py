@@ -830,3 +830,82 @@ def trajectory_stats(points: DataFrame) -> DataFrame:
                  F.expr("MAX(_end)").alias("end_cell"))
             .withColumn("net_dist", F.expr(
                 f"GREATEST(ABS({ei} - {si}), ABS({ej} - {sj}))")))
+
+
+def grid_dbscan(points: DataFrame, min_pts: int = 4) -> DataFrame:
+    """Grid-based DBSCAN over the cell lattice (the GriDBSCAN /
+    cell-density family: Uncu et al. 2006 GRIDBSCAN; the cell grain is
+    the documented approximation — eps is the cell size, not a point
+    radius): a cell is DENSE when it holds >= ``min_pts`` points;
+    clusters are the connected components of dense cells under
+    Chebyshev-1 adjacency; sparse cells are noise and never appear.
+    Output: one row per dense cell — (cell, cluster_id, n_points),
+    cluster_id = min dense-cell id of the component (deterministic at
+    any parallelism, the engine's CC contract).
+
+    Input: (cell, ...) one row per point, all cells at ONE resolution —
+    mixed input fails loudly (a res-8 cell can never be Chebyshev-
+    adjacent to a res-9 one, so mixing would SILENTLY fragment clusters;
+    the guard is a 1-row min/max broadcast + ASSERT_TRUE filter).
+
+    Scale shape: the per-point stage is ONE map-side-combinable count
+    agg keyed by cell (points never touch the graph stage); the
+    adjacency build replicates only DENSE cells (scatter_disk k=1,
+    9 rows each) and semi-joins back to dense — worst case 9x the dense
+    relation, never points x points; components run on the shared
+    log-diameter pointer-jumping CC (network.connected_components) with
+    its min-contraction pre-pass, so a city-sized blob of dense cells
+    costs O(log diameter) rounds.  DBSCAN's classic failure mode at
+    crawl scale (one giant cluster) degrades here to a long CC — exactly
+    the hazard the R4/dedup CC machinery already handles."""
+    from .network import connected_components
+    cnt = points.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_points"))
+    bounds = cnt.agg(
+        F.expr(f"MIN(cell DIV {sqlfns.POW2_56}) AS _r0"),
+        F.expr(f"MAX(cell DIV {sqlfns.POW2_56}) AS _r1"))
+    dense = (cnt.filter(F.col("n_points") >= min_pts)
+             .join(F.broadcast(bounds))
+             .filter(F.expr("ASSERT_TRUE(_r0 = _r1, 'grid_dbscan: mixed "
+                            "resolutions in input cells') IS NULL"))
+             .select("cell", "n_points"))
+    nbr = scatter_disk(dense.select("cell", F.col("cell").alias("src")), 1)
+    edges = (nbr.join(dense.select("cell"), "cell", "left_semi")
+             .filter(F.col("src") != F.col("cell"))
+             .selectExpr("src", "cell AS dst"))
+    labeled = connected_components(edges).selectExpr(
+        "id AS cell", "component AS cluster_id")
+    # singleton dense cells have no edges -> not in `labeled`; they are
+    # their own cluster
+    return (dense.join(labeled, "cell", "left")
+            .select("cell",
+                    F.expr("COALESCE(cluster_id, cell)").alias("cluster_id"),
+                    "n_points"))
+
+
+def od_matrix(points: DataFrame, parent_res: int = 7,
+              res: int = 9) -> DataFrame:
+    """Origin-destination matrix from trajectory pings: every pair of
+    CONSECUTIVE pings per trajectory (ordered by ts, event_id) is one
+    transition; origin/destination are rolled up to ``parent_res``
+    zones (the od-rollup every mobility pipeline publishes).  Dwells
+    (same zone) are kept — callers filter o_zone != d_zone for the
+    flow-only view.  Output: (o_zone, d_zone, n_trans, n_trajs).
+
+    Plan: one window shuffle keyed traj_id (trajectory_stats' exchange)
+    + one map-side-combinable agg keyed (o_zone, d_zone); n_trajs is an
+    exact COUNT(DISTINCT traj_id) inside that same keyed agg — a
+    two-key expand, bounded by zones², not pings.  Zone rollup is the
+    shared parent_sql template, so the DuckDB twin is bit-identical."""
+    o = sqlfns.parent_sql("_pc", res, parent_res)
+    d = sqlfns.parent_sql("cell", res, parent_res)
+    w = "PARTITION BY traj_id ORDER BY ts, event_id"
+    return (points
+            .select("traj_id", "ts", "event_id",
+                    F.col("cell").cast("long").alias("cell"))
+            .selectExpr("traj_id", "cell", f"LAG(cell) OVER ({w}) AS _pc")
+            .filter("_pc IS NOT NULL")
+            .selectExpr("traj_id", f"{o} AS o_zone", f"{d} AS d_zone")
+            .groupBy("o_zone", "d_zone")
+            .agg(F.count("*").cast("long").alias("n_trans"),
+                 F.countDistinct("traj_id").cast("long").alias("n_trajs")))

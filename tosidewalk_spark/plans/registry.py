@@ -3926,6 +3926,72 @@ def o_trajectory_stats() -> str:
     """
 
 
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clusters over the geocoded entity points at res 9
+    (min_pts = 5 keeps ~29 of 31 occupied cells dense at sf0.01, so the
+    CC stage runs on a real multi-cell component)."""
+    pts = _points(spark, sf_dir)
+    return SP.grid_dbscan(
+        pts.selectExpr(f"{sqlfns.cell_sql('lat', 'lng', 9)} AS cell"),
+        min_pts=5)
+
+
+def o_grid_dbscan() -> str:
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    cell = sqlfns.cell_sql("lat", "lng", 9)
+    return f"""
+    WITH RECURSIVE p AS ({_duck_points()}),
+    c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM p GROUP BY 1),
+    dense AS (SELECT * FROM c WHERE n_points >= 5),
+    e AS (SELECT a.cell AS src, b.cell AS dst FROM dense a JOIN dense b
+          ON ABS((a.cell % {P28}) - (b.cell % {P28})) <= 1
+          AND ABS(((a.cell % {P56}) // {P28})
+                  - ((b.cell % {P56}) // {P28})) <= 1
+          AND a.cell != b.cell),
+    r(root, node) AS (
+        SELECT cell, cell FROM dense
+        UNION
+        SELECT r.root, e.dst FROM r JOIN e ON r.node = e.src),
+    lab AS (SELECT node AS cell, MIN(root) AS cluster_id FROM r
+            GROUP BY node)
+    SELECT d.cell, lab.cluster_id, d.n_points
+    FROM dense d JOIN lab ON d.cell = lab.cell
+    """
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OD flows between res-7 zones from the trajectory_stats ping set
+    (same 7-anchor geocode, so real inter-zone transitions occur)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ent = ("CONCAT('loc_', CAST(user_id AS STRING), '_', "
+           "CAST(event_id % 7 AS STRING))")
+    lat, lng = synth.entity_latlng_sql(ent)
+    pings = ev.selectExpr("user_id AS traj_id", "ts", "event_id",
+                          f"{sqlfns.cell_sql(lat, lng, 9)} AS cell")
+    return SP.od_matrix(pings, parent_res=7, res=9)
+
+
+def o_od_matrix() -> str:
+    ent = ("CONCAT('loc_', CAST(user_id AS VARCHAR), '_', "
+           "CAST(event_id % 7 AS VARCHAR))")
+    lat, lng = synth.entity_latlng_sql_duckdb(ent)
+    cell = sqlfns.cell_sql(lat, lng, 9)
+    o = sqlfns.parent_sql("pc", 9, 7)
+    d = sqlfns.parent_sql("cell", 9, 7)
+    w = "PARTITION BY traj_id ORDER BY ts, event_id"
+    return f"""
+    WITH p AS (SELECT user_id AS traj_id, ts, event_id,
+                      CAST({cell} AS BIGINT) AS cell FROM events),
+    s AS (SELECT traj_id, cell, LAG(cell) OVER ({w}) AS pc FROM p),
+    t AS (SELECT traj_id, {o} AS o_zone, {d} AS d_zone FROM s
+          WHERE pc IS NOT NULL)
+    SELECT o_zone, d_zone, CAST(COUNT(*) AS BIGINT) AS n_trans,
+           CAST(COUNT(DISTINCT traj_id) AS BIGINT) AS n_trajs
+    FROM t GROUP BY 1, 2
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
@@ -3935,6 +4001,8 @@ QUERIES.update({
     "line_dedup": (q_line_dedup, o_line_dedup),
     "bm25_topk": (q_bm25_topk, o_bm25_topk),
     "trajectory_stats": (q_trajectory_stats, o_trajectory_stats),
+    "grid_dbscan": (q_grid_dbscan, o_grid_dbscan),
+    "od_matrix": (q_od_matrix, o_od_matrix),
 })
 
 
@@ -4107,6 +4175,9 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                          ("n_moves", "i"), ("total_dist", "i"),
                          ("max_step", "i"), ("start_cell", "h"),
                          ("end_cell", "h"), ("net_dist", "i")],
+    "grid_dbscan": [("cell", "h"), ("cluster_id", "h"), ("n_points", "i")],
+    "od_matrix": [("o_zone", "h"), ("d_zone", "h"), ("n_trans", "i"),
+                  ("n_trajs", "i")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -4251,8 +4322,10 @@ _AUDIT_GROUPS = {
                                  "g3_polyfill", "g3_cells_geojson",
                                  "g3_focal_sum",
                                  # round-5: H3 gridPathCells analog +
-                                 # per-trajectory movement rollup
-                                 "grid_paths", "trajectory_stats"],
+                                 # per-trajectory movement rollup +
+                                 # density clustering + OD flows
+                                 "grid_paths", "trajectory_stats",
+                                 "grid_dbscan", "od_matrix"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4356,6 +4429,7 @@ _TAIL = [
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
     "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
     "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
+    "grid_dbscan", "od_matrix",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
