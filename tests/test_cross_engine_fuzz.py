@@ -249,3 +249,45 @@ def test_round5_templates_bit_identical_spark_duckdb_python(spark):
     for (d2, c13), sf, nb, u in zip(got_s, vals.sf, vals.nb, vals.u):
         assert d2 == (int(sf) // int(nb)) // q
         assert c13 == u.count("13")
+
+
+def test_bm25_partial_bit_identical_spark_duckdb_python(spark):
+    """Fuzz sqlfns.bm25_part_sql: ONE template string evaluated by Spark
+    and DuckDB, against a python twin written with the SAME expression
+    tree (python floats are IEEE doubles, so */ and / are exactly
+    rounded identically) — any dialect difference in cast, precedence,
+    or FLOOR semantics would break the exact BIGINT equality here.
+    Inputs cover the saturation extremes: tf = 1 vs tf >> k1, df = 1
+    (rarest) vs df = n_docs (idf numerator 0.5), dl far above/below
+    avgdl, and fractional avgdl values with non-terminating binary
+    expansions."""
+    n_docs = 1000
+    tf = RNG.integers(1, 50, 400).astype(np.int64)
+    df = np.concatenate([RNG.integers(1, n_docs + 1, 396),
+                         np.array([1, 1, n_docs, n_docs])]).astype(np.int64)
+    dl = np.concatenate([RNG.integers(1, 500, 396),
+                         np.array([1, 10000, 1, 10000])]).astype(np.int64)
+    avgdl = np.concatenate([RNG.uniform(1.0, 400.0, 396),
+                            np.array([3.7, 0.1, 117.31, 400.0])])
+    pdf = pd.DataFrame({"tf": tf[:400], "df": df, "dl": dl,
+                        "avgdl": avgdl, "n_docs": n_docs})
+
+    tmpl = sqlfns.bm25_part_sql()
+    got_spark = [r.fx for r in spark.createDataFrame(pdf)
+                 .selectExpr(f"{tmpl} AS fx").collect()]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = [int(x) for (x,) in
+                con.execute(f"SELECT {tmpl} FROM t").fetchall()]
+
+    import math
+    want = []
+    for r in pdf.itertuples():
+        idf = (float(r.n_docs - r.df) + 0.5) / (float(r.df) + 0.5)
+        num = float(r.tf) * 2.2
+        den = float(r.tf) + 1.2 * (0.25 + 0.75 * (float(r.dl) / r.avgdl))
+        want.append(math.floor(idf * num / den * 1.0e4 + 0.5))
+    assert got_spark == want
+    assert got_duck == want
+    # non-vacuous: the quantized partials span several orders of magnitude
+    assert max(want) > 100 * max(1, min(w for w in want if w > 0))

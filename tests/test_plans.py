@@ -437,3 +437,75 @@ def test_ccnet_buckets_window_runs_over_histogram_not_docs(spark):
     # the (lang, qscore) count histogram the running sum consumes
     below = plan.split("Window [", 1)[1].split("InMemoryRelation")[0]
     assert "Aggregate [lang" in below and "count(1)" in below, below
+
+
+def test_trajectory_stats_single_exchange_window_feeds_agg(spark):
+    """The ordering window and the final agg share the traj_id hash
+    partitioning, so the whole rollup is ONE exchange; zero joins, zero
+    python stages."""
+    import re
+    from tosidewalk_spark.operators import spatial as SP2
+    from tosidewalk_spark.sources import synth as SY
+    from tosidewalk_spark.functions import sqlfns
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ent = ("CONCAT('loc_', CAST(user_id AS STRING), '_', "
+           "CAST(event_id % 7 AS STRING))")
+    lat, lng = SY.entity_latlng_sql(ent)
+    df = SP2.trajectory_stats(ev.selectExpr(
+        "user_id AS traj_id", "ts", "event_id",
+        f"{sqlfns.cell_sql(lat, lng, 9)} AS cell"))
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, final[:3000]
+    assert "Join" not in final
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_line_dedup_dup_detection_is_hash_agg_not_window(spark):
+    """Duplicate detection is a map-side-combinable agg keyed by the
+    8-byte line hash — NO Window anywhere (the dedup_clusters
+    cluster_size lesson), partial aggregation present, python-free."""
+    from tosidewalk_spark.operators import dedup
+    from tosidewalk_spark.plans import registry as R
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dedup.line_dedup(
+        docs.selectExpr("doc_id", f"{R._multiline_spark()} AS text"))
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert "Window" not in final, final[:3000]
+    assert "partial_min" in final or "partial" in final.lower(), final[:2000]
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_bm25_broadcasts_queries_and_corpus_scalars(spark):
+    """Both small sides — the query terms and the 1-row (n_docs, avgdl)
+    aggregate — reach the posting relation via broadcast; the posting
+    relation itself is never broadcast."""
+    from tosidewalk_spark.operators import search, text
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter("doc_id % 97 = 0").selectExpr(
+        "doc_id AS query_id",
+        f"EXPLODE(SLICE({text._tokens()}, 1, 8)) AS term")
+    df = search.bm25_topk(docs, q, k=5)
+    final = _executed_plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") + final.count(
+        "BroadcastNestedLoopJoin") >= 2, final[:3000]
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_grid_dbscan_graph_stage_sees_only_dense_cells(spark):
+    """The scatter/adjacency stage consumes the aggregated dense-cell
+    relation (count >= min_pts filter BELOW the explode), never the
+    per-point relation: in the optimized plan every Generate (explode)
+    sits above an Aggregate, and the point relation feeds exactly the
+    counting aggregate."""
+    from tosidewalk_spark.operators import spatial as SP2
+    from tosidewalk_spark.sources import synth as SY
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = SY.geo_entities_from_documents(docs)
+    df = SP2.grid_dbscan(pts.selectExpr("cell9 AS cell"), min_pts=5)
+    plan = _optimized_plan(df)
+    # every explode (disk scatter) is downstream of the cell-count agg
+    for chunk in plan.split("Generate explode")[1:]:
+        assert "Aggregate" in chunk, chunk[:1500]
