@@ -488,6 +488,9 @@ def run_queries(spark, buffers) -> dict[str, float]:
         parent_res=7, res=9))
     bench("grid_dbscan", lambda: SP.grid_dbscan(
         pts.selectExpr("cell9 AS cell"), min_pts=5))
+    bench("hotspot_gi", lambda: SP.hotspot_gi(
+        pts.selectExpr("cell9 AS cell").groupBy("cell")
+        .agg(F.count("*").alias("n")), k=1))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))

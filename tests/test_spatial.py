@@ -578,3 +578,38 @@ def test_od_matrix_transitions_and_distinct_trajs(spark):
     dwell = om[(pz(50, 50), pz(50, 50))]
     assert dwell.n_trans == 1 and dwell.n_trajs == 1
     assert len(om) == 2
+
+
+def test_hotspot_gi_matches_python_twin_and_flags_blob(spark):
+    """Gi* z over a hot blob + scattered background equals a direct
+    python computation of the textbook formula; the blob scores z > 2,
+    background near 0; degenerate rasters yield NULL."""
+    import math
+    from tosidewalk_spark.operators import spatial as SP
+    P28, P56 = 1 << 28, 1 << 56
+    mk = lambda i, j: 9 * P56 + j * P28 + i
+    data = [(mk(10, 10), 50), (mk(10, 11), 40), (mk(11, 10), 45),
+            (mk(11, 11), 55), (mk(100, 100), 1), (mk(200, 200), 1),
+            (mk(300, 300), 2), (mk(400, 400), 1), (mk(500, 500), 1),
+            (mk(600, 600), 2)]
+    d = spark.createDataFrame(data, "cell long, n long")
+    out = {r.cell: r for r in SP.hotspot_gi(d, k=1).collect()}
+    n = len(data)
+    sx = sum(v for _, v in data)
+    sx2 = sum(v * v for _, v in data)
+    xbar, var = sx / n, sx2 / n - (sx / n) ** 2
+    for c, v in data:
+        i, j = c % P28, (c % P56) // P28
+        ns = [vv for cc, vv in data
+              if max(abs(cc % P28 - i), abs((cc % P56) // P28 - j)) <= 1]
+        S, w = sum(ns), len(ns)
+        z = ((S - xbar * w)
+             / (math.sqrt(var) * math.sqrt((n * w - w * w) / (n - 1))))
+        r = out[c]
+        assert (r.focal_sum, r.w) == (S, w)
+        assert abs(r.z - z) < 1e-12
+    assert out[mk(10, 10)].z > 2 and abs(out[mk(200, 200)].z) < 1
+    # degenerate: constant raster -> NULL z (zero variance)
+    flat = spark.createDataFrame(
+        [(mk(1, 1), 3), (mk(5, 5), 3)], "cell long, n long")
+    assert all(r.z is None for r in SP.hotspot_gi(flat, k=1).collect())

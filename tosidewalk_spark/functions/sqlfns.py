@@ -276,3 +276,28 @@ def bm25_part_sql(tf: str = "tf", df: str = "df", dl: str = "dl",
     den = (f"(CAST({tf} AS DOUBLE) + 1.2e0 * "
            f"(0.25e0 + 0.75e0 * (CAST({dl} AS DOUBLE) / {avgdl})))")
     return f"CAST(FLOOR({idf} * {num} / {den} * 1.0e4 + 0.5e0) AS BIGINT)"
+
+
+def gi_z_sql(S: str = "focal_sum", w: str = "w", n: str = "n_cells",
+             sum_x: str = "sum_x", sum_x2: str = "sum_x2") -> str:
+    """Getis-Ord Gi* z-score, ONE template valid in both Spark SQL and
+    DuckDB (the bm25_part_sql discipline): binary disk weights, study
+    area = the OCCUPIED cells of the sparse raster.
+
+        z = (S - xbar*w) / (s * SQRT((n*w - w^2) / (n - 1)))
+
+    with xbar/s the mean/population-sd of the occupied-cell values.
+    Every operand is a BIGINT cast to DOUBLE (exact while the sums stay
+    below 2^53 — the mixture_weights headroom note applies) and the
+    operators are +,-,*,/ and SQRT, all IEEE exact-rounded on both
+    engines, evaluated in one fixed tree.  Degenerate inputs yield NULL
+    instead of garbage: n = 1 (no variance denominator), zero variance
+    (constant raster), and w = n (disk covers the whole study area, a
+    toy-raster case where the Gi* denominator is 0)."""
+    nd = f"CAST({n} AS DOUBLE)"
+    xbar = f"(CAST({sum_x} AS DOUBLE) / {nd})"
+    var = f"(CAST({sum_x2} AS DOUBLE) / {nd} - {xbar} * {xbar})"
+    u = f"(({nd} * CAST({w} AS DOUBLE) - CAST({w} AS DOUBLE) * CAST({w} AS DOUBLE)) / ({nd} - 1.0e0))"
+    return (f"CASE WHEN {n} > 1 AND {var} > 0.0e0 AND {w} < {n} THEN "
+            f"(CAST({S} AS DOUBLE) - {xbar} * CAST({w} AS DOUBLE)) / "
+            f"(SQRT({var}) * SQRT({u})) ELSE NULL END")

@@ -3992,6 +3992,41 @@ def o_od_matrix() -> str:
     """
 
 
+def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gi* over the per-cell entity counts at res 9 (g3_focal_sum's
+    raster upgraded to a significance score); z rounded in-query to 6
+    so the value-hash compare is engine-proof."""
+    pts = _points(spark, sf_dir)
+    cnt = (pts.selectExpr(f"{sqlfns.cell_sql('lat', 'lng', 9)} AS cell")
+           .groupBy("cell").agg(F.count("*").alias("n")))
+    return SP.hotspot_gi(cnt, k=1).select(
+        "cell", "v", "focal_sum", "w",
+        F.round("z", 6).alias("z_r6"))
+
+
+def o_hotspot_gi() -> str:
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    cell = sqlfns.cell_sql("lat", "lng", 9)
+    z = sqlfns.gi_z_sql()
+    return f"""
+    WITH p AS ({_duck_points()}),
+    c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS v
+          FROM p GROUP BY 1),
+    f AS (SELECT a.cell, CAST(SUM(b.v) AS BIGINT) AS focal_sum,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM c a JOIN c b
+          ON ABS((a.cell % {P28}) - (b.cell % {P28})) <= 1
+          AND ABS(((a.cell % {P56}) // {P28})
+                  - ((b.cell % {P56}) // {P28})) <= 1
+          GROUP BY a.cell),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                  CAST(SUM(v) AS BIGINT) AS sum_x,
+                  CAST(SUM(v * v) AS BIGINT) AS sum_x2 FROM c)
+    SELECT c.cell, c.v, f.focal_sum, f.w, ROUND({z}, 6) AS z_r6
+    FROM c JOIN f ON c.cell = f.cell, st
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
@@ -4003,6 +4038,7 @@ QUERIES.update({
     "trajectory_stats": (q_trajectory_stats, o_trajectory_stats),
     "grid_dbscan": (q_grid_dbscan, o_grid_dbscan),
     "od_matrix": (q_od_matrix, o_od_matrix),
+    "hotspot_gi": (q_hotspot_gi, o_hotspot_gi),
 })
 
 
@@ -4178,6 +4214,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "grid_dbscan": [("cell", "h"), ("cluster_id", "h"), ("n_points", "i")],
     "od_matrix": [("o_zone", "h"), ("d_zone", "h"), ("n_trans", "i"),
                   ("n_trajs", "i")],
+    "hotspot_gi": [("cell", "h"), ("v", "i"), ("focal_sum", "i"),
+                   ("w", "i"), ("z_r6", "d")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -4325,7 +4363,7 @@ _AUDIT_GROUPS = {
                                  # per-trajectory movement rollup +
                                  # density clustering + OD flows
                                  "grid_paths", "trajectory_stats",
-                                 "grid_dbscan", "od_matrix"],
+                                 "grid_dbscan", "od_matrix", "hotspot_gi"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4429,7 +4467,7 @@ _TAIL = [
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
     "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
     "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
-    "grid_dbscan", "od_matrix",
+    "grid_dbscan", "od_matrix", "hotspot_gi",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
