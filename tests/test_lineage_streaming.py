@@ -827,3 +827,45 @@ def test_catalog_zorder_rejects_oversized_coordinates(spark, tmp_path):
         "id AS k", "id % 200 AS ci", "id % 50 AS cj")
     man = c.write("t2", ok, zorder_by=("ci", "cj"), target_files=4)
     assert man["table"] == "t2" and man["files"]
+
+
+def test_streaming_od_transitions_match_batch(spark, tmp_path):
+    """The stateful OD stream, aggregated, equals the batch od_matrix on
+    an in-order feed — including transitions that CROSS the micro-batch
+    boundary (two source files = two batches; state carries last ping)."""
+    import shutil
+    from tosidewalk_spark.operators import spatial as SP
+    from tosidewalk_spark.sources import synth as SY
+    from tosidewalk_spark.functions import sqlfns
+
+    ent = ("CONCAT('loc_', CAST(user_id AS STRING), '_', "
+           "CAST(event_id % 7 AS STRING))")
+    lat, lng = SY.entity_latlng_sql(ent)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pings = ev.selectExpr("user_id AS traj_id",
+                          "CAST(ts AS TIMESTAMP) AS ts", "event_id",
+                          f"{sqlfns.cell_sql(lat, lng, 9)} AS cell")
+    src = tmp_path / "pings_src"
+    src.mkdir()
+    # two time-ordered files => two micro-batches with maxFilesPerTrigger
+    lo = pings.filter("event_id < 500")
+    hi = pings.filter("event_id >= 500")
+    lo.coalesce(1).write.parquet(str(tmp_path / "a"))
+    hi.coalesce(1).write.parquet(str(tmp_path / "b"))
+    for tag in ("a", "b"):
+        for f in (tmp_path / tag).glob("*.parquet"):
+            shutil.copy(f, src / f"{tag}.parquet")
+    stream = (spark.readStream
+              .schema("traj_id bigint, ts timestamp, event_id bigint, cell bigint")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = jobs.streaming_od_transitions(stream, parent_res=7)
+    jobs.run_available_now(out, "od_stream", str(tmp_path / "ck_od"))
+    got = (spark.sql("SELECT * FROM od_stream")
+           .groupBy("o_zone", "d_zone")
+           .agg(F.count("*").alias("n_trans"),
+                F.countDistinct("traj_id").alias("n_trajs")))
+    got_rows = {(r.o_zone, r.d_zone): (r.n_trans, r.n_trajs)
+                for r in got.collect()}
+    want = {(r.o_zone, r.d_zone): (r.n_trans, r.n_trajs)
+            for r in SP.od_matrix(pings, parent_res=7, res=9).collect()}
+    assert got_rows == want and len(want) > 3

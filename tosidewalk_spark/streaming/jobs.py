@@ -340,3 +340,84 @@ def stream_catalog_ingest(pages: DataFrame, cat, table: str,
          .start())
     q.awaitTermination()
     return cat.manifest(table)
+
+
+def streaming_od_transitions(points: DataFrame, parent_res: int = 7,
+                             watermark: str = "2 hours",
+                             idle_minutes: int = 240) -> DataFrame:
+    """Streaming twin of spatial.od_matrix's transition stream: per
+    trajectory, each arriving ping paired with the previous one emits an
+    (o_zone, d_zone) transition at ``parent_res`` — the live OD feed a
+    mobility dashboard consumes (downstream: a windowed count agg, the
+    od_matrix rollup on a clock).
+
+    Custom stateful operator (applyInPandasWithState, the sessionize
+    pattern): state per trajectory = (last_us, last_event_id, last_cell)
+    — 24 bytes, evicted by an event-time timeout after ``idle_minutes``
+    of event-time silence, so state is bounded by ACTIVE trajectories,
+    not ever-seen ones.  Input: (traj_id, ts, event_id, cell).  Output
+    (append mode): (traj_id, ts, o_zone, d_zone), ts = the destination
+    ping's event time, ready for window() aggregation.
+
+    Ordering contract (documented, tested): pings are sorted by
+    (ts, event_id) INSIDE each micro-batch; a cross-batch straggler
+    older than the trajectory's last emitted ping (late but inside the
+    watermark, so not dropped upstream) is DISCARDED rather than
+    emitted out of order — the stream equals the batch twin exactly
+    for per-trajectory-ordered feeds (the crawl/telemetry pipeline's
+    natural per-source order)."""
+    import numpy as np  # local: only the python workers need these
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..kernel import cells as KC
+
+    out_schema = ("traj_id bigint, ts timestamp, o_zone bigint, "
+                  "d_zone bigint")
+    state_schema = "last_us bigint, last_eid bigint, last_cell bigint"
+    idle_ms = idle_minutes * 60 * 1000
+
+    def fn(key, pdf_iter, state):
+        tid = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = list(pdf_iter)
+        cur = state.get if state.exists else None
+        if chunks:
+            pdf = (pd.concat(chunks)
+                   .sort_values(["ts", "event_id"], kind="stable"))
+            us = pdf["ts"].astype("int64").to_numpy() // 1000
+            eid = pdf["event_id"].to_numpy()
+            cells_ = pdf["cell"].to_numpy()
+            o_z, d_z, t_out = [], [], []
+            for k in range(len(us)):
+                if cur is not None and (int(us[k]), int(eid[k])) <= (cur[0], cur[1]):
+                    continue  # cross-batch straggler: drop, never reorder
+                if cur is not None:
+                    o_z.append(int(KC.parent(cur[2], parent_res)))
+                    d_z.append(int(KC.parent(int(cells_[k]), parent_res)))
+                    t_out.append(int(us[k]))
+                cur = (int(us[k]), int(eid[k]), int(cells_[k]))
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+            if o_z:
+                yield pd.DataFrame({
+                    "traj_id": np.full(len(o_z), tid, dtype=np.int64),
+                    "ts": pd.to_datetime(np.array(t_out, dtype="int64"),
+                                         unit="us"),
+                    "o_zone": np.array(o_z, dtype=np.int64),
+                    "d_zone": np.array(d_z, dtype=np.int64)})
+        elif cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+
+    prepared = (points
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", watermark)
+                .select("traj_id", "ts", "event_id",
+                        F.col("cell").cast("long").alias("cell")))
+    return prepared.groupBy("traj_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
