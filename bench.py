@@ -493,6 +493,8 @@ def run_queries(spark, buffers) -> dict[str, float]:
         .agg(F.count("*").alias("n")), k=1))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
+    bench("dsir_sample", lambda: text.dsir_sample(
+        docs, docs.filter("doc_id % 11 = 0"), k=100))
     bench("mixture_weights", lambda: text.mixture_weights(docs, budget=1000))
     bench("hash_embed", lambda: text.hash_embed(docs))
     from tosidewalk_spark.operators import multimodal as MM

@@ -1066,3 +1066,32 @@ def test_line_dedup_intra_document_repeat(spark):
     r = dedup.line_dedup(d).collect()[0]
     assert r.clean_text == "chorus\nverse a\nverse b"
     assert (r.n_lines, r.n_lines_removed) == (5, 2)
+
+
+def test_dsir_sample_priority_rule_and_plan(spark):
+    """The selected set is exactly the top-k by (score_fx+1)/u with
+    doc_id tie-break (verified against a python recompute over the full
+    weight table), and the top-k compiles to TakeOrderedAndProject —
+    never a global sort."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter("doc_id % 11 = 0")
+    k = 20
+    got = text.dsir_sample(docs, target, k=k)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+    P = 2147483647
+    def h(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % P
+        return a
+    w = {r.doc_id: r.score_fx
+         for r in text.dsir_weights(docs, target).collect()}
+    pri = sorted(((-(sc + 1) / ((h(str(d)) % 1000003) + 1), d)
+                  for d, sc in w.items()))
+    want = [d for _, d in pri[:k]]
+    rows = {r.doc_id: r for r in got.collect()}
+    assert sorted(rows) == sorted(want)
+    for r in rows.values():  # u is auditable: recompute it
+        assert r.u == (h(str(r.doc_id)) % 1000003) + 1

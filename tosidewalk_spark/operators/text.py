@@ -1364,3 +1364,39 @@ def url_filter(pages: DataFrame, blocklist: DataFrame,
         "n_bad_words",
         F.expr(f"COALESCE(_hit, FALSE) = FALSE AND "
                f"n_bad_words <= {int(max_bad)}").alias("keep"))
+
+
+def dsir_sample(docs: DataFrame, target: DataFrame, k: int = 100,
+                n_buckets: int = DSIR_BUCKETS,
+                scale: int = DSIR_SCALE) -> DataFrame:
+    """DSIR's RESAMPLING step (Xie et al. 2023 §2: importance
+    resampling; the apply complement of ``dsir_weights``): select k
+    candidate documents with inclusion tendency proportional to their
+    importance weight, deterministically.
+
+    The sampler is priority sampling (Duffield, Lund & Thorup 2007):
+    each doc gets priority w / u with u a uniform on {1..1000003} — here
+    a polynomial hash of doc_id, so the "randomness" is a fixed,
+    replayable function of the data (the deterministic_sample
+    discipline; DSIR's Gumbel-top-k needs LN, the libm hazard, while
+    priority sampling needs one exact-rounded divide).  w = score_fx + 1
+    keeps zero-weight docs sampleable at the floor rate.  Top-k by
+    priority is a global argmax family — Spark compiles the
+    orderBy+limit to TakeOrderedAndProject (per-partition top-k + a
+    k-row driver merge, never a full sort; the bpe_learn argmax shape),
+    so at 100 TB the only full pass is the weight computation itself.
+    Ties break by doc_id ascending: the selected SET is deterministic
+    at any parallelism and bit-identical in the DuckDB twin.
+
+    Output: (doc_id, score_fx, u, pr_r6) for the k selected docs —
+    u is surfaced so an auditor can recompute every priority."""
+    w = dsir_weights(docs, target, n_buckets=n_buckets, scale=scale)
+    u = (f"(({sqlfns.polyhash_spark('CAST(doc_id AS STRING)')}) "
+         f"% 1000003) + 1")
+    return (w.selectExpr("doc_id", "score_fx", f"{u} AS u")
+            .selectExpr("doc_id", "score_fx", "u",
+                        "CAST(score_fx + 1 AS DOUBLE) / CAST(u AS DOUBLE)"
+                        " AS pr")
+            .orderBy(F.desc("pr"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "score_fx", "u",
+                    F.round("pr", 6).alias("pr_r6")))

@@ -4027,6 +4027,25 @@ def o_hotspot_gi() -> str:
     """
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-sample 100 docs by DSIR weight (same target split as
+    dsir_weights)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.dsir_sample(docs, docs.filter("doc_id % 11 = 0"), k=100)
+
+
+def o_dsir_sample() -> str:
+    u = (f"(({sqlfns.polyhash_duckdb('CAST(doc_id AS VARCHAR)')}) "
+         f"% 1000003) + 1")
+    pr = "CAST(score_fx + 1 AS DOUBLE) / CAST(u AS DOUBLE)"
+    return f"""
+    WITH dw AS (SELECT * FROM ({o_dsir_weights()}) t),
+    s AS (SELECT doc_id, score_fx, {u} AS u FROM dw)
+    SELECT doc_id, score_fx, u, ROUND({pr}, 6) AS pr_r6
+    FROM s ORDER BY {pr} DESC, doc_id LIMIT 100
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
@@ -4039,6 +4058,7 @@ QUERIES.update({
     "grid_dbscan": (q_grid_dbscan, o_grid_dbscan),
     "od_matrix": (q_od_matrix, o_od_matrix),
     "hotspot_gi": (q_hotspot_gi, o_hotspot_gi),
+    "dsir_sample": (q_dsir_sample, o_dsir_sample),
 })
 
 
@@ -4216,6 +4236,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                   ("n_trajs", "i")],
     "hotspot_gi": [("cell", "h"), ("v", "i"), ("focal_sum", "i"),
                    ("w", "i"), ("z_r6", "d")],
+    "dsir_sample": [("doc_id", "i"), ("score_fx", "i"), ("u", "i"),
+                    ("pr_r6", "d")],
 }
 
 # overflow headroom (int64 max ~9.2e18): polyhash < 2^31, so the hash SUM
@@ -4340,6 +4362,8 @@ _AUDIT_GROUPS = {
                            "tpch_q1", "tpch_q5", "broadcast_star_join",
                            # corpus-stats sketches
                            "hll_distinct", "cm_topk", "qsk_quantiles",
+                           # round-5: DSIR priority resampling
+                           "dsir_sample",
                            # catalog metadata ops (file-skip scan, COW
                            # merge/delete) — driver-visible via this group
                            "g1_file_skip", "g1_merge_delete"],
@@ -4467,7 +4491,7 @@ _TAIL = [
     "g1_file_skip", "g1_merge_delete", "g1_catalog_pip",
     "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
     "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
-    "grid_dbscan", "od_matrix", "hotspot_gi",
+    "grid_dbscan", "od_matrix", "hotspot_gi", "dsir_sample",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
