@@ -491,6 +491,20 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("hotspot_gi", lambda: SP.hotspot_gi(
         pts.selectExpr("cell9 AS cell").groupBy("cell")
         .agg(F.count("*").alias("n")), k=1))
+    bench("moran_i", lambda: SP.moran_i(
+        pts.selectExpr("cell9 AS cell").groupBy("cell")
+        .agg(F.count("*").alias("n")), k=1))
+    bench("triangle_count", lambda: GR.triangle_count(GR.link_graph(docs)))
+    bench("sessionize", lambda: TP.sessionize(events, gap_s=14400))
+    _mm_pings = events.selectExpr(
+        "user_id AS traj_id", "event_id", "ts",
+        f"{_tlat} AS lat", f"{_tlng} AS lng").filter(
+        f"lat > {_REG.LAT_LO} AND lat < {_REG.LAT_HI} "
+        f"AND lng > {_REG.LNG_LO} AND lng < {_REG.LNG_HI}").selectExpr(
+        "traj_id", "event_id", "ts", "lat", "lng",
+        f"{_sqlfns.cell_sql('lat', 'lng', 9)} AS cell9")
+    bench("map_match", lambda: SP.map_match(_mm_pings, seg_cells,
+                                            max_ring=6))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("dsir_sample", lambda: text.dsir_sample(

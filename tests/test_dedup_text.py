@@ -1095,3 +1095,42 @@ def test_dsir_sample_priority_rule_and_plan(spark):
     assert sorted(rows) == sorted(want)
     for r in rows.values():  # u is auditable: recompute it
         assert r.u == (h(str(r.doc_id)) % 1000003) + 1
+
+
+def test_sessionize_gap_splits_and_micros(spark):
+    """Sessions split exactly where the gap exceeds gap_s; boundaries at
+    == gap_s stay in-session; micros are exact integers."""
+    import datetime as dt
+
+    from tosidewalk_spark.operators import temporal
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    mk = lambda uid, eid, secs: (uid, eid, t0 + dt.timedelta(seconds=secs))
+    rows = [mk(1, 1, 0), mk(1, 2, 100), mk(1, 3, 2000),   # gap 1900: split
+            mk(1, 4, 3800),                               # gap 1800 == gap_s: NO split
+            mk(2, 5, 0)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {(r.user_id, r.session_id): r
+           for r in temporal.sessionize(ev, gap_s=1800).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11, s12 = out[(1, 1)], out[(1, 2)]
+    assert (s11.n_events, s12.n_events, out[(2, 1)].n_events) == (2, 2, 1)
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert (s11.start_us, s11.end_us) == (base, base + 100_000_000)
+    assert (s12.start_us, s12.end_us) == (base + 2_000_000_000,
+                                          base + 3_800_000_000)
+    assert s12.duration_us == 1_800_000_000
+
+
+def test_sessionize_equal_ts_ordered_by_seq(spark):
+    """Events sharing a timestamp order deterministically by the seq
+    column — session stats identical at any partitioning."""
+    import datetime as dt
+
+    from tosidewalk_spark.operators import temporal
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, 9, t0), (1, 2, t0), (1, 5, t0)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = temporal.sessionize(ev, gap_s=60).collect()
+    assert len(out) == 1 and out[0].n_events == 3 and out[0].duration_us == 0

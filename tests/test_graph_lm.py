@@ -199,3 +199,26 @@ def test_chunk_windows_boundaries(spark):
     ]
     # overlap: consecutive chunks share exactly `overlap` tokens
     assert out[0][4].split()[-1] == out[1][4].split()[0]
+
+
+def test_triangle_count_k4_and_acyclic(spark):
+    """K4 has 4 triangles, every node in exactly 3; a path has none;
+    duplicate and reversed edges do not inflate counts."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    out = {r.node: r.n_tri for r in
+           graph.triangle_count(_edges(spark, k4)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    path = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    assert graph.triangle_count(path).count() == 0
+    dup = _edges(spark, [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (2, 0)])
+    out2 = {r.node: r.n_tri for r in graph.triangle_count(dup).collect()}
+    assert out2 == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_hub_closure(spark):
+    """A star hub closes exactly the triangles whose rim edge exists —
+    the degree-oriented wedge join must not count open wedges."""
+    star = [(100, i) for i in range(10)] + [(0, 1), (4, 5)]
+    out = {r.node: r.n_tri for r in
+           graph.triangle_count(_edges(spark, star)).collect()}
+    assert out == {100: 2, 0: 1, 1: 1, 4: 1, 5: 1}

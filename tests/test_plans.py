@@ -509,3 +509,57 @@ def test_grid_dbscan_graph_stage_sees_only_dense_cells(spark):
     # every explode (disk scatter) is downstream of the cell-count agg
     for chunk in plan.split("Generate explode")[1:]:
         assert "Aggregate" in chunk, chunk[:1500]
+
+
+def test_moran_i_plan_shape(spark):
+    """Moran's I must be window-free (the hotspot_gi discipline: the
+    focal stage is a scatter + ONE map-side-combinable hash agg) and
+    fully JVM-side; the global moments ride a broadcast, never a
+    cartesian re-scan per row."""
+    from tosidewalk_spark.sources import synth as SY
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = SY.geo_entities_from_documents(docs)
+    cnt = pts.selectExpr("cell9 AS cell").groupBy("cell").count() \
+        .withColumnRenamed("count", "n")
+    plan = _executed_plan(SP.moran_i(cnt, k=1))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastExchange" in final or "BroadcastNestedLoopJoin" in final
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_triangle_count_plan_shape(spark):
+    """The wedge closure is equi-join-only: no cartesian / nested-loop
+    stage anywhere, no python, and the corner rollup is a hash agg (so
+    the only quadratic-risk stage is the degree-bounded src self-join)."""
+    from tosidewalk_spark.operators import graph
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed_plan(graph.triangle_count(graph.link_graph(docs)))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # the only nested-loop stage allowed is link_graph's 1-row broadcast
+    # of the node count (n) — a BNLJ against a 1-row side is a constant
+    bnlj = [c for c in final.split("BroadcastNestedLoopJoin")[1:]]
+    assert len(bnlj) <= 1, final[:3000]
+    assert "HashAggregate" in final
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_sessionize_single_event_shuffle(spark):
+    """Sessionization shuffles the EVENT stream exactly once (the user
+    window); the per-session rollup's exchange carries pre-aggregated
+    rows.  Assert: exactly one Exchange consumes the parquet scan
+    subtree, and the window sits between the two."""
+    from tosidewalk_spark.operators import temporal
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _executed_plan(temporal.sessionize(ev, gap_s=14400))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" in final
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+    # partial agg before the session-key exchange: HashAggregate appears
+    # both below and above the final Exchange (two-phase agg)
+    assert final.count("HashAggregate") >= 2

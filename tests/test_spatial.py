@@ -613,3 +613,90 @@ def test_hotspot_gi_matches_python_twin_and_flags_blob(spark):
     flat = spark.createDataFrame(
         [(mk(1, 1), 3), (mk(5, 5), 3)], "cell long, n long")
     assert all(r.z is None for r in SP.hotspot_gi(flat, k=1).collect())
+
+
+def test_moran_i_matches_python_twin_signs(spark):
+    """Moran's I over a clustered blob + scattered background equals the
+    textbook formula computed directly in python; a clustered raster
+    scores I > 0, a checkerboard I < 0, degenerate rasters NULL."""
+    P28, P56 = 1 << 28, 1 << 56
+    mk = lambda i, j: 9 * P56 + j * P28 + i
+
+    def twin(data):
+        n = len(data)
+        sx = sum(v for _, v in data)
+        num = den = W = 0
+        for c, v in data:
+            i, j = c % P28, (c % P56) // P28
+            ns = [vv for cc, vv in data if cc != c
+                  and max(abs(cc % P28 - i),
+                          abs((cc % P56) // P28 - j)) <= 1]
+            dev = n * v - sx
+            lag = n * sum(ns) - len(ns) * sx
+            num += dev * lag
+            den += dev * dev
+            W += len(ns)
+        return n, W, num, den, (n * num) / (W * den) if W and den else None
+
+    blob = [(mk(10, 10), 50), (mk(10, 11), 40), (mk(11, 10), 45),
+            (mk(11, 11), 55), (mk(100, 100), 1), (mk(200, 200), 1),
+            (mk(300, 300), 2), (mk(400, 400), 1), (mk(500, 500), 1)]
+    d = spark.createDataFrame(blob, "cell long, n long")
+    r = SP.moran_i(d, k=1).collect()[0]
+    n, W, num, den, I = twin(blob)
+    assert (r.n_cells, r.w_sum, r.num, r.den) == (n, W, num, den)
+    assert r.moran_i == pytest.approx(I, abs=1e-12) and r.moran_i > 0
+    # checkerboard: adjacent cells alternate high/low -> negative I
+    board = [(mk(i, j), 10 if (i + j) % 2 == 0 else 1)
+             for i in range(4) for j in range(4)]
+    b = spark.createDataFrame(board, "cell long, n long")
+    rb = SP.moran_i(b, k=1).collect()[0]
+    nb, Wb, numb, denb, Ib = twin(board)
+    assert (rb.w_sum, rb.num, rb.den) == (Wb, numb, denb)
+    assert rb.moran_i == pytest.approx(Ib, abs=1e-12) and rb.moran_i < 0
+    # degenerate: constant raster -> den = 0 -> NULL; isolated cells
+    # (no occupied neighbor anywhere) -> w_sum = 0 -> NULL
+    flat = spark.createDataFrame(
+        [(mk(1, 1), 3), (mk(1, 2), 3)], "cell long, n long")
+    assert SP.moran_i(flat, k=1).collect()[0].moran_i is None
+    iso = spark.createDataFrame(
+        [(mk(1, 1), 3), (mk(50, 50), 9)], "cell long, n long")
+    ri = SP.moran_i(iso, k=1).collect()[0]
+    assert ri.w_sum == 0 and ri.moran_i is None
+
+
+def test_map_match_run_collapse_and_nearest(spark):
+    """Pings walking up one street, over to the far segment, and back
+    collapse into 3 traversals of the correct segments with exact
+    enter/leave micros; each ping snaps to its true nearest segment."""
+    import datetime as dt
+
+    nodes, ways = synth.micro_fixture(spark, "straight3")
+    gw = N.geom_ways(nodes, ways)
+    segs = SP.street_segments(gw)
+    seg_cells = SP.segments_by_cell(SP.street_buffers(segs))
+    seg_rows = sorted(segs.collect(), key=lambda s: s.alat)
+    lo_seg, hi_seg = seg_rows[0].segment_id, seg_rows[1].segment_id
+    # seg 1 spans lat [47.600, 47.6009], seg 2 [47.6009, 47.6018]
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ping(eid, lat, secs):
+        lng = -122.330 + 5.0 / (111111.0 * 0.675)  # ~5 m east of the line
+        return (7, eid, t0 + dt.timedelta(seconds=secs), lat, lng)
+
+    rows = [ping(1, 47.60040, 0), ping(2, 47.60050, 10),
+            ping(3, 47.60140, 20), ping(4, 47.60045, 30)]
+    pings = spark.createDataFrame(
+        rows, "traj_id long, event_id long, ts timestamp, lat double, lng double"
+    ).withColumn("cell9", F.expr(
+        __import__("tosidewalk_spark.functions.sqlfns",
+                   fromlist=["x"]).cell_sql("lat", "lng", 9)))
+    out = sorted(SP.map_match(pings, seg_cells).collect(),
+                 key=lambda r: r.traversal_id)
+    assert [r.traversal_id for r in out] == [1, 2, 3]
+    assert [r.segment_id for r in out] == [lo_seg, hi_seg, lo_seg]
+    assert [r.n_pings for r in out] == [2, 1, 1]
+    base_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert (out[0].enter_us, out[0].leave_us) == (base_us, base_us + 10_000_000)
+    assert out[2].enter_us == base_us + 30_000_000
+    assert all(r.traj_id == 7 for r in out)

@@ -947,3 +947,123 @@ def hotspot_gi(cell_counts: DataFrame, k: int = 1,
             .join(F.broadcast(stats))
             .select("cell", "v", "focal_sum", "w",
                     F.expr(sqlfns.gi_z_sql()).alias("z")))
+
+
+def moran_i(cell_counts: DataFrame, k: int = 1,
+            value_col: str = "n") -> DataFrame:
+    """Global Moran's I spatial autocorrelation over the sparse cell
+    raster (Moran 1950; the global twin of hotspot_gi's local Gi*):
+    binary Chebyshev-(<= k) weights among OCCUPIED cells with w_ii = 0,
+    study area = the occupied cells, same sparse-raster discipline as
+    focal_sum / hotspot_gi.  I >~ 0 marks clustered values, ~ -1/(n-1)
+    random, < 0 dispersed — the one-number "is density spatially
+    organized" check a tiling pipeline runs before hotspotting.
+
+    Exactness: with xbar = S/n every deviation is scaled by n so the
+    whole reduction stays in BIGINT —
+
+        dev_i  = n*x_i - S
+        lag_i  = n*(focal_sum_i - x_i) - (w_i - 1)*S     (self excluded)
+        I      = n * SUM(dev_i * lag_i) / (W * SUM(dev_i^2))
+
+    identical integer trees on both engines; only the final division is
+    DOUBLE (one IEEE exact-rounded op).  Headroom: per-row products are
+    < (n * max_x)^2 * disk — exact while n * max(x) < ~2^31 (the
+    mixture_weights note); beyond that the two SUMs switch to DOUBLE at
+    a documented precision cost, not a correctness cliff.
+
+    Plan: ONE scatter pass (scatter_disk, shared with focal_sum /
+    hotspot_gi — edge-clipped, alias-free), one map-side-combinable agg
+    on the receiving cell, an equi-join back to the occupied set, the
+    1-row global moments broadcast, and a final 1-row hash agg.  No
+    window, no python, no per-cell neighbor join (the DuckDB twin uses
+    the O(n^2) self-join form — fine for an oracle, not for 100 TB).
+
+    Output: ONE row (n_cells, w_sum, num, den, moran_i); moran_i is
+    NULL when the statistic is undefined (constant raster -> den = 0,
+    or no occupied neighbors anywhere -> w_sum = 0)."""
+    base = cell_counts.select(F.col("cell").cast("long").alias("cell"),
+                              F.col(value_col).cast("long").alias("v"))
+    focal = (scatter_disk(base.select("cell", "v"), k)
+             .groupBy("cell")
+             .agg(F.sum("v").cast("long").alias("fs"),
+                  F.count("*").cast("long").alias("w")))
+    stats = base.agg(F.count("*").cast("long").alias("n_cells"),
+                     F.sum("v").cast("long").alias("sum_x"))
+    per = (base.join(focal, "cell")
+           .join(F.broadcast(stats))
+           .selectExpr("n_cells",
+                       "n_cells * v - sum_x AS dev",
+                       "n_cells * (fs - v) - (w - 1) * sum_x AS lagdev",
+                       "w - 1 AS wi"))
+    return (per.groupBy("n_cells")
+            .agg(F.expr("CAST(SUM(wi) AS BIGINT)").alias("w_sum"),
+                 F.expr("CAST(SUM(dev * lagdev) AS BIGINT)").alias("num"),
+                 F.expr("CAST(SUM(dev * dev) AS BIGINT)").alias("den"))
+            .selectExpr("n_cells", "w_sum", "num", "den",
+                        "CASE WHEN w_sum > 0 AND den > 0 THEN "
+                        "(CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE)) / "
+                        "(CAST(w_sum AS DOUBLE) * CAST(den AS DOUBLE)) "
+                        "ELSE NULL END AS moran_i"))
+
+
+def map_match(pings: DataFrame, seg_cells: DataFrame, max_ring: int = 6,
+              first_radius: int = 2,
+              res: int = cells.DEFAULT_RES) -> DataFrame:
+    """Trajectory -> street-network map matching, the north-rule
+    composition of G5 and the mobility rollups: snap every ping to its
+    nearest sidewalk segment (knn_join k=1 — EXACT nearest within
+    disk(max_ring), same settledness proof), then collapse consecutive
+    same-segment pings of a trajectory into TRAVERSALS — the
+    (which segment, when, how long) table a sidewalk-usage analysis
+    consumes.  Nearest-segment snapping is the standard geometric
+    map-matching baseline (the HMM refinement of Newson & Krumm 2009
+    would slot in as a per-trajectory transition re-score over exactly
+    this candidate table).
+
+    Input: (traj_id BIGINT, event_id BIGINT unique within trajectory,
+    ts TIMESTAMP, lat, lng, cell9).  Pings whose disk(max_ring) holds no
+    segment are dropped (out-of-coverage — callers wanting them keep
+    knn_join's unmatched rows directly).
+
+    Plan: knn_join's two-phase cell probe does the heavy lifting (its
+    per-point top-1 is persisted inside), one point-keyed equi-join
+    brings ts back (knn carries only the (url, entity) point key), then
+    a per-trajectory run-length collapse: LAG island detection + one
+    map-side-combinable agg, the gap-and-island shape shared with
+    vectorize_tiles.  Both windows partition on traj_id — bounded by
+    the longest single trajectory, the same per-key bound as
+    trajectory_stats (a trajectory is a device's ping stream; millions
+    of rows per device would be a data bug, not a skew case).
+
+    Output: (traj_id, traversal_id, way_id, segment_id, n_pings,
+    enter_us, leave_us) — traversal_id numbers a trajectory's matched
+    runs 1..m in time order; timestamps are exact integer micros
+    (unix_micros here, epoch_us in the DuckDB twin)."""
+    pts = pings.selectExpr("CAST(traj_id AS STRING) AS url",
+                           "CAST(event_id AS STRING) AS entity",
+                           "lat", "lng", "cell9")
+    snapped = (knn_join(pts, seg_cells, k=1, max_ring=max_ring,
+                        first_radius=first_radius, res=res)
+               .filter(F.col("way_id").isNotNull())
+               .selectExpr("CAST(url AS BIGINT) AS traj_id",
+                           "CAST(entity AS BIGINT) AS event_id",
+                           "way_id", "segment_id"))
+    # CAST through TIMESTAMP: unix_micros rejects the TIMESTAMP_NTZ that
+    # parquet event times arrive as; sessions pin UTC (session.py), so the
+    # cast is identity and the micros match DuckDB's epoch_us
+    m = (pings.selectExpr("traj_id", "event_id",
+                          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+         .join(snapped, ["traj_id", "event_id"]))
+    w = Window.partitionBy("traj_id").orderBy("ts_us", "event_id")
+    runs = (m.withColumn(
+                "new_run",
+                F.expr("CASE WHEN LAG(segment_id) OVER "
+                       "(PARTITION BY traj_id ORDER BY ts_us, event_id) "
+                       "IS DISTINCT FROM segment_id THEN 1 ELSE 0 END"))
+            .withColumn("traversal_id", F.sum("new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (runs.groupBy("traj_id", "traversal_id", "way_id", "segment_id")
+            .agg(F.count("*").cast("long").alias("n_pings"),
+                 F.min("ts_us").alias("enter_us"),
+                 F.max("ts_us").alias("leave_us")))

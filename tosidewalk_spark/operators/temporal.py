@@ -122,3 +122,53 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
     return (joined.filter((F.col(left_ts) >= F.col(right_start))
                           & (F.col(left_ts) <= F.col(right_end)))
             .drop("_bucket"))
+
+
+def sessionize(events: DataFrame, gap_s: int = 1800,
+               user_col: str = "user_id", ts_col: str = "ts",
+               seq_col: str = "event_id") -> DataFrame:
+    """Gap-based sessionization — the canonical clickstream/crawl-log
+    rollup (the GoogleAnalytics/Adobe 30-minute rule): a user's events
+    ordered by time split into sessions wherever the gap to the previous
+    event exceeds ``gap_s`` seconds.  Output: one row per session —
+    (user_id, session_id, n_events, start_us, end_us, duration_us) with
+    session_id numbering a user's sessions 1..m in time order and
+    timestamps as exact integer micros (unix_micros here / epoch_us in
+    the DuckDB twin — no float seconds, no sub-second drift between
+    engines).
+
+    Plan: ONE shuffle on the user key serves the boundary-detection
+    window (LAG + running SUM, the gap-and-island shape shared with
+    vectorize_tiles/map_match); the per-session rollup is a hash agg on
+    (user, session) — map-side combinable, so the second exchange
+    carries ~one row per session, not per event.  The window partition
+    is bounded by a single user's event count (same per-key bound as
+    fetch_schedule: a user IS the natural unit of work; a key with 10^8
+    events is a bot to filter upstream, not a skew case to engineer
+    around).  Streaming twin: Structured Streaming's session_window
+    performs this rollup incrementally; this is the batch/backfill
+    shape."""
+    gap_us = int(gap_s) * 1_000_000
+    # cast through TIMESTAMP: unix_micros rejects TIMESTAMP_NTZ (the type
+    # parquet event times arrive as); sessions pin UTC (session.py), so
+    # the NTZ->TZ cast is identity and matches DuckDB's epoch_us
+    base = events.selectExpr(
+        f"{user_col} AS user_id",
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS ts_us",
+        f"{seq_col} AS seq")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "seq")
+    marked = base.withColumn(
+        "new_sess",
+        F.expr(f"CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id "
+               f"ORDER BY ts_us, seq) IS NULL OR ts_us - LAG(ts_us) OVER "
+               f"(PARTITION BY user_id ORDER BY ts_us, seq) > {gap_us} "
+               f"THEN 1 ELSE 0 END"))
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us"))
+            .withColumn("duration_us",
+                        F.expr("end_us - start_us")))

@@ -4046,6 +4046,196 @@ def o_dsir_sample() -> str:
     """
 
 
+def q_moran_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I over the same per-cell entity counts hotspot_gi
+    scores locally; the BIGINT num/den are part of the output so the
+    oracle pins the exact integer reduction, not just the ratio."""
+    pts = _points(spark, sf_dir)
+    cnt = (pts.selectExpr(f"{sqlfns.cell_sql('lat', 'lng', 9)} AS cell")
+           .groupBy("cell").agg(F.count("*").alias("n")))
+    return SP.moran_i(cnt, k=1).select(
+        "n_cells", "w_sum", "num", "den",
+        F.round("moran_i", 6).alias("moran_r6"))
+
+
+def o_moran_i() -> str:
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    cell = sqlfns.cell_sql("lat", "lng", 9)
+    return f"""
+    WITH p AS ({_duck_points()}),
+    c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS v
+          FROM p GROUP BY 1),
+    f AS (SELECT a.cell, CAST(SUM(b.v) AS BIGINT) AS fs,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM c a JOIN c b
+          ON ABS((a.cell % {P28}) - (b.cell % {P28})) <= 1
+          AND ABS(((a.cell % {P56}) // {P28})
+                  - ((b.cell % {P56}) // {P28})) <= 1
+          GROUP BY a.cell),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                  CAST(SUM(v) AS BIGINT) AS sum_x FROM c),
+    per AS (SELECT n_cells,
+                   n_cells * v - sum_x AS dev,
+                   n_cells * (fs - v) - (w - 1) * sum_x AS lagdev,
+                   w - 1 AS wi
+            FROM c JOIN f ON c.cell = f.cell, st),
+    agg AS (SELECT n_cells, CAST(SUM(wi) AS BIGINT) AS w_sum,
+                   CAST(SUM(dev * lagdev) AS BIGINT) AS num,
+                   CAST(SUM(dev * dev) AS BIGINT) AS den
+            FROM per GROUP BY 1)
+    SELECT n_cells, w_sum, num, den,
+           ROUND(CASE WHEN w_sum > 0 AND den > 0 THEN
+                 (CAST(n_cells AS DOUBLE) * CAST(num AS DOUBLE)) /
+                 (CAST(w_sum AS DOUBLE) * CAST(den AS DOUBLE))
+                 ELSE NULL END, 6) AS moran_r6
+    FROM agg
+    """
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the deterministic 3-fanout link
+    graph (degree-oriented wedge closure; same edge derivation as
+    pagerank, so the DuckDB twin reuses o_pagerank's edge SQL)."""
+    from ..operators import graph
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.triangle_count(graph.link_graph(docs))
+
+
+def o_triangle_count() -> str:
+    # UNION ALL, not o_pagerank's unnest form: a COUNT/aggregate over the
+    # unnest subquery trips a DuckDB internal binder error ("Failed to
+    # bind column reference dst") in this duckdb build; the three affine
+    # maps are identical either way
+    maps = ["(src * 17 + 1)", "(src * 31 + 7)", "(src * 2 + 3)"]
+    edges = "\n    UNION ALL\n".join(
+        f"""    SELECT src, CAST({m} % _n AS BIGINT) AS dst
+    FROM (SELECT doc_id AS src FROM documents),
+         (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM documents)"""
+        for m in maps)
+    lower = "(da < db OR (da = db AND a < b))"
+    return f"""
+    WITH ed AS (SELECT * FROM ({edges}) WHERE src != dst),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ed),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b AS node FROM und)
+            GROUP BY 1),
+    e AS (SELECT und.a AS a, und.b AS b, da.deg AS da, db.deg AS db
+          FROM und JOIN deg da ON da.node = und.a
+          JOIN deg db ON db.node = und.b),
+    o AS (SELECT CASE WHEN {lower} THEN a ELSE b END AS src,
+                 CASE WHEN {lower} THEN b ELSE a END AS dst,
+                 CASE WHEN {lower} THEN db ELSE da END AS ddst
+          FROM e),
+    wg AS (SELECT e1.src AS u, e1.dst AS x, e2.dst AS y
+           FROM o e1 JOIN o e2 ON e1.src = e2.src
+           AND (e1.ddst < e2.ddst
+                OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))),
+    -- inner join (not EXISTS) is a faithful semi-join here: oriented
+    -- edges are unique (und is DISTINCT), so at most one closing match
+    t AS (SELECT wg.u, wg.x, wg.y FROM wg
+          JOIN o ON o.src = wg.x AND o.dst = wg.y),
+    corners AS (SELECT unnest([u, x, y]) AS node FROM t)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1
+    """
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization of the events stream; gap = 4 h (the synthetic
+    per-user median gap is ~7 h, so sessions genuinely mix sizes)."""
+    from ..operators import temporal
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.sessionize(ev, gap_s=14400)
+
+
+def o_sessionize() -> str:
+    return """
+    WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq
+               FROM events),
+    m AS (SELECT user_id, ts_us, seq,
+                 CASE WHEN LAG(ts_us) OVER w IS NULL
+                      OR ts_us - LAG(ts_us) OVER w > 14400000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, seq)),
+    s AS (SELECT user_id, ts_us,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, seq
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM s GROUP BY 1, 2
+    """
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching of the in-coverage mobility pings (trajectory_stats'
+    ping derivation + the g5 bbox filter) onto the grid-city sidewalk
+    segments.  Segment identity in the OUTPUT is the rounded midpoint —
+    the oracle's closed-form segment relation has no engine ids, and
+    midpoints are bijective with segments on the grid (the
+    _duck_pip_pairs identity trick)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ent = ("CONCAT('loc_', CAST(user_id AS STRING), '_', "
+           "CAST(event_id % 7 AS STRING))")
+    lat, lng = synth.entity_latlng_sql(ent)
+    pings = (ev.selectExpr("user_id AS traj_id", "event_id", "ts",
+                           f"{lat} AS lat", f"{lng} AS lng")
+             .filter(f"lat > {LAT_LO} AND lat < {LAT_HI} "
+                     f"AND lng > {LNG_LO} AND lng < {LNG_HI}")
+             .selectExpr("traj_id", "event_id", "ts", "lat", "lng",
+                         f"{sqlfns.cell_sql('lat', 'lng', 9)} AS cell9"))
+    seg_cells = SP.segments_by_cell(_grid_buffers(spark, res=9))
+    mm = SP.map_match(pings, seg_cells, max_ring=6)
+    segs = _grid_sidewalk_segments(spark)
+    return (mm.join(segs.select("segment_id", "alat", "alng",
+                                "blat", "blng"), "segment_id")
+            .selectExpr("traj_id", "traversal_id", "n_pings",
+                        "enter_us", "leave_us",
+                        "ROUND((alat + blat) / 2, 6) AS seg_mid_lat",
+                        "ROUND((alng + blng) / 2, 6) AS seg_mid_lng"))
+
+
+def o_map_match() -> str:
+    ent = ("CONCAT('loc_', CAST(user_id AS VARCHAR), '_', "
+           "CAST(event_id % 7 AS VARCHAR))")
+    lat, lng = synth.entity_latlng_sql_duckdb(ent)
+    dist = sqlfns.seg_dist_sql("p.lat", "p.lng", "s.alat", "s.alng",
+                               "s.blat", "s.blng")
+    return f"""
+    WITH raw AS (SELECT user_id AS traj_id, event_id, epoch_us(ts) AS ts_us,
+                        {lat} AS lat, {lng} AS lng FROM events),
+    p AS (SELECT * FROM raw WHERE lat > {LAT_LO} AND lat < {LAT_HI}
+          AND lng > {LNG_LO} AND lng < {LNG_HI}),
+    sn AS (SELECT p.traj_id, p.event_id, p.ts_us,
+                  ROUND((s.alat + s.blat) / 2, 6) AS seg_mid_lat,
+                  ROUND((s.alng + s.blng) / 2, 6) AS seg_mid_lng,
+                  ROW_NUMBER() OVER (PARTITION BY p.traj_id, p.event_id
+                       ORDER BY {dist}, s.alat, s.alng, s.blat) AS rn
+           FROM p, ({_duck_sidewalk_segments()}) s),
+    m AS (SELECT traj_id, event_id, ts_us, seg_mid_lat, seg_mid_lng
+          FROM sn WHERE rn = 1),
+    r AS (SELECT *, CASE WHEN LAG(seg_mid_lat) OVER w
+                              IS DISTINCT FROM seg_mid_lat
+                         OR LAG(seg_mid_lng) OVER w
+                              IS DISTINCT FROM seg_mid_lng
+                    THEN 1 ELSE 0 END AS nr
+          FROM m WINDOW w AS (PARTITION BY traj_id ORDER BY ts_us, event_id)),
+    s2 AS (SELECT *, SUM(nr) OVER (PARTITION BY traj_id
+                                   ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS traversal_id
+           FROM r)
+    SELECT traj_id, CAST(traversal_id AS BIGINT) AS traversal_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pings,
+           MIN(ts_us) AS enter_us, MAX(ts_us) AS leave_us,
+           seg_mid_lat, seg_mid_lng
+    FROM s2 GROUP BY traj_id, traversal_id, seg_mid_lat, seg_mid_lng
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
@@ -4059,6 +4249,10 @@ QUERIES.update({
     "od_matrix": (q_od_matrix, o_od_matrix),
     "hotspot_gi": (q_hotspot_gi, o_hotspot_gi),
     "dsir_sample": (q_dsir_sample, o_dsir_sample),
+    "moran_i": (q_moran_i, o_moran_i),
+    "triangle_count": (q_triangle_count, o_triangle_count),
+    "sessionize": (q_sessionize, o_sessionize),
+    "map_match": (q_map_match, o_map_match),
 })
 
 
@@ -4236,6 +4430,15 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                   ("n_trajs", "i")],
     "hotspot_gi": [("cell", "h"), ("v", "i"), ("focal_sum", "i"),
                    ("w", "i"), ("z_r6", "d")],
+    "moran_i": [("n_cells", "i"), ("w_sum", "i"), ("num", "h"),
+                ("den", "h"), ("moran_r6", "d")],
+    "triangle_count": [("node", "i"), ("n_tri", "i")],
+    "sessionize": [("user_id", "i"), ("session_id", "i"),
+                   ("n_events", "i"), ("start_us", "h"), ("end_us", "h"),
+                   ("duration_us", "h")],
+    "map_match": [("traj_id", "i"), ("traversal_id", "i"),
+                  ("n_pings", "i"), ("enter_us", "h"), ("leave_us", "h"),
+                  ("seg_mid_lat", "d"), ("seg_mid_lng", "d")],
     "dsir_sample": [("doc_id", "i"), ("score_fx", "i"), ("u", "i"),
                     ("pr_r6", "d")],
 }
@@ -4362,8 +4565,9 @@ _AUDIT_GROUPS = {
                            "tpch_q1", "tpch_q5", "broadcast_star_join",
                            # corpus-stats sketches
                            "hll_distinct", "cm_topk", "qsk_quantiles",
-                           # round-5: DSIR priority resampling
-                           "dsir_sample",
+                           # round-5: DSIR priority resampling + gap
+                           # sessionization (clickstream rollup shape)
+                           "dsir_sample", "sessionize",
                            # catalog metadata ops (file-skip scan, COW
                            # merge/delete) — driver-visible via this group
                            "g1_file_skip", "g1_merge_delete"],
@@ -4387,7 +4591,11 @@ _AUDIT_GROUPS = {
                                  # per-trajectory movement rollup +
                                  # density clustering + OD flows
                                  "grid_paths", "trajectory_stats",
-                                 "grid_dbscan", "od_matrix", "hotspot_gi"],
+                                 "grid_dbscan", "od_matrix", "hotspot_gi",
+                                 # round-5 wave 2: global autocorrelation +
+                                 # trajectory->segment map matching + the
+                                 # degree-oriented webgraph triangle count
+                                 "moran_i", "map_match", "triangle_count"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4492,6 +4700,7 @@ _TAIL = [
     "ccnet_buckets", "url_filter", "winnowing", "grid_paths",
     "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
     "grid_dbscan", "od_matrix", "hotspot_gi", "dsir_sample",
+    "moran_i", "triangle_count", "sessionize", "map_match",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
