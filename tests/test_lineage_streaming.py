@@ -869,3 +869,46 @@ def test_streaming_od_transitions_match_batch(spark, tmp_path):
     want = {(r.o_zone, r.d_zone): (r.n_trans, r.n_trajs)
             for r in SP.od_matrix(pings, parent_res=7, res=9).collect()}
     assert got_rows == want and len(want) > 3
+
+
+def test_batch_sessionize_operator_is_the_streaming_twin(spark, tmp_path):
+    """The batch temporal.sessionize operator agrees with the drained
+    sessionize_stateful stream on every CLOSED session (same gap) — the
+    same contract the inline-SQL twin above pins, now against the
+    operator a pipeline actually calls."""
+    import datetime
+    import shutil
+
+    from tosidewalk_spark.operators import temporal
+
+    src_dir = tmp_path / "ev_src2"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "p.parquet")
+    src = str(src_dir)
+    ev_schema = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                 "event_type string, value double, props string")
+    stream = jobs.stream_events(spark, src, ev_schema)
+    sess = jobs.sessionize_stateful(stream, gap_minutes=30)
+    jobs.run_available_now(sess, "sessions_out2", str(tmp_path / "ck2"))
+    got = {(r.user_id,
+            int(r.session_start.replace(tzinfo=datetime.timezone.utc)
+                .timestamp() * 1_000_000),
+            int(r.session_end.replace(tzinfo=datetime.timezone.utc)
+                .timestamp() * 1_000_000)): r.n_events
+           for r in spark.sql("SELECT * FROM sessions_out2").collect()}
+    assert got
+    batch = temporal.sessionize(spark.read.parquet(src), gap_s=1800).collect()
+    # streaming emits a user's final session only if its event-time
+    # timeout fired under the final watermark (same rule as the SQL twin)
+    last_start = {}
+    for r in batch:
+        if r.user_id not in last_start or r.start_us > last_start[r.user_id]:
+            last_start[r.user_id] = r.start_us
+    max_us = max(r.end_us for r in batch)
+    wm_us = max_us - 2 * 3600 * 1_000_000
+    gap_us = 1800 * 1_000_000
+    want = {(r.user_id, r.start_us, r.end_us): r.n_events
+            for r in batch
+            if r.start_us != last_start[r.user_id]
+            or r.end_us + gap_us < wm_us}
+    assert got == want
