@@ -505,6 +505,12 @@ def run_queries(spark, buffers) -> dict[str, float]:
         f"{_sqlfns.cell_sql('lat', 'lng', 9)} AS cell9")
     bench("map_match", lambda: SP.map_match(_mm_pings, seg_cells,
                                             max_ring=6))
+    bench("emerging_hotspots", lambda: SP.emerging_hotspots(
+        events.selectExpr(
+            f"{_sqlfns.cell_sql(_tlat, _tlng, 9)} AS cell",
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 "
+            "AS BIGINT) AS bin")
+        .groupBy("cell", "bin").agg(F.count("*").alias("v")), k=1))
     bench("dsir_weights", lambda: text.dsir_weights(
         docs, docs.filter("doc_id % 11 = 0")))
     bench("dsir_sample", lambda: text.dsir_sample(

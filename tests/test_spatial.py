@@ -700,3 +700,52 @@ def test_map_match_run_collapse_and_nearest(spark):
     assert (out[0].enter_us, out[0].leave_us) == (base_us, base_us + 10_000_000)
     assert out[2].enter_us == base_us + 30_000_000
     assert all(r.traj_id == 7 for r in out)
+
+
+def test_emerging_hotspots_planted_trends_and_zero_fill(spark):
+    """A monotonically growing cell scores the maximum MK statistic, a
+    flat one 0, a cooling one the minimum; a cell absent from middle
+    bins is zero-filled (the dip is real and breaks monotonicity); an
+    isolated neighbor's mass reaches the cell through the focal stage."""
+    P28, P56 = 1 << 28, 1 << 56
+    mk = lambda i, j: 9 * P56 + j * P28 + i
+    rows = []
+    # grower: v = bin+1 at an isolated cell, bins 0..4
+    rows += [(mk(10, 10), b, b + 1) for b in range(5)]
+    # flat: constant 7
+    rows += [(mk(100, 100), b, 7) for b in range(5)]
+    # cooler: 5,4,3,2,1
+    rows += [(mk(200, 200), b, 5 - b) for b in range(5)]
+    # gap: occupied bins 0 and 4 only -> series 3,0,0,0,3
+    rows += [(mk(300, 300), 0, 3), (mk(300, 300), 4, 3)]
+    # neighbor-only mass: cell A empty itself every bin, neighbor B
+    # grows; A is NOT in the study set (never occupied) so no row for A,
+    # but B's own focal series still grows
+    rows += [(mk(400, 400), b, 2 * b + 1) for b in range(5)]
+    df = spark.createDataFrame(rows, "cell long, bin long, v long")
+    out = {r.cell: r for r in SP.emerging_hotspots(df, k=1).collect()}
+    assert set(out) == {mk(10, 10), mk(100, 100), mk(200, 200),
+                        mk(300, 300), mk(400, 400)}
+    assert all(r.n_bins == 5 for r in out.values())
+    assert (out[mk(10, 10)].s_mk, out[mk(10, 10)].n_pos) == (10, 10)
+    assert out[mk(100, 100)].s_mk == 0 and out[mk(100, 100)].n_pos == 0
+    assert (out[mk(200, 200)].s_mk, out[mk(200, 200)].n_neg) == (-10, 10)
+    # gap series 3,0,0,0,3: pairs -> 3 negatives (3 vs the zeros),
+    # 3 positives (zeros vs final 3), (0,4) tie, zero-zero ties
+    g = out[mk(300, 300)]
+    assert (g.s_mk, g.n_pos, g.n_neg) == (0, 3, 3)
+    assert out[mk(400, 400)].s_mk == 10
+
+
+def test_emerging_hotspots_focal_couples_neighbors(spark):
+    """Two adjacent cells with opposite raw trends share a FLAT focal
+    series — the focal stage is what distinguishes emerging_hotspots
+    from a per-cell MK on raw counts."""
+    P28, P56 = 1 << 28, 1 << 56
+    mk = lambda i, j: 9 * P56 + j * P28 + i
+    rows = ([(mk(10, 10), b, b + 1) for b in range(4)]
+            + [(mk(10, 11), b, 4 - b) for b in range(4)])
+    out = {r.cell: r for r in SP.emerging_hotspots(
+        spark.createDataFrame(rows, "cell long, bin long, v long"),
+        k=1).collect()}
+    assert out[mk(10, 10)].s_mk == 0 and out[mk(10, 11)].s_mk == 0

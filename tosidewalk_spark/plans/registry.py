@@ -4236,6 +4236,63 @@ def o_map_match() -> str:
     """
 
 
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time MK trend over the mobility pings: per-(cell, day)
+    counts at res 9, focal-summed per day, MK statistic per cell over
+    the ~30 daily slices — every step BIGINT."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ent = ("CONCAT('loc_', CAST(user_id AS STRING), '_', "
+           "CAST(event_id % 7 AS STRING))")
+    lat, lng = synth.entity_latlng_sql(ent)
+    cb = (ev.selectExpr(
+            f"{sqlfns.cell_sql(lat, lng, 9)} AS cell",
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 "
+            "AS BIGINT) AS bin")
+          .groupBy("cell", "bin").agg(F.count("*").alias("v")))
+    return SP.emerging_hotspots(cb, k=1)
+
+
+def o_emerging_hotspots() -> str:
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    ent = ("CONCAT('loc_', CAST(user_id AS VARCHAR), '_', "
+           "CAST(event_id % 7 AS VARCHAR))")
+    lat, lng = synth.entity_latlng_sql_duckdb(ent)
+    cell = sqlfns.cell_sql(lat, lng, 9)
+    return f"""
+    WITH cb AS (SELECT CAST({cell} AS BIGINT) AS cell,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2),
+    cells AS (SELECT DISTINCT cell FROM cb),
+    -- receiving set = occupied cells x EVERY bin where a disk neighbor
+    -- is occupied (the engine's scatter reaches a cell in bins where
+    -- only its neighbors have mass; the cell's own v that bin is 0)
+    f AS (SELECT a.cell, b.bin, CAST(SUM(b.v) AS BIGINT) AS fs
+          FROM cells a JOIN cb b
+          ON ABS((a.cell % {P28}) - (b.cell % {P28})) <= 1
+          AND ABS(((a.cell % {P56}) // {P28})
+                  - ((b.cell % {P56}) // {P28})) <= 1
+          GROUP BY 1, 2),
+    rng AS (SELECT MIN(bin) AS b0, MAX(bin) AS b1 FROM cb),
+    dense AS (SELECT cells.cell,
+                     unnest(generate_series(rng.b0, rng.b1)) AS bin
+              FROM cells, rng),
+    ts_series AS (SELECT d.cell, d.bin, COALESCE(f.fs, 0) AS fs
+                  FROM dense d LEFT JOIN f
+                  ON f.cell = d.cell AND f.bin = d.bin),
+    pr AS (SELECT d1.cell,
+                  CASE WHEN d2.fs > d1.fs THEN 1
+                       WHEN d2.fs < d1.fs THEN -1 ELSE 0 END AS sg
+           FROM ts_series d1 JOIN ts_series d2
+           ON d1.cell = d2.cell AND d2.bin > d1.bin)
+    SELECT cell, CAST(SUM(sg) AS BIGINT) AS s_mk,
+           CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           (SELECT CAST(b1 - b0 + 1 AS BIGINT) FROM rng) AS n_bins
+    FROM pr GROUP BY cell
+    """
+
+
 QUERIES.update({
     "ccnet_buckets": (q_ccnet_buckets, o_ccnet_buckets),
     "url_filter": (q_url_filter, o_url_filter),
@@ -4253,6 +4310,7 @@ QUERIES.update({
     "triangle_count": (q_triangle_count, o_triangle_count),
     "sessionize": (q_sessionize, o_sessionize),
     "map_match": (q_map_match, o_map_match),
+    "emerging_hotspots": (q_emerging_hotspots, o_emerging_hotspots),
 })
 
 
@@ -4436,6 +4494,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "sessionize": [("user_id", "i"), ("session_id", "i"),
                    ("n_events", "i"), ("start_us", "h"), ("end_us", "h"),
                    ("duration_us", "h")],
+    "emerging_hotspots": [("cell", "h"), ("s_mk", "i"), ("n_pos", "i"),
+                          ("n_neg", "i"), ("n_bins", "i")],
     "map_match": [("traj_id", "i"), ("traversal_id", "i"),
                   ("n_pings", "i"), ("enter_us", "h"), ("leave_us", "h"),
                   ("seg_mid_lat", "d"), ("seg_mid_lng", "d")],
@@ -4595,7 +4655,8 @@ _AUDIT_GROUPS = {
                                  # round-5 wave 2: global autocorrelation +
                                  # trajectory->segment map matching + the
                                  # degree-oriented webgraph triangle count
-                                 "moran_i", "map_match", "triangle_count"],
+                                 "moran_i", "map_match", "triangle_count",
+                                 "emerging_hotspots"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4701,6 +4762,7 @@ _TAIL = [
     "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
     "grid_dbscan", "od_matrix", "hotspot_gi", "dsir_sample",
     "moran_i", "triangle_count", "sessionize", "map_match",
+    "emerging_hotspots",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
