@@ -495,6 +495,7 @@ def run_queries(spark, buffers) -> dict[str, float]:
         pts.selectExpr("cell9 AS cell").groupBy("cell")
         .agg(F.count("*").alias("n")), k=1))
     bench("triangle_count", lambda: GR.triangle_count(GR.link_graph(docs)))
+    bench("hits", lambda: GR.hits(GR.link_graph(docs), n_iter=5))
     bench("sessionize", lambda: TP.sessionize(events, gap_s=14400))
     _mm_pings = events.selectExpr(
         "user_id AS traj_id", "event_id", "ts",

@@ -222,3 +222,39 @@ def test_triangle_count_hub_closure(spark):
     out = {r.node: r.n_tri for r in
            graph.triangle_count(_edges(spark, star)).collect()}
     assert out == {100: 2, 0: 1, 1: 1, 4: 1, 5: 1}
+
+
+def test_hits_bipartite_fixpoint_exact(spark):
+    """K_{2,2} hubs->authorities: round 1 already reaches the fixpoint —
+    hubs split the L1 mass 50/50, authorities likewise, and the pure
+    sides hold exactly 0 in the opposite role."""
+    S = graph.HITS_SCALE
+    edges = [(0, 2), (0, 3), (1, 2), (1, 3)]
+    for k in (1, 4):
+        out = {r.node_id: r for r in
+               graph.hits(_edges(spark, edges), n_iter=k).collect()}
+        assert {n: v.hub_fx for n, v in out.items()} == \
+            {0: S // 2, 1: S // 2, 2: 0, 3: 0}
+        assert {n: v.auth_fx for n, v in out.items()} == \
+            {0: 0, 1: 0, 2: S // 2, 3: S // 2}
+
+
+def test_hits_broader_hub_and_endorsed_auth_rank_higher(spark):
+    # 0 -> {2,3}, 1 -> {2}: node 2 is endorsed by both hubs so
+    # auth(2) > auth(3); hub(0) covers both authorities so hub(0) > hub(1)
+    out = {r.node_id: r for r in graph.hits(
+        _edges(spark, [(0, 2), (0, 3), (1, 2)]), n_iter=3).collect()}
+    assert out[2].auth_fx > out[3].auth_fx > 0
+    assert out[0].hub_fx > out[1].hub_fx > 0
+    assert out[2].hub_fx == 0 and out[0].auth_fx == 0
+
+
+def test_hits_l1_mass_and_coverage_on_link_graph(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hs = graph.hits(graph.link_graph(docs), n_iter=5)
+    agg = hs.agg(F.sum("hub_fx").alias("h"), F.sum("auth_fx").alias("a"),
+                 F.count("*").alias("n")).collect()[0]
+    S = graph.HITS_SCALE
+    # L1 normalisation leaks at most 1 unit of mass per node to floor
+    assert S - agg.n <= agg.h <= S and S - agg.n <= agg.a <= S
+    assert agg.n == docs.count()

@@ -212,3 +212,125 @@ def triangle_count(edges: DataFrame) -> DataFrame:
               .agg(F.count("*").cast("long").alias("n_tri")))
     weakref.finalize(result, _safe_unpersist, oriented)
     return result
+
+
+HITS_SCALE = 1_000_000  # L1 mass per score vector; see overflow note below
+
+
+def hits(edges: DataFrame, n_iter: int = 5,
+         scale: int = HITS_SCALE) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over ``(src, dst)`` edges:
+    ``n_iter`` exact mutual-reinforcement rounds in the standard order
+    (authorities from current hubs, then hubs from the NEW authorities),
+    BIGINT fixed-point throughout — same determinism argument as
+    pagerank (integer SUM is associative: bit-identical at any core
+    count and vs the unrolled DuckDB twin).
+
+    Normalisation is L1 at fixed-point ``scale`` (not the textbook L2 —
+    SQRT would leave integer arithmetic; L1 preserves the RANKING, which
+    is what a link-spam / seed-selection pipeline consumes):
+        a'(v) = Σ_{(u,v)∈E} h(u);   a(v) = (a'(v) * scale) DIV Σ a'
+    Parallel edges vote once each (they are repeated endorsements).
+
+    Overflow headroom: the rescale product is a'(v) * scale ≤
+    indeg_max · scale², so scale = 10⁶ holds to indeg_max ≈ 9·10⁶; for
+    crawl graphs with hotter hubs drop scale a decade (ranking
+    unchanged, one fewer digit of score resolution).
+
+    Plan: edges persisted once; each round is two join→hash-agg passes
+    plus two 1-row L1 totals that ride broadcasts (no driver collect).
+    Unlike pagerank, each round references the previous score vector
+    FOUR times (raw agg in the total AND the rescale, for both roles) —
+    left lazy, the logical plan and the executed work grow 4^n_iter, so
+    every round's score vector is cut off with an eager
+    ``localCheckpoint``: the per-round job materializes one (node_id,
+    BIGINT) relation to executor-local storage and all later references
+    read it flat.  Values are unchanged (integer arithmetic, already
+    deterministic); the cost is one small job per round, the same
+    shape a checkpointed iterative GraphX/GraphFrames loop pays.
+    Nodes with no in-links (or out-links) hold score 0 from round 1 —
+    kept in the output, not dropped.  Output: (node_id, hub_fx,
+    auth_fx), each column summing to ~scale minus floor leak."""
+    e = _spread(edges).select("src", "dst").persist()
+    nodes = (e.select(F.col("src").alias("node_id"))
+             .unionByName(e.select(F.col("dst").alias("node_id")))
+             .distinct().persist())
+    n1 = nodes.agg(F.count("*").cast("long").alias("_n"))
+    h = (nodes.crossJoin(F.broadcast(n1))
+         .select("node_id",
+                 F.expr(f"CAST(CAST({scale} AS BIGINT) DIV _n AS BIGINT)")
+                 .alias("h_fx"))
+         .localCheckpoint())
+    a = None
+    for _ in range(n_iter):
+        a_raw = (h.join(e, F.col("node_id") == F.col("src"))
+                 .groupBy("dst").agg(F.sum("h_fx").alias("_a"))
+                 .persist())
+        a_tot = a_raw.agg(F.sum("_a").alias("_t"))
+        a = (nodes.join(a_raw, F.col("node_id") == F.col("dst"), "left")
+             .crossJoin(F.broadcast(a_tot))
+             .select("node_id",
+                     F.expr(f"CAST((COALESCE(_a, CAST(0 AS BIGINT)) * "
+                            f"CAST({scale} AS BIGINT)) DIV _t AS BIGINT)")
+                     .alias("a_fx"))
+             .localCheckpoint())
+        a_raw.unpersist()
+        h_raw = (a.join(e, F.col("node_id") == F.col("dst"))
+                 .groupBy("src").agg(F.sum("a_fx").alias("_h"))
+                 .persist())
+        h_tot = h_raw.agg(F.sum("_h").alias("_t2"))
+        h = (nodes.join(h_raw, F.col("node_id") == F.col("src"), "left")
+             .crossJoin(F.broadcast(h_tot))
+             .select("node_id",
+                     F.expr(f"CAST((COALESCE(_h, CAST(0 AS BIGINT)) * "
+                            f"CAST({scale} AS BIGINT)) DIV _t2 AS BIGINT)")
+                     .alias("h_fx"))
+             .localCheckpoint())
+        h_raw.unpersist()
+    out = (h.join(a.selectExpr("node_id AS _na", "a_fx"),
+                  F.col("node_id") == F.col("_na"))
+           .select("node_id", F.col("h_fx").alias("hub_fx"),
+                   F.col("a_fx").alias("auth_fx")))
+    weakref.finalize(out, _safe_unpersist, e)
+    weakref.finalize(out, _safe_unpersist, nodes)
+    return out
+
+
+def hits_duckdb_sql(edges_sql: str, n_iter: int = 5,
+                    scale: int = HITS_SCALE) -> str:
+    """DuckDB twin: the same rounds unrolled as chained CTEs, the same
+    BIGINT floor arithmetic (`//` == Spark `DIV` on these non-negative
+    operands), so scores match bit-for-bit.  Every per-round CTE is
+    MATERIALIZED — non-materialized CTEs inline per reference and each
+    round references the previous vector 4x, so the lazy form blows up
+    4^n_iter exactly like the un-checkpointed Spark loop would."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        ("nodes AS MATERIALIZED (SELECT DISTINCT node_id FROM "
+         "(SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e))"),
+        (f"h0 AS MATERIALIZED (SELECT node_id, CAST(CAST({scale} AS BIGINT) // "
+         "(SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS BIGINT) AS h_fx"
+         " FROM nodes)"),
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT dst, SUM(h_fx) AS _a FROM h{i}"
+            f" JOIN e ON h{i}.node_id = e.src GROUP BY dst)")
+        ctes.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT nodes.node_id, CAST((COALESCE(_a,"
+            f" CAST(0 AS BIGINT)) * CAST({scale} AS BIGINT)) //"
+            f" (SELECT SUM(_a) FROM ar{i}) AS BIGINT) AS a_fx"
+            f" FROM nodes LEFT JOIN ar{i} ON nodes.node_id = ar{i}.dst)")
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT src, SUM(a_fx) AS _h FROM a{i + 1}"
+            f" JOIN e ON a{i + 1}.node_id = e.dst GROUP BY src)")
+        ctes.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT nodes.node_id, CAST((COALESCE(_h,"
+            f" CAST(0 AS BIGINT)) * CAST({scale} AS BIGINT)) //"
+            f" (SELECT SUM(_h) FROM hr{i}) AS BIGINT) AS h_fx"
+            f" FROM nodes LEFT JOIN hr{i} ON nodes.node_id = hr{i}.src)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT h{n_iter}.node_id, h{n_iter}.h_fx AS hub_fx, a{n_iter}.a_fx AS auth_fx
+    FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.node_id = a{n_iter}.node_id
+    """)

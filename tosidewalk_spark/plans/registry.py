@@ -4236,6 +4236,32 @@ def o_map_match() -> str:
     """
 
 
+def _duck_link_edges() -> str:
+    """link_graph's 3 affine maps as UNION ALL (o_triangle_count's form —
+    the unnest shape trips a DuckDB binder bug under aggregates)."""
+    maps = ["(src * 17 + 1)", "(src * 31 + 7)", "(src * 2 + 3)"]
+    inner = "\n    UNION ALL\n".join(
+        f"""    SELECT src, CAST({m} % _n AS BIGINT) AS dst
+    FROM (SELECT doc_id AS src FROM documents),
+         (SELECT CAST(COUNT(*) AS BIGINT) AS _n FROM documents)"""
+        for m in maps)
+    return f"SELECT * FROM ({inner}) WHERE src != dst"
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 exact L1-normalized HITS rounds over the link graph; scores
+    BIGINT so the vectors are bit-identical at any parallelism and vs
+    the unrolled DuckDB twin."""
+    from ..operators import graph
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.hits(graph.link_graph(docs), n_iter=5)
+
+
+def o_hits() -> str:
+    from ..operators import graph
+    return graph.hits_duckdb_sql(_duck_link_edges(), n_iter=5)
+
+
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time MK trend over the mobility pings: per-(cell, day)
     counts at res 9, focal-summed per day, MK statistic per cell over
@@ -4311,6 +4337,7 @@ QUERIES.update({
     "sessionize": (q_sessionize, o_sessionize),
     "map_match": (q_map_match, o_map_match),
     "emerging_hotspots": (q_emerging_hotspots, o_emerging_hotspots),
+    "hits": (q_hits, o_hits),
 })
 
 
@@ -4494,6 +4521,7 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "sessionize": [("user_id", "i"), ("session_id", "i"),
                    ("n_events", "i"), ("start_us", "h"), ("end_us", "h"),
                    ("duration_us", "h")],
+    "hits": [("node_id", "i"), ("hub_fx", "i"), ("auth_fx", "i")],
     "emerging_hotspots": [("cell", "h"), ("s_mk", "i"), ("n_pos", "i"),
                           ("n_neg", "i"), ("n_bins", "i")],
     "map_match": [("traj_id", "i"), ("traversal_id", "i"),
@@ -4656,7 +4684,7 @@ _AUDIT_GROUPS = {
                                  # trajectory->segment map matching + the
                                  # degree-oriented webgraph triangle count
                                  "moran_i", "map_match", "triangle_count",
-                                 "emerging_hotspots"],
+                                 "emerging_hotspots", "hits"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4762,7 +4790,7 @@ _TAIL = [
     "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
     "grid_dbscan", "od_matrix", "hotspot_gi", "dsir_sample",
     "moran_i", "triangle_count", "sessionize", "map_match",
-    "emerging_hotspots",
+    "emerging_hotspots", "hits",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
