@@ -496,6 +496,14 @@ def run_queries(spark, buffers) -> dict[str, float]:
         .agg(F.count("*").alias("n")), k=1))
     bench("triangle_count", lambda: GR.triangle_count(GR.link_graph(docs)))
     bench("hits", lambda: GR.hits(GR.link_graph(docs), n_iter=5))
+    bench("bfs_distances", lambda: GR.bfs_distances(
+        GR.link_graph(docs),
+        docs.filter("doc_id % 101 = 0").selectExpr("doc_id AS node_id"),
+        n_rounds=5))
+    bench("textrank", lambda: GR.textrank_keywords(docs, k=25, n_iter=5))
+    bench("label_propagation",
+          lambda: GR.label_propagation(GR.link_graph(docs), n_rounds=5))
+    bench("ts_resample", lambda: TP.ts_resample(events, bin_s=21600))
     bench("sessionize", lambda: TP.sessionize(events, gap_s=14400))
     _mm_pings = events.selectExpr(
         "user_id AS traj_id", "event_id", "ts",

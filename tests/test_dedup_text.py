@@ -1134,3 +1134,49 @@ def test_sessionize_equal_ts_ordered_by_seq(spark):
     ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
     out = temporal.sessionize(ev, gap_s=60).collect()
     assert len(out) == 1 and out[0].n_events == 3 and out[0].duration_us == 0
+
+
+def test_ts_resample_gapfill_and_locf(spark):
+    """Every bin between a user's first and last observation appears;
+    empty bins carry n_events=0 and the last observed value verbatim;
+    within-bin 'last' breaks ties by (ts, seq)."""
+    import datetime as dt
+
+    from tosidewalk_spark.operators import temporal
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    mk = lambda uid, eid, secs, v: (uid, eid,
+                                    t0 + dt.timedelta(seconds=secs), v)
+    rows = [mk(1, 1, 10, 1.5), mk(1, 2, 50, 2.5),    # bin 0: last = 2.5
+            mk(1, 3, 250, 9.25),                     # bin 4 (gap 1-3)
+            mk(2, 4, 70, 7.0)]                       # single-bin user
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {(r.user_id, r.bin_us): r
+           for r in temporal.ts_resample(ev, bin_s=60).collect()}
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    m = 60_000_000
+    assert set(out) == {(1, base), (1, base + m), (1, base + 2 * m),
+                        (1, base + 3 * m), (1, base + 4 * m),
+                        (2, base + m)}
+    assert out[(1, base)].n_events == 2
+    assert out[(1, base)].v_locf == 2.5           # within-bin last by ts
+    for g in (1, 2, 3):                           # gap bins: 0 events, LOCF
+        assert out[(1, base + g * m)].n_events == 0
+        assert out[(1, base + g * m)].v_locf == 2.5
+    assert out[(1, base + 4 * m)].v_locf == 9.25
+    assert out[(2, base + m)].n_events == 1
+    assert out[(2, base + m)].v_locf == 7.0
+
+
+def test_ts_resample_equal_ts_last_by_seq(spark):
+    import datetime as dt
+
+    from tosidewalk_spark.operators import temporal
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, 2, t0, 5.0), (1, 9, t0, 8.0), (1, 5, t0, 6.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    out = temporal.ts_resample(ev, bin_s=60).collect()
+    assert len(out) == 1 and out[0].v_locf == 8.0 and out[0].n_events == 3

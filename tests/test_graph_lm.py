@@ -258,3 +258,62 @@ def test_hits_l1_mass_and_coverage_on_link_graph(spark):
     # L1 normalisation leaks at most 1 unit of mass per node to floor
     assert S - agg.n <= agg.h <= S and S - agg.n <= agg.a <= S
     assert agg.n == docs.count()
+
+
+def test_bfs_distances_path_bounded_and_multisource(spark):
+    """Hop distances are exact, the n_rounds bound truncates the reach,
+    and a node takes the MIN over sources."""
+    path = [(i, i + 1) for i in range(6)]          # 0->1->...->6
+    src = spark.createDataFrame([(0,), (4,)], "node_id long")
+    out = {r.node_id: r.dist for r in
+           graph.bfs_distances(_edges(spark, path), src,
+                               n_rounds=3).collect()}
+    # from 0: 1,2,3 at 1..3; from 4: 5,6 at 1,2; beyond 3 hops unreached
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 1, 6: 2}
+
+
+def test_bfs_distances_shorter_path_wins(spark):
+    # 0->1->3 and 0->3: dist(3) must be 1, not 2
+    out = {r.node_id: r.dist for r in graph.bfs_distances(
+        _edges(spark, [(0, 1), (1, 3), (0, 3)]),
+        spark.createDataFrame([(0,)], "node_id long"),
+        n_rounds=4).collect()}
+    assert out == {0: 0, 1: 1, 3: 1}
+
+
+def test_cooccurrence_edges_window2_symmetric(spark):
+    docs = spark.createDataFrame([(1, "a b a"), (2, "c"), (3, "")],
+                                 "doc_id long, text string")
+    rows = [(r.src, r.dst) for r in
+            graph.cooccurrence_edges(docs).collect()]
+    # "a b a" -> adjacent pairs (a,b),(b,a); symmetrized = 4 edges; the
+    # 1-token and empty docs contribute nothing
+    assert sorted(rows) == [("a", "b"), ("a", "b"), ("b", "a"), ("b", "a")]
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    docs = spark.createDataFrame(
+        [(1, "x a"), (2, "x b"), (3, "x c"), (4, "x d"), (5, "a b")],
+        "doc_id long, text string")
+    out = graph.textrank_keywords(docs, k=3, n_iter=4).collect()
+    assert out[0].term == "x"                      # degree-4 hub
+    ranks = [r.rank_fx for r in out]
+    assert ranks == sorted(ranks, reverse=True) and len(out) == 3
+
+
+def test_lpa_disjoint_components_converge_to_min_id(spark):
+    """Two symmetric triangles: labels flood to each component's min
+    node id and stay there; no cross-component leakage."""
+    tri = lambda a, b, c: [(a, b), (b, a), (b, c), (c, b), (a, c), (c, a)]
+    out = {r.node_id: r.label for r in graph.label_propagation(
+        _edges(spark, tri(0, 1, 2) + tri(10, 11, 12)),
+        n_rounds=4).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_tie_breaks_to_smallest_label_and_sources_keep_own(spark):
+    # 3->9 and 7->9: round 1 is a 1-1 tie, smallest label (3) wins;
+    # 3 and 7 have no in-edges so they keep their own labels forever
+    out = {r.node_id: r.label for r in graph.label_propagation(
+        _edges(spark, [(3, 9), (7, 9)]), n_rounds=1).collect()}
+    assert out == {3: 3, 7: 7, 9: 3}

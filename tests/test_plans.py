@@ -563,3 +563,64 @@ def test_sessionize_single_event_shuffle(spark):
     # partial agg before the session-key exchange: HashAggregate appears
     # both below and above the final Exchange (two-phase agg)
     assert final.count("HashAggregate") >= 2
+
+
+def test_hits_and_lpa_rounds_are_checkpointed_flat(spark):
+    """The iterative graph ops that reference their round vector more
+    than once per round (hits 4x, lpa 2x, bfs 2x) must cut lineage per
+    round: the FINAL plan reads the last round's vector as a scanned
+    (checkpointed) relation, not a 4^n join tree — assert the executed
+    plan stays small and join-free upstream of the output join."""
+    from tosidewalk_spark.operators import graph
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    e = graph.link_graph(docs)
+    for df, max_joins in ((graph.hits(e, n_iter=3), 2),
+                          (graph.label_propagation(e, n_rounds=3), 1),
+                          (graph.bfs_distances(
+                              e, docs.filter("doc_id % 101 = 0")
+                              .selectExpr("doc_id AS node_id"),
+                              n_rounds=3), 0)):
+        final = _executed_plan(df).split("== Initial Plan ==")[0]
+        # an un-checkpointed loop would nest dozens of SortMergeJoin /
+        # HashJoin operators; the checkpointed plan joins at most the
+        # two final score vectors (hits) or nothing at all (bfs output
+        # IS the checkpointed relation)
+        n_joins = sum(final.count(m) for m in
+                      ("SortMergeJoin", "BroadcastHashJoin",
+                       "ShuffledHashJoin"))
+        assert n_joins <= max_joins, (max_joins, final[:2000])
+        assert "CartesianProduct" not in final
+
+
+def test_textrank_topk_is_take_ordered_no_python(spark):
+    """TextRank's top-k must compile to TakeOrderedAndProject (per-
+    partition heads, no global sort) and the co-occurrence derivation
+    must stay row-local JVM codegen (a Generate over the zipped slices,
+    no python evaluator anywhere)."""
+    from tosidewalk_spark.operators import graph
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    final = _executed_plan(
+        graph.textrank_keywords(docs, k=10, n_iter=2)
+    ).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "Generate" in final           # the explode of zipped pairs
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final
+
+
+def test_ts_resample_single_key_shuffle_grid_from_span(spark):
+    """ts_resample shuffles the event stream ONCE (the user key); the
+    gap grid derives from the per-user span agg (a SEQUENCE Generate),
+    never a driver-built calendar; LOCF is the one Window."""
+    from tosidewalk_spark.operators import temporal
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    final = _executed_plan(
+        temporal.ts_resample(ev, bin_s=21600)
+    ).split("== Initial Plan ==")[0]
+    assert "Window" in final and "Generate" in final
+    assert "CartesianProduct" not in final
+    # one scan of the events parquet only: binned reuses the same scan
+    # via the exchange, and the grid branch hangs off binned, not a
+    # second read
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in final

@@ -242,27 +242,34 @@ def hits(edges: DataFrame, n_iter: int = 5,
     Unlike pagerank, each round references the previous score vector
     FOUR times (raw agg in the total AND the rescale, for both roles) —
     left lazy, the logical plan and the executed work grow 4^n_iter, so
-    every round's score vector is cut off with an eager
-    ``localCheckpoint``: the per-round job materializes one (node_id,
-    BIGINT) relation to executor-local storage and all later references
-    read it flat.  Values are unchanged (integer arithmetic, already
-    deterministic); the cost is one small job per round, the same
-    shape a checkpointed iterative GraphX/GraphFrames loop pays.
+    each round's HUB vector is cut off with an eager
+    ``localCheckpoint``: one small per-round job materializes the
+    (node_id, BIGINT) relation to executor-local storage and all later
+    references read it flat.  The intra-round authority vector needs no
+    checkpoint of its own — it reads the already-flat hubs, so its
+    subtree is constant-size; its raw aggregate is persisted (it is
+    read by the L1 total, the rescale, and the next half-round) and the
+    last round's stays cached for the output join.  Values are
+    unchanged (integer arithmetic, already deterministic); the cost is
+    one job per round, the shape a checkpointed iterative
+    GraphX/GraphFrames loop pays.
     Nodes with no in-links (or out-links) hold score 0 from round 1 —
     kept in the output, not dropped.  Output: (node_id, hub_fx,
     auth_fx), each column summing to ~scale minus floor leak."""
+    assert n_iter >= 1, "hits needs at least one reinforcement round"
     e = _spread(edges).select("src", "dst").persist()
     nodes = (e.select(F.col("src").alias("node_id"))
              .unionByName(e.select(F.col("dst").alias("node_id")))
              .distinct().persist())
     n1 = nodes.agg(F.count("*").cast("long").alias("_n"))
+    # h0 is referenced once (round 1's a_raw): no checkpoint needed
     h = (nodes.crossJoin(F.broadcast(n1))
          .select("node_id",
                  F.expr(f"CAST(CAST({scale} AS BIGINT) DIV _n AS BIGINT)")
-                 .alias("h_fx"))
-         .localCheckpoint())
-    a = None
-    for _ in range(n_iter):
+                 .alias("h_fx")))
+    a = a_raw = None
+    for i in range(n_iter):
+        prev_a_raw = a_raw
         a_raw = (h.join(e, F.col("node_id") == F.col("src"))
                  .groupBy("dst").agg(F.sum("h_fx").alias("_a"))
                  .persist())
@@ -272,9 +279,7 @@ def hits(edges: DataFrame, n_iter: int = 5,
              .select("node_id",
                      F.expr(f"CAST((COALESCE(_a, CAST(0 AS BIGINT)) * "
                             f"CAST({scale} AS BIGINT)) DIV _t AS BIGINT)")
-                     .alias("a_fx"))
-             .localCheckpoint())
-        a_raw.unpersist()
+                     .alias("a_fx")))
         h_raw = (a.join(e, F.col("node_id") == F.col("dst"))
                  .groupBy("src").agg(F.sum("a_fx").alias("_h"))
                  .persist())
@@ -287,12 +292,16 @@ def hits(edges: DataFrame, n_iter: int = 5,
                      .alias("h_fx"))
              .localCheckpoint())
         h_raw.unpersist()
+        if prev_a_raw is not None:
+            prev_a_raw.unpersist()
     out = (h.join(a.selectExpr("node_id AS _na", "a_fx"),
                   F.col("node_id") == F.col("_na"))
            .select("node_id", F.col("h_fx").alias("hub_fx"),
                    F.col("a_fx").alias("auth_fx")))
     weakref.finalize(out, _safe_unpersist, e)
     weakref.finalize(out, _safe_unpersist, nodes)
+    if a_raw is not None:
+        weakref.finalize(out, _safe_unpersist, a_raw)
     return out
 
 
@@ -334,3 +343,180 @@ def hits_duckdb_sql(edges_sql: str, n_iter: int = 5,
     SELECT h{n_iter}.node_id, h{n_iter}.h_fx AS hub_fx, a{n_iter}.a_fx AS auth_fx
     FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.node_id = a{n_iter}.node_id
     """)
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  n_rounds: int = 5) -> DataFrame:
+    """Multi-source BFS hop distances (the GraphX ShortestPaths /
+    Pregel landmark shape): dist(v) = exact minimum hop count from ANY
+    source node, bounded at ``n_rounds`` hops — the bounded-radius
+    variant a crawl-frontier or link-spam-neighborhood job runs (seeds =
+    known-good or known-bad hosts, radius small).  ``sources`` is a
+    (node_id) relation; output (node_id, dist) contains ONLY nodes
+    reached within the bound, dist in [0, n_rounds] exact integers.
+
+    Plan: per round the FRONTIER (nodes first reached in the previous
+    round — not the whole known set) joins the persisted edge relation
+    and the relaxed candidates fold into the known set via one
+    map-side-combinable MIN agg; each round's known set is cut off with
+    an eager ``localCheckpoint`` (the ``hits`` discipline — the set is
+    referenced by the next round's frontier filter, the union, AND the
+    final output, and BFS lineage would otherwise deepen per round).
+    Frontier-only relaxation is what keeps 100 TB viable: a round's join
+    input is proportional to the NEW wavefront, not the accumulated
+    reach, so the expanding-ball blowup stays in the agg's hash table
+    where partial aggregation absorbs it."""
+    e = _spread(edges).select("src", "dst").persist()
+    dist = (sources.select("node_id",
+                           F.lit(0).cast("long").alias("dist"))
+            .distinct().localCheckpoint())
+    for r in range(1, n_rounds + 1):
+        frontier = dist.filter(F.col("dist") == r - 1)
+        relaxed = (frontier.join(e, F.col("node_id") == F.col("src"))
+                   .select(F.col("dst").alias("node_id"),
+                           F.lit(r).cast("long").alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node_id").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    weakref.finalize(dist, _safe_unpersist, e)
+    return dist
+
+
+def bfs_duckdb_sql(edges_sql: str, sources_sql: str,
+                   n_rounds: int = 5) -> str:
+    """DuckDB twin: the same frontier rounds unrolled, every per-round
+    CTE MATERIALIZED (the hits twin's 4^n lesson applied at 2^n)."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        (f"d0 AS MATERIALIZED (SELECT DISTINCT node_id, "
+         f"CAST(0 AS BIGINT) AS dist FROM ({sources_sql}))"),
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"fr{r} AS MATERIALIZED (SELECT e.dst AS node_id, "
+            f"CAST({r} AS BIGINT) AS dist FROM d{r - 1} JOIN e"
+            f" ON d{r - 1}.node_id = e.src"
+            f" WHERE d{r - 1}.dist = {r - 1})")
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT node_id, MIN(dist) AS dist"
+            f" FROM (SELECT * FROM d{r - 1} UNION ALL SELECT * FROM fr{r})"
+            f" GROUP BY node_id)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node_id, dist FROM d{n_rounds}")
+
+
+def cooccurrence_edges(docs: DataFrame) -> DataFrame:
+    """Adjacent-token co-occurrence edges over the corpus (the TextRank
+    window-2 graph, Mihalcea & Tarau 2004): one edge per adjacent token
+    pair per document, BOTH directions (the TextRank graph is
+    undirected; a symmetric directed edge set gives the same power
+    iteration), self-pairs dropped.  Repeated co-occurrences stay as
+    parallel edges — pagerank treats them as repeated votes, which IS
+    the edge-weighted TextRank formulation in integer form.
+
+    Plan: tokens never leave their row — the pair derivation is a
+    row-local ARRAYS_ZIP of the token array against its own 1-shifted
+    slice inside codegen, then one explode; no shuffle at all until the
+    consumer aggregates."""
+    from .text import _tokens
+    t = _tokens()
+    # GREATEST clamp: SIZE()-1 is -1 on empty docs and SLICE rejects
+    # negative lengths under ANSI; 0-length slices zip to an empty array
+    pair = (f"EXPLODE(ARRAYS_ZIP("
+            f"SLICE({t}, 1, GREATEST(SIZE({t}) - 1, 0)), "
+            f"SLICE({t}, 2, GREATEST(SIZE({t}) - 1, 0))))")
+    adj = (_spread(docs)
+           .select(F.expr(pair).alias("p"))
+           .select(F.col("p").getField("0").alias("w1"),
+                   F.col("p").getField("1").alias("w2"))
+           .filter("w1 != w2"))
+    return (adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+            .unionByName(
+                adj.select(F.col("w2").alias("src"),
+                           F.col("w1").alias("dst"))))
+
+
+def textrank_keywords(docs: DataFrame, k: int = 25,
+                      n_iter: int = 5) -> DataFrame:
+    """Corpus-level TextRank keyword extraction: ``pagerank`` over the
+    adjacent-token co-occurrence graph, top ``k`` terms by rank.  Pure
+    composition — the co-occurrence derivation is row-local, the
+    ranking reuses the fixed-point BIGINT pagerank (node ids are the
+    words themselves; the arithmetic never touches them), and the top-k
+    is a TakeOrderedAndProject (per-partition heads, no global sort)
+    with (rank DESC, term ASC) total order so ties cut identically in
+    both engines.  Output: (term, rank_fx)."""
+    pr = pagerank(cooccurrence_edges(docs), n_iter=n_iter)
+    return (pr.select(F.col("node_id").alias("term"), "rank_fx")
+            .orderBy(F.col("rank_fx").desc(), F.col("term").asc())
+            .limit(k))
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 5) -> DataFrame:
+    """Semi-synchronous label propagation (Raghavan et al. 2007, the
+    GraphX LPA shape) over ``(src, dst)`` directed edges: every node
+    starts as its own label; each round a node adopts the most frequent
+    label among its IN-neighbors, totally ordered by (count DESC, label
+    ASC) so the adoption is deterministic — no random tie-break, no
+    vertex-order dependence, bit-identical at any parallelism and vs
+    the unrolled DuckDB twin.  Nodes with no in-edges keep their label.
+    Parallel edges vote once each (repeated links are repeated votes).
+    Bounded rounds (LPA oscillates on bipartite structures; a fixed
+    round budget is the standard production cut — communities are
+    whatever the labels say after ``n_rounds``).
+
+    Plan: per round one equi-join against the persisted edges, one
+    (dst, label) hash count — map-side combinable, the hot-community
+    skew absorber — then an argmax folded as MIN(STRUCT(-cnt, label))
+    in the same agg pipeline (no window, no sort), LEFT join back so
+    isolated nodes survive.  The label vector is referenced twice per
+    round (votes + keep-own fallback): localCheckpoint per round, the
+    ``hits`` discipline.  Output: (node_id, label)."""
+    e = _spread(edges).select("src", "dst").persist()
+    labels = (e.select(F.col("src").alias("node_id"))
+              .unionByName(e.select(F.col("dst").alias("node_id")))
+              .distinct()
+              .select("node_id", F.col("node_id").alias("label"))
+              .localCheckpoint())
+    for _ in range(n_rounds):
+        votes = (labels.join(e, F.col("node_id") == F.col("src"))
+                 .groupBy("dst", "label")
+                 .agg(F.count("*").cast("long").alias("cnt")))
+        best = (votes.groupBy("dst")
+                .agg(F.expr("MIN(STRUCT(-cnt AS negcnt, label)).label")
+                     .alias("new_label")))
+        labels = (labels.join(best, F.col("node_id") == F.col("dst"),
+                              "left")
+                  .select("node_id",
+                          F.coalesce("new_label", "label").alias("label"))
+                  .localCheckpoint())
+    weakref.finalize(labels, _safe_unpersist, e)
+    return labels
+
+
+def lpa_duckdb_sql(edges_sql: str, n_rounds: int = 5) -> str:
+    """DuckDB twin: the same rounds unrolled, MATERIALIZED per round;
+    argmax via MIN over a (negcnt, label) struct — the same total order
+    as the Spark side's MIN(STRUCT(-cnt, label))."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        ("l0 AS MATERIALIZED (SELECT node_id, node_id AS label FROM "
+         "(SELECT DISTINCT node_id FROM (SELECT src AS node_id FROM e "
+         "UNION ALL SELECT dst FROM e)))"),
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT e.dst, l{r - 1}.label, "
+            f"CAST(COUNT(*) AS BIGINT) AS cnt FROM l{r - 1} JOIN e"
+            f" ON l{r - 1}.node_id = e.src GROUP BY e.dst, l{r - 1}.label)")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT dst, "
+            f"(MIN(struct_pack(negcnt := -cnt, lbl := label))).lbl"
+            f" AS new_label FROM v{r} GROUP BY dst)")
+        ctes.append(
+            f"l{r} AS MATERIALIZED (SELECT l{r - 1}.node_id, "
+            f"COALESCE(b{r}.new_label, l{r - 1}.label) AS label"
+            f" FROM l{r - 1} LEFT JOIN b{r}"
+            f" ON l{r - 1}.node_id = b{r}.dst)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node_id, label FROM l{n_rounds}")

@@ -172,3 +172,61 @@ def sessionize(events: DataFrame, gap_s: int = 1800,
                  F.max("ts_us").alias("end_us"))
             .withColumn("duration_us",
                         F.expr("end_us - start_us")))
+
+
+def ts_resample(events: DataFrame, bin_s: int = 3600,
+                user_col: str = "user_id", ts_col: str = "ts",
+                seq_col: str = "event_id",
+                value_col: str = "value") -> DataFrame:
+    """Per-key time-series resampling with gap fill + LOCF — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape, the rollup a
+    metrics/observability pipeline runs over raw event streams: bucket a
+    key's events into fixed ``bin_s``-second bins, emit EVERY bin between
+    the key's first and last observation (gaps included), and carry the
+    last observed value forward across empty bins.
+
+    Output: (user_id, bin_us, n_events, v_locf) — bin_us the bin start
+    in exact integer micros, n_events = 0 on gap bins, v_locf the value
+    of the key's latest event at-or-before the bin's end.  "Latest" is
+    deterministic: events order by (ts, seq) and the winner's stored
+    double is carried verbatim — no float arithmetic, so values match
+    the DuckDB twin bit-for-bit (the same reason asof_join packs a
+    payload struct instead of aggregating it).
+
+    Plan: ONE shuffle on the key serves everything — the per-(key, bin)
+    rollup is a map-side-combinable hash agg (MAX of a (ts, seq, value)
+    struct picks the bin's last event without a sort), the gap bins come
+    from a SEQUENCE over the key's own [min_bin, max_bin] span (no
+    driver action, no global calendar join), and LOCF is a
+    LAST(v IGNORE NULLS) running window per key.  Partitions are bounded
+    by a single key's bin span — span/bin_s rows per key, the caller's
+    knob; the first bin always holds an observation, so v_locf is never
+    NULL.  The global-calendar variant (fill every key to a common
+    range) is the same plan with the span agg swapped for a 1-row
+    broadcast global range."""
+    bin_us = int(bin_s) * 1_000_000
+    base = events.selectExpr(
+        f"{user_col} AS user_id",
+        f"(unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {bin_us})"
+        " AS bin_no",
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS ts_us",
+        f"{seq_col} AS seq", f"{value_col} AS v")
+    binned = (base.groupBy("user_id", "bin_no")
+              .agg(F.count("*").cast("long").alias("n_events"),
+                   F.expr("MAX(STRUCT(ts_us, seq, v)).v").alias("v_last")))
+    spans = (binned.groupBy("user_id")
+             .agg(F.min("bin_no").alias("b_lo"), F.max("bin_no").alias("b_hi")))
+    grid = spans.select(
+        "user_id", F.explode(F.expr("SEQUENCE(b_lo, b_hi)")).alias("bin_no"))
+    filled = (grid.join(binned, ["user_id", "bin_no"], "left")
+              .select("user_id", "bin_no",
+                      F.expr("COALESCE(n_events, CAST(0 AS BIGINT))")
+                      .alias("n_events"), "v_last"))
+    w = (Window.partitionBy("user_id").orderBy("bin_no")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (filled
+            .withColumn("v_locf", F.last("v_last", ignorenulls=True).over(w))
+            .select("user_id",
+                    F.expr(f"bin_no * CAST({bin_us} AS BIGINT)")
+                    .alias("bin_us"),
+                    "n_events", "v_locf"))

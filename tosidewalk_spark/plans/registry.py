@@ -4262,6 +4262,104 @@ def o_hits() -> str:
     return graph.hits_duckdb_sql(_duck_link_edges(), n_iter=5)
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round multi-source BFS over the link graph, seeds = every
+    101st page — exact integer hop distances, frontier-only rounds."""
+    from ..operators import graph
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeds = docs.filter("doc_id % 101 = 0").selectExpr(
+        "doc_id AS node_id")
+    return graph.bfs_distances(graph.link_graph(docs), seeds, n_rounds=5)
+
+
+def o_bfs_distances() -> str:
+    from ..operators import graph
+    return graph.bfs_duckdb_sql(
+        _duck_link_edges(),
+        "SELECT doc_id AS node_id FROM documents WHERE doc_id % 101 = 0",
+        n_rounds=5)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 deterministic LPA rounds over the link graph — most-frequent
+    in-neighbor label, ties by smallest label."""
+    from ..operators import graph
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.label_propagation(graph.link_graph(docs), n_rounds=5)
+
+
+def o_label_propagation() -> str:
+    from ..operators import graph
+    return graph.lpa_duckdb_sql(_duck_link_edges(), n_rounds=5)
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank keywords: pagerank over the adjacent-token
+    co-occurrence graph, top 25 terms by (rank_fx DESC, term ASC)."""
+    from ..operators import graph
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return graph.textrank_keywords(docs, k=25, n_iter=5)
+
+
+def o_textrank() -> str:
+    from ..operators import graph
+    # the same window-2 graph: adjacent token pairs per document, both
+    # directions, self-pairs dropped; lateral UNNEST walks each token
+    # array once, exactly like the Spark side's shifted-slice zip
+    adj = """
+      SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM (SELECT list_filter(string_split(text, ' '),
+                               x -> length(x) > 0) AS t FROM documents),
+           UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[u.i] != t[u.i + 1]
+    """
+    edges = (f"SELECT w1 AS src, w2 AS dst FROM ({adj}) "
+             f"UNION ALL SELECT w2 AS src, w1 AS dst FROM ({adj})")
+    pr = graph.pagerank_duckdb_sql(edges, n_iter=5)
+    return (f"SELECT node_id AS term, rank_fx FROM ({pr}) "
+            f"ORDER BY rank_fx DESC, term ASC LIMIT 25")
+
+
+TSR_BIN_S = 21600  # 6 h bins over the 30-day synthetic event stream
+
+
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 6-hour resample of the event stream with LOCF values
+    (the time_bucket_gapfill + locf rollup)."""
+    from ..operators import temporal
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.ts_resample(ev, bin_s=TSR_BIN_S)
+
+
+def o_ts_resample() -> str:
+    bin_us = TSR_BIN_S * 1_000_000
+    return f"""
+    WITH b AS (SELECT user_id, epoch_us(ts) // {bin_us} AS bin_no,
+                      epoch_us(ts) AS ts_us, event_id AS seq, value AS v
+               FROM events),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bin_no
+                     ORDER BY ts_us DESC, seq DESC) AS rn FROM b),
+    binned AS MATERIALIZED (
+        SELECT user_id, bin_no, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CASE WHEN rn = 1 THEN v END) AS v_last
+        FROM rk GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(bin_no) AS b_lo, MAX(bin_no) AS b_hi
+              FROM binned GROUP BY 1),
+    grid AS (SELECT user_id, UNNEST(generate_series(b_lo, b_hi)) AS bin_no
+             FROM spans),
+    filled AS (SELECT g.user_id, g.bin_no,
+                      COALESCE(n.n_events, CAST(0 AS BIGINT)) AS n_events,
+                      n.v_last
+               FROM grid g LEFT JOIN binned n
+               ON g.user_id = n.user_id AND g.bin_no = n.bin_no)
+    SELECT user_id, bin_no * CAST({bin_us} AS BIGINT) AS bin_us, n_events,
+           LAST_VALUE(v_last IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bin_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+    FROM filled
+    """
+
+
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time MK trend over the mobility pings: per-(cell, day)
     counts at res 9, focal-summed per day, MK statistic per cell over
@@ -4338,6 +4436,10 @@ QUERIES.update({
     "map_match": (q_map_match, o_map_match),
     "emerging_hotspots": (q_emerging_hotspots, o_emerging_hotspots),
     "hits": (q_hits, o_hits),
+    "bfs_distances": (q_bfs_distances, o_bfs_distances),
+    "label_propagation": (q_label_propagation, o_label_propagation),
+    "textrank": (q_textrank, o_textrank),
+    "ts_resample": (q_ts_resample, o_ts_resample),
 })
 
 
@@ -4522,6 +4624,11 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
                    ("n_events", "i"), ("start_us", "h"), ("end_us", "h"),
                    ("duration_us", "h")],
     "hits": [("node_id", "i"), ("hub_fx", "i"), ("auth_fx", "i")],
+    "bfs_distances": [("node_id", "i"), ("dist", "i")],
+    "label_propagation": [("node_id", "i"), ("label", "i")],
+    "textrank": [("term", "s"), ("rank_fx", "i")],
+    "ts_resample": [("user_id", "i"), ("bin_us", "h"), ("n_events", "i"),
+                    ("v_locf", "d")],
     "emerging_hotspots": [("cell", "h"), ("s_mk", "i"), ("n_pos", "i"),
                           ("n_neg", "i"), ("n_bins", "i")],
     "map_match": [("traj_id", "i"), ("traversal_id", "i"),
@@ -4684,7 +4791,11 @@ _AUDIT_GROUPS = {
                                  # trajectory->segment map matching + the
                                  # degree-oriented webgraph triangle count
                                  "moran_i", "map_match", "triangle_count",
-                                 "emerging_hotspots", "hits"],
+                                 "emerging_hotspots", "hits",
+                                 # round-5: landmark BFS + TextRank
+                                 # keywords + gapfill/LOCF resample
+                                 "bfs_distances", "textrank",
+                                 "ts_resample", "label_propagation"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4790,7 +4901,8 @@ _TAIL = [
     "containment_pairs", "line_dedup", "bm25_topk", "trajectory_stats",
     "grid_dbscan", "od_matrix", "hotspot_gi", "dsir_sample",
     "moran_i", "triangle_count", "sessionize", "map_match",
-    "emerging_hotspots", "hits",
+    "emerging_hotspots", "hits", "bfs_distances", "textrank",
+    "ts_resample", "label_propagation",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
