@@ -504,6 +504,9 @@ def run_queries(spark, buffers) -> dict[str, float]:
     bench("label_propagation",
           lambda: GR.label_propagation(GR.link_graph(docs), n_rounds=5))
     bench("ts_resample", lambda: TP.ts_resample(events, bin_s=21600))
+    bench("ts_rate", lambda: TP.ts_rate(events))
+    bench("phrase_search",
+          lambda: SRCH.phrase_search(docs, ["order", "fast"], k=20))
     bench("sessionize", lambda: TP.sessionize(events, gap_s=14400))
     _mm_pings = events.selectExpr(
         "user_id AS traj_id", "event_id", "ts",

@@ -1180,3 +1180,30 @@ def test_ts_resample_equal_ts_last_by_seq(spark):
         rows, "user_id long, event_id long, ts timestamp, value double")
     out = temporal.ts_resample(ev, bin_s=60).collect()
     assert len(out) == 1 and out[0].v_locf == 8.0 and out[0].n_events == 3
+
+
+def test_ts_rate_resets_and_zero_dt(spark):
+    """Monotone pairs emit the delta; a drop emits the new value (the
+    Prometheus counter-reset rule); equal timestamps emit NULL rate;
+    first sample per key emits nothing."""
+    import datetime as dt
+
+    from tosidewalk_spark.operators import temporal
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda uid, eid, secs, v: (uid, eid,
+                                    t0 + dt.timedelta(seconds=secs), v)
+    rows = [mk(1, 1, 0, 10.0), mk(1, 2, 5, 16.0),   # increase 6 over 5 s
+            mk(1, 3, 10, 2.0),                      # reset: increase = 2.0
+            mk(2, 4, 0, 1.0), mk(2, 5, 0, 4.0)]     # dt 0: NULL rate
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    out = {(r.user_id, r.ts_us): r for r in temporal.ts_rate(ev).collect()}
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert len(out) == 3
+    r1 = out[(1, base + 5_000_000)]
+    assert (r1.increase, r1.dt_us, r1.rate_per_s) == (6.0, 5_000_000, 1.2)
+    r2 = out[(1, base + 10_000_000)]
+    assert (r2.increase, r2.rate_per_s) == (2.0, 0.4)
+    r3 = out[(2, base)]
+    assert r3.dt_us == 0 and r3.rate_per_s is None and r3.increase == 3.0

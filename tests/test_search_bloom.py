@@ -132,3 +132,24 @@ def test_bm25_multi_term_and_tie_break(spark):
     assert [r.doc_id for r in out] == [1, 2, 3]         # 1==2 tie -> doc_id
     assert out[0].score_fx == out[1].score_fx
     assert out[0].n_terms_hit == 2 and out[2].n_terms_hit == 1
+
+
+def test_phrase_search_overlaps_chain_and_rank(spark):
+    """3-term chains join consecutively; overlapping matches count each
+    occurrence; ranking is (n_occur DESC, doc_id ASC)."""
+    from tosidewalk_spark.operators import search
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"),        # "a b c" twice
+         (2, "a b x a b"),          # "a b" twice, "a b c" never
+         (3, "a a a"),              # overlapping "a a" twice
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    out = [(r.doc_id, r.n_occur) for r in
+           search.phrase_search(docs, ["a", "b", "c"], k=10).collect()]
+    assert out == [(1, 2)]
+    out2 = [(r.doc_id, r.n_occur) for r in
+            search.phrase_search(docs, ["a", "b"], k=10).collect()]
+    assert out2 == [(1, 2), (2, 2)]
+    out3 = [(r.doc_id, r.n_occur) for r in
+            search.phrase_search(docs, ["a", "a"], k=10).collect()]
+    assert out3 == [(3, 2)]

@@ -125,3 +125,73 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(rw).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "score_fx", "n_terms_hit", "rank"))
+
+
+def positional_index(docs: DataFrame) -> DataFrame:
+    """Positional postings as a RELATION: one row per (doc_id, pos,
+    term), pos 0-based word position.  The positional complement of
+    ``inverted_index`` (Manning/Raghavan/Schütze ch.2 positional
+    index); same scale argument — a hot term is many rows clustered by
+    term, never one collected array.  On disk, ``bucketBy(term)`` for
+    point-read phrase queries."""
+    return (_spread(docs)
+            .select("doc_id",
+                    F.posexplode(F.expr(_tokens())).alias("pos", "term")))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  k: int = 20) -> DataFrame:
+    """Exact phrase query over the positional index: documents
+    containing the consecutive token sequence ``phrase``, ranked by
+    occurrence count — top ``k`` by (n_occur DESC, doc_id ASC), the
+    deterministic total order.
+
+    Plan: one postings pass; each phrase term SELECTS its own postings
+    (the term equality reaches the scan as a predicate on the exploded
+    stream — a bucketed on-disk index turns it into partition-pruned
+    point reads) and consecutive terms chain by the equi-join
+    ``(doc_id, pos_i == pos_0 + i)`` — all joins co-partitioned on
+    (doc_id, pos), no positions array ever collected, occurrence count
+    is a map-side-combinable hash agg, top-k a TakeOrderedAndProject.
+    Overlapping matches count separately ("a a a" has two "a a"
+    occurrences) — the textbook positional-intersection semantics, and
+    what the DuckDB twin computes."""
+    assert len(phrase) >= 1, "phrase_search needs at least one term"
+    post = positional_index(docs)
+    m = (post.filter(F.col("term") == phrase[0])
+         .select("doc_id", "pos"))
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = (post.filter(F.col("term") == term)
+               .selectExpr("doc_id", f"pos - {i} AS pos"))
+        m = m.join(nxt, ["doc_id", "pos"])
+    return (m.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_occur"))
+            .orderBy(F.col("n_occur").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+def phrase_duckdb_sql(phrase: list[str], k: int = 20) -> str:
+    """DuckDB twin: the same positional postings (lateral UNNEST walk,
+    1-based list index shifted to the Spark side's 0-based pos) and the
+    same consecutive-position join chain."""
+    terms = [t.replace("'", "''") for t in phrase]
+    ctes = [
+        ("p AS MATERIALIZED (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS term"
+         " FROM (SELECT doc_id, list_filter(string_split(text, ' '),"
+         " x -> length(x) > 0) AS t FROM documents),"
+         " UNNEST(generate_series(1, len(t))) AS u(i))"),
+        f"m0 AS (SELECT doc_id, pos FROM p WHERE term = '{terms[0]}')",
+    ]
+    for i, t in enumerate(terms[1:], start=1):
+        ctes.append(
+            f"m{i} AS (SELECT m{i - 1}.doc_id, m{i - 1}.pos"
+            f" FROM m{i - 1} JOIN (SELECT doc_id, pos - {i} AS pos"
+            f" FROM p WHERE term = '{t}') q{i}"
+            f" ON m{i - 1}.doc_id = q{i}.doc_id"
+            f" AND m{i - 1}.pos = q{i}.pos)")
+    last = len(terms) - 1
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occur
+    FROM m{last} GROUP BY doc_id
+    ORDER BY n_occur DESC, doc_id ASC LIMIT {k}""")

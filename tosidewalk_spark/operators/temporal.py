@@ -230,3 +230,40 @@ def ts_resample(events: DataFrame, bin_s: int = 3600,
                     F.expr(f"bin_no * CAST({bin_us} AS BIGINT)")
                     .alias("bin_us"),
                     "n_events", "v_locf"))
+
+
+def ts_rate(events: DataFrame, user_col: str = "user_id",
+            ts_col: str = "ts", seq_col: str = "event_id",
+            value_col: str = "value") -> DataFrame:
+    """Per-key counter increase + rate between consecutive samples —
+    the PromQL increase()/rate() primitive over raw samples, counter-
+    reset aware: if a sample is LOWER than its predecessor the counter
+    restarted, and the whole new value counts as the increase (the
+    Prometheus reset rule).  Output: one row per consecutive pair —
+    (user_id, ts_us, dt_us, increase, rate_per_s); a key's first sample
+    emits nothing.
+
+    Determinism: samples order by (ts, seq); increase is one IEEE
+    subtraction of two stored doubles and rate one division by the
+    exact integer dt seconds — single-expression float math with no
+    reassociation, so both engines agree bit-for-bit (the same
+    contract as ts_resample's carried values; zero-dt pairs emit NULL
+    rate rather than inf).
+
+    Plan: ONE key shuffle, one LAG window, codegen everything — the
+    same single-exchange discipline as sessionize."""
+    base = events.selectExpr(
+        f"{user_col} AS user_id",
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) AS ts_us",
+        f"{seq_col} AS seq", f"{value_col} AS v")
+    w = "PARTITION BY user_id ORDER BY ts_us, seq"
+    return (base.selectExpr(
+        "user_id", "ts_us",
+        f"ts_us - LAG(ts_us) OVER ({w}) AS dt_us",
+        f"CASE WHEN v >= LAG(v) OVER ({w}) THEN v - LAG(v) OVER ({w})"
+        f" ELSE v END AS increase")
+        .filter("dt_us IS NOT NULL")
+        .selectExpr("user_id", "ts_us", "dt_us", "increase",
+                    "CASE WHEN dt_us = 0 THEN NULL"
+                    " ELSE increase / (dt_us / 1000000.0) END"
+                    " AS rate_per_s"))

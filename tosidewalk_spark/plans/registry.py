@@ -4320,6 +4320,44 @@ def o_textrank() -> str:
             f"ORDER BY rank_fx DESC, term ASC LIMIT 25")
 
 
+PHRASE = ["order", "fast"]  # a genuinely frequent synthetic-corpus bigram
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase query, top 20 docs by occurrence count."""
+    from ..operators import search
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return search.phrase_search(docs, PHRASE, k=20)
+
+
+def o_phrase_search() -> str:
+    from ..operators import search
+    return search.phrase_duckdb_sql(PHRASE, k=20)
+
+
+def q_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware increase/rate between consecutive samples."""
+    from ..operators import temporal
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.ts_rate(ev)
+
+
+def o_ts_rate() -> str:
+    return """
+    WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq,
+                      value AS v FROM events),
+    l AS (SELECT user_id, ts_us,
+                 ts_us - LAG(ts_us) OVER w AS dt_us,
+                 CASE WHEN v >= LAG(v) OVER w THEN v - LAG(v) OVER w
+                      ELSE v END AS increase
+          FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, seq))
+    SELECT user_id, ts_us, dt_us, increase,
+           CASE WHEN dt_us = 0 THEN NULL
+                ELSE increase / (dt_us / 1000000.0) END AS rate_per_s
+    FROM l WHERE dt_us IS NOT NULL
+    """
+
+
 TSR_BIN_S = 21600  # 6 h bins over the 30-day synthetic event stream
 
 
@@ -4440,6 +4478,8 @@ QUERIES.update({
     "label_propagation": (q_label_propagation, o_label_propagation),
     "textrank": (q_textrank, o_textrank),
     "ts_resample": (q_ts_resample, o_ts_resample),
+    "phrase_search": (q_phrase_search, o_phrase_search),
+    "ts_rate": (q_ts_rate, o_ts_rate),
 })
 
 
@@ -4629,6 +4669,9 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "textrank": [("term", "s"), ("rank_fx", "i")],
     "ts_resample": [("user_id", "i"), ("bin_us", "h"), ("n_events", "i"),
                     ("v_locf", "d")],
+    "phrase_search": [("doc_id", "i"), ("n_occur", "i")],
+    "ts_rate": [("user_id", "i"), ("ts_us", "h"), ("dt_us", "h"),
+                ("increase", "d"), ("rate_per_s", "d")],
     "emerging_hotspots": [("cell", "h"), ("s_mk", "i"), ("n_pos", "i"),
                           ("n_neg", "i"), ("n_bins", "i")],
     "map_match": [("traj_id", "i"), ("traversal_id", "i"),
@@ -4795,7 +4838,8 @@ _AUDIT_GROUPS = {
                                  # round-5: landmark BFS + TextRank
                                  # keywords + gapfill/LOCF resample
                                  "bfs_distances", "textrank",
-                                 "ts_resample", "label_propagation"],
+                                 "ts_resample", "label_propagation",
+                                 "phrase_search", "ts_rate"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4902,7 +4946,7 @@ _TAIL = [
     "grid_dbscan", "od_matrix", "hotspot_gi", "dsir_sample",
     "moran_i", "triangle_count", "sessionize", "map_match",
     "emerging_hotspots", "hits", "bfs_distances", "textrank",
-    "ts_resample", "label_propagation",
+    "ts_resample", "label_propagation", "phrase_search", "ts_rate",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
