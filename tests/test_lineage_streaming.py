@@ -912,3 +912,38 @@ def test_batch_sessionize_operator_is_the_streaming_twin(spark, tmp_path):
             if r.start_us != last_start[r.user_id]
             or r.end_us + gap_us < wm_us}
     assert got == want
+
+
+def test_streaming_ts_rate_matches_batch(spark, tmp_path):
+    """The stateful rate stream equals the batch ts_rate twin exactly
+    (same IEEE double ops) on an in-order feed, including pairs that
+    CROSS the micro-batch boundary (state carries the last sample)."""
+    import shutil
+
+    from tosidewalk_spark.operators import temporal
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts",
+                      "event_id", "value"))
+    src = tmp_path / "rate_src"
+    src.mkdir()
+    lo = ev.filter("event_id < 500")
+    hi = ev.filter("event_id >= 500")
+    lo.coalesce(1).write.parquet(str(tmp_path / "ra"))
+    hi.coalesce(1).write.parquet(str(tmp_path / "rb"))
+    for tag in ("ra", "rb"):
+        for f in (tmp_path / tag).glob("*.parquet"):
+            shutil.copy(f, src / f"{tag}.parquet")
+    stream = (spark.readStream
+              .schema("user_id bigint, ts timestamp, event_id bigint, "
+                      "value double")
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out = jobs.streaming_ts_rate(stream)
+    jobs.run_available_now(out, "rate_stream", str(tmp_path / "ck_rate"))
+    got = {(r.user_id, r.ts_us): (r.dt_us, r.increase, r.rate_per_s)
+           for r in spark.sql(
+               "SELECT user_id, unix_micros(ts) AS ts_us, dt_us, "
+               "increase, rate_per_s FROM rate_stream").collect()}
+    want = {(r.user_id, r.ts_us): (r.dt_us, r.increase, r.rate_per_s)
+            for r in temporal.ts_rate(ev).collect()}
+    assert got == want and len(want) > 100

@@ -421,3 +421,86 @@ def streaming_od_transitions(points: DataFrame, parent_res: int = 7,
     return prepared.groupBy("traj_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
+
+
+def streaming_ts_rate(samples: DataFrame, watermark: str = "2 hours",
+                      idle_minutes: int = 1440) -> DataFrame:
+    """Streaming twin of temporal.ts_rate: each arriving sample paired
+    with its key's previous one emits the counter-reset-aware increase
+    and per-second rate — the live metrics feed (PromQL rate() shape)
+    whose batch twin is the backfill.
+
+    Custom stateful operator (the streaming_od_transitions pattern):
+    state per key = (last_us, last_seq, last_v) — 24 bytes, evicted by
+    event-time timeout after ``idle_minutes`` of silence, so state is
+    bounded by ACTIVE series.  Input: (user_id, ts, event_id, value).
+    Output (append): (user_id, ts, dt_us, increase, rate_per_s) with
+    the batch twin's exact arithmetic — one IEEE subtraction and two
+    sequential divisions in python are the same exact-rounded double
+    ops as the codegen expressions, so stream == batch bit-for-bit.
+
+    Ordering contract (same as od/sessionize twins): in-batch sort by
+    (ts, event_id); cross-batch stragglers older than the key's last
+    emitted sample are discarded, never reordered."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id bigint, ts timestamp, dt_us bigint, "
+                  "increase double, rate_per_s double")
+    state_schema = "last_us bigint, last_seq bigint, last_v double"
+    idle_ms = idle_minutes * 60 * 1000
+
+    def fn(key, pdf_iter, state):
+        uid = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        chunks = list(pdf_iter)
+        cur = state.get if state.exists else None
+        if chunks:
+            pdf = (pd.concat(chunks)
+                   .sort_values(["ts", "event_id"], kind="stable"))
+            us = pdf["ts"].astype("int64").to_numpy() // 1000
+            seq = pdf["event_id"].to_numpy()
+            vs = pdf["value"].to_numpy()
+            t_out, dts, incs, rates = [], [], [], []
+            for k in range(len(us)):
+                u, q, v = int(us[k]), int(seq[k]), float(vs[k])
+                if cur is not None and (u, q) <= (cur[0], cur[1]):
+                    continue  # cross-batch straggler: drop, never reorder
+                if cur is not None:
+                    dt = u - cur[0]
+                    inc = v - cur[2] if v >= cur[2] else v
+                    t_out.append(u)
+                    dts.append(dt)
+                    incs.append(inc)
+                    rates.append(None if dt == 0
+                                 else inc / (dt / 1000000.0))
+                cur = (u, q, v)
+            if cur is not None:
+                state.update(cur)
+                state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+            if t_out:
+                yield pd.DataFrame({
+                    "user_id": np.full(len(t_out), uid, dtype=np.int64),
+                    "ts": pd.to_datetime(np.array(t_out, dtype="int64"),
+                                         unit="us"),
+                    "dt_us": np.array(dts, dtype=np.int64),
+                    "increase": np.array(incs, dtype=np.float64),
+                    # object dtype: a zero-dt pair's rate is None and
+                    # must reach Spark as NULL (a float64 numpy array
+                    # would coerce it to NaN, which Spark treats as a
+                    # VALUE — the batch twin emits NULL)
+                    "rate_per_s": pd.Series(rates, dtype="object")})
+        elif cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+
+    prepared = (samples
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withWatermark("ts", watermark)
+                .select("user_id", "ts", "event_id", "value"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
