@@ -852,9 +852,16 @@ def test_streaming_od_transitions_match_batch(spark, tmp_path):
     hi = pings.filter("event_id >= 500")
     lo.coalesce(1).write.parquet(str(tmp_path / "a"))
     hi.coalesce(1).write.parquet(str(tmp_path / "b"))
-    for tag in ("a", "b"):
+    for i, tag in enumerate(("a", "b")):
         for f in (tmp_path / tag).glob("*.parquet"):
             shutil.copy(f, src / f"{tag}.parquet")
+            # FileStreamSource orders batches by file mtime: pin distinct,
+            # increasing mtimes or the two copies land in the same second
+            # and the time-later file can become batch 1 — its watermark
+            # then marks the whole other file late (stateful pandas ops
+            # do NOT auto-filter late rows, so the feed stops being the
+            # in-order one this test is about)
+            os.utime(src / f"{tag}.parquet", (1_700_000_000 + 60 * i,) * 2)
     stream = (spark.readStream
               .schema("traj_id bigint, ts timestamp, event_id bigint, cell bigint")
               .option("maxFilesPerTrigger", "1").parquet(str(src)))
@@ -931,9 +938,11 @@ def test_streaming_ts_rate_matches_batch(spark, tmp_path):
     hi = ev.filter("event_id >= 500")
     lo.coalesce(1).write.parquet(str(tmp_path / "ra"))
     hi.coalesce(1).write.parquet(str(tmp_path / "rb"))
-    for tag in ("ra", "rb"):
+    for i, tag in enumerate(("ra", "rb")):
         for f in (tmp_path / tag).glob("*.parquet"):
             shutil.copy(f, src / f"{tag}.parquet")
+            os.utime(src / f"{tag}.parquet",  # same mtime pin as the od test
+                     (1_700_000_000 + 60 * i,) * 2)
     stream = (spark.readStream
               .schema("user_id bigint, ts timestamp, event_id bigint, "
                       "value double")

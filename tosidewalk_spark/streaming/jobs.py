@@ -16,6 +16,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+
+def _set_event_timeout(state, want_ms: int) -> None:
+    """setTimeoutTimestamp with the watermark clamp: a key whose last
+    event is older than (watermark - idle window) would ask for a
+    timeout in the past, which Spark rejects (INVALID_TIMEOUT_TIMESTAMP)
+    — the state is ALREADY expired, so arm it to fire in the very next
+    micro-batch instead (watermark + 1 ms).  Semantics unchanged: the
+    timed-out branch runs exactly as if the original timestamp had
+    fired."""
+    state.setTimeoutTimestamp(max(want_ms, state.getCurrentWatermarkMs() + 1))
+
+
 def stream_events(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """File-source event stream (one parquet dir; availableNow triggers in
     tests drain it deterministically)."""
@@ -85,7 +97,8 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
                     cur = (cur[0], us, cur[2] + 1, cur[3] + int(cents))
         if cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+            _set_event_timeout(state,
+                               cur[1] // 1000 + gap_minutes * 60 * 1000)
         if rows:
             yield pd.DataFrame({
                 "user_id": [uid] * len(rows),
@@ -401,7 +414,7 @@ def streaming_od_transitions(points: DataFrame, parent_res: int = 7,
                 cur = (int(us[k]), int(eid[k]), int(cells_[k]))
             if cur is not None:
                 state.update(cur)
-                state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+                _set_event_timeout(state, cur[0] // 1000 + idle_ms)
             if o_z:
                 yield pd.DataFrame({
                     "traj_id": np.full(len(o_z), tid, dtype=np.int64),
@@ -411,7 +424,7 @@ def streaming_od_transitions(points: DataFrame, parent_res: int = 7,
                     "d_zone": np.array(d_z, dtype=np.int64)})
         elif cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+            _set_event_timeout(state, cur[0] // 1000 + idle_ms)
 
     prepared = (points
                 .withColumn("ts", F.col("ts").cast("timestamp"))
@@ -480,7 +493,7 @@ def streaming_ts_rate(samples: DataFrame, watermark: str = "2 hours",
                 cur = (u, q, v)
             if cur is not None:
                 state.update(cur)
-                state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+                _set_event_timeout(state, cur[0] // 1000 + idle_ms)
             if t_out:
                 yield pd.DataFrame({
                     "user_id": np.full(len(t_out), uid, dtype=np.int64),
@@ -495,7 +508,7 @@ def streaming_ts_rate(samples: DataFrame, watermark: str = "2 hours",
                     "rate_per_s": pd.Series(rates, dtype="object")})
         elif cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp(cur[0] // 1000 + idle_ms)
+            _set_event_timeout(state, cur[0] // 1000 + idle_ms)
 
     prepared = (samples
                 .withColumn("ts", F.col("ts").cast("timestamp"))
