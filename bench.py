@@ -488,6 +488,12 @@ def run_queries(spark, buffers) -> dict[str, float]:
         parent_res=7, res=9))
     bench("grid_dbscan", lambda: SP.grid_dbscan(
         pts.selectExpr("cell9 AS cell"), min_pts=5))
+    bench("zonal_stats", lambda: SP.zonal_stats(
+        pts.selectExpr("cell9 AS cell").groupBy("cell")
+        .agg(F.count("*").cast("long").alias("v")),
+        spark.createDataFrame(
+            _REG._ZONES,
+            "zone_id string, i_lo long, i_hi long, j_lo long, j_hi long")))
     bench("hotspot_gi", lambda: SP.hotspot_gi(
         pts.selectExpr("cell9 AS cell").groupBy("cell")
         .agg(F.count("*").alias("n")), k=1))

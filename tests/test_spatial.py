@@ -749,3 +749,26 @@ def test_emerging_hotspots_focal_couples_neighbors(spark):
         spark.createDataFrame(rows, "cell long, bin long, v long"),
         k=1).collect()}
     assert out[mk(10, 10)].s_mk == 0 and out[mk(10, 11)].s_mk == 0
+
+
+def test_zonal_stats_overlap_empty_and_exact_aggs(spark):
+    """Overlapping zones each count shared cells; empty zones still
+    emit a row (n_cells 0, NULL min/max); stats are exact."""
+    from tosidewalk_spark.kernel import cells as KC
+    from tosidewalk_spark.operators import spatial as SP
+
+    mk = lambda i, j, v: (int(KC.pack_ij(i, j, 9)), v)
+    cells = spark.createDataFrame(
+        [mk(10, 20, 5), mk(11, 20, 7), mk(12, 25, 100)],
+        "cell long, v long")
+    zones = spark.createDataFrame(
+        [("a", 10, 11, 20, 20),      # two cells
+         ("b", 10, 12, 20, 25),      # all three (overlaps a)
+         ("c", 500, 600, 500, 600)], # empty
+        "zone_id string, i_lo long, i_hi long, j_lo long, j_hi long")
+    out = {r.zone_id: r for r in SP.zonal_stats(cells, zones).collect()}
+    assert (out["a"].n_cells, out["a"].v_sum, out["a"].v_min,
+            out["a"].v_max) == (2, 12, 5, 7)
+    assert (out["b"].n_cells, out["b"].v_sum, out["b"].v_max) == (3, 112, 100)
+    assert (out["c"].n_cells, out["c"].v_sum, out["c"].v_min,
+            out["c"].v_max) == (0, 0, None, None)

@@ -1127,3 +1127,44 @@ def emerging_hotspots(cell_bins: DataFrame, k: int = 1) -> DataFrame:
             .join(F.broadcast(
                 rng.selectExpr("CAST(b1 - b0 + 1 AS BIGINT) AS n_bins")))
             .select("cell", "s_mk", "n_pos", "n_neg", "n_bins"))
+
+
+def zonal_stats(cell_values: DataFrame, zones: DataFrame) -> DataFrame:
+    """Classic raster ZONAL STATISTICS (the ArcGIS/QGIS zonal-stats
+    operator) over the sparse cell raster: for every zone — an axis-
+    aligned lattice rectangle (zone_id, i_lo, i_hi, j_lo, j_hi),
+    inclusive bounds in the cell grid's (i, j) coordinates — aggregate
+    the value column ``v`` of every raster cell whose center falls in
+    the zone.  Output one row per zone, ALWAYS (empty zones report
+    n_cells = 0 with NULL min/max): (zone_id, n_cells, v_sum, v_min,
+    v_max).  Overlapping zones each count the shared cells — the
+    standard per-zone (not partition) semantics.
+
+    Plan: zones BROADCAST against the cell stream with the two range
+    predicates as the join condition (a BroadcastNestedLoopJoin whose
+    inner side is the handful of zones — each cell row tests every
+    zone in codegen, the right shape while zones ≪ cells; thousands of
+    zones would instead map cells to zone candidates via a coarse-cell
+    interval index, the knn_join probe pattern), then ONE map-side-
+    combinable hash agg on zone_id, then zones LEFT-join the aggregate
+    so empty zones survive.  BIGINT v keeps every statistic engine-
+    exact."""
+    i = f"(cell % {sqlfns.POW2_28})"
+    j = f"CAST(FLOOR((cell % {sqlfns.POW2_56}) / {sqlfns.POW2_28}) AS BIGINT)"
+    hit = (cell_values
+           .join(F.broadcast(zones),
+                 F.expr(f"{i} >= i_lo AND {i} <= i_hi "
+                        f"AND {j} >= j_lo AND {j} <= j_hi"))
+           .groupBy("zone_id")
+           .agg(F.count("*").cast("long").alias("n_cells"),
+                F.sum("v").alias("v_sum"),
+                F.min("v").alias("v_min"),
+                F.max("v").alias("v_max")))
+    return (zones.select("zone_id")
+            .join(hit, "zone_id", "left")
+            .select("zone_id",
+                    F.expr("COALESCE(n_cells, CAST(0 AS BIGINT))")
+                    .alias("n_cells"),
+                    F.expr("COALESCE(v_sum, CAST(0 AS BIGINT))")
+                    .alias("v_sum"),
+                    "v_min", "v_max"))

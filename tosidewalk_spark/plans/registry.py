@@ -4398,6 +4398,55 @@ def o_ts_resample() -> str:
     """
 
 
+# zonal_stats zones: lattice rectangles around the synthetic city center
+# (kernel cell_ij of _CENTER_CELL9 = (41994, 100197) at res 9): a core
+# rectangle, a wider ring-shaped overlap, and a deliberately EMPTY far
+# rectangle that pins the every-zone-appears contract
+_ZONES = [
+    ("core", 41990, 41998, 100193, 100201),
+    ("wide", 41980, 42008, 100183, 100211),
+    ("empty", 60000, 60004, 10000, 10004),
+]
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics of the per-cell entity counts over three fixed
+    lattice rectangles (overlapping + one empty)."""
+    pts = _points(spark, sf_dir)
+    cnt = (pts.selectExpr(f"{sqlfns.cell_sql('lat', 'lng', 9)} AS cell")
+           .groupBy("cell").agg(F.count("*").cast("long").alias("v")))
+    zones = spark.createDataFrame(
+        _ZONES, "zone_id string, i_lo long, i_hi long, j_lo long, j_hi long")
+    return SP.zonal_stats(cnt, zones)
+
+
+def o_zonal_stats() -> str:
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
+    cell = sqlfns.cell_sql("lat", "lng", 9)
+    zrows = " UNION ALL ".join(
+        f"SELECT '{z}' AS zone_id, CAST({a} AS BIGINT) AS i_lo, "
+        f"CAST({b} AS BIGINT) AS i_hi, CAST({c} AS BIGINT) AS j_lo, "
+        f"CAST({d} AS BIGINT) AS j_hi"
+        for z, a, b, c, d in _ZONES)
+    return f"""
+    WITH p AS ({_duck_points()}),
+    c AS (SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS v
+          FROM p GROUP BY 1),
+    zs AS ({zrows}),
+    hit AS (SELECT zone_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(v) AS BIGINT) AS v_sum,
+                   MIN(v) AS v_min, MAX(v) AS v_max
+            FROM c JOIN zs
+            ON (c.cell % {P28}) >= zs.i_lo AND (c.cell % {P28}) <= zs.i_hi
+            AND ((c.cell % {P56}) // {P28}) >= zs.j_lo
+            AND ((c.cell % {P56}) // {P28}) <= zs.j_hi
+            GROUP BY zone_id)
+    SELECT zs.zone_id, COALESCE(n_cells, CAST(0 AS BIGINT)) AS n_cells,
+           COALESCE(v_sum, CAST(0 AS BIGINT)) AS v_sum, v_min, v_max
+    FROM zs LEFT JOIN hit ON zs.zone_id = hit.zone_id
+    """
+
+
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Space-time MK trend over the mobility pings: per-(cell, day)
     counts at res 9, focal-summed per day, MK statistic per cell over
@@ -4480,6 +4529,7 @@ QUERIES.update({
     "ts_resample": (q_ts_resample, o_ts_resample),
     "phrase_search": (q_phrase_search, o_phrase_search),
     "ts_rate": (q_ts_rate, o_ts_rate),
+    "zonal_stats": (q_zonal_stats, o_zonal_stats),
 })
 
 
@@ -4672,6 +4722,8 @@ _AUDIT_SPECS: dict[str, list[tuple[str, str]]] = {
     "phrase_search": [("doc_id", "i"), ("n_occur", "i")],
     "ts_rate": [("user_id", "i"), ("ts_us", "h"), ("dt_us", "h"),
                 ("increase", "d"), ("rate_per_s", "d")],
+    "zonal_stats": [("zone_id", "s"), ("n_cells", "i"), ("v_sum", "i"),
+                    ("v_min", "i"), ("v_max", "i")],
     "emerging_hotspots": [("cell", "h"), ("s_mk", "i"), ("n_pos", "i"),
                           ("n_neg", "i"), ("n_bins", "i")],
     "map_match": [("traj_id", "i"), ("traversal_id", "i"),
@@ -4839,7 +4891,8 @@ _AUDIT_GROUPS = {
                                  # keywords + gapfill/LOCF resample
                                  "bfs_distances", "textrank",
                                  "ts_resample", "label_propagation",
-                                 "phrase_search", "ts_rate"],
+                                 "phrase_search", "ts_rate",
+                                 "zonal_stats"],
 }
 for _g, _gops in _AUDIT_GROUPS.items():
     assert all(op in _AUDIT_SPECS and op in QUERIES for op in _gops), _g
@@ -4947,6 +5000,7 @@ _TAIL = [
     "moran_i", "triangle_count", "sessionize", "map_match",
     "emerging_hotspots", "hits", "bfs_distances", "textrank",
     "ts_resample", "label_propagation", "phrase_search", "ts_rate",
+    "zonal_stats",
 ]
 assert set(_TAIL) <= set(QUERIES), sorted(set(_TAIL) - set(QUERIES))
 # the invariant that actually broke in round 3: every non-tail entry must
