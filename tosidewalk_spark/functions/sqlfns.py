@@ -184,17 +184,30 @@ def rect_inside_sql(plat: str, plng: str, alat: str, alng: str,
 
 def polyhash_spark(s: str, mult: int = 31) -> str:
     """Polynomial string hash, Spark flavor — mirror of kernel.cells.hash63.
-    CASE guards LENGTH=0 because Spark's SEQUENCE(1, 0) is descending.
     ``mult`` picks the polynomial base: a second hash with a DIFFERENT base
     (e.g. 37) is genuinely independent of the base-31 one — unlike a
     suffix-salted variant of the same base, which is an affine function of
     it (ADVICE.md r2: any two tokens colliding on base-31 collided on the
-    salted variant too)."""
+    salted variant too).
+
+    r6 form: ONE SPLIT(s, '') pass to per-character strings, then a
+    direct AGGREGATE fold.  The previous per-index form
+    (AGGREGATE(TRANSFORM(SEQUENCE(1, LENGTH(s)), k -> ASCII(SUBSTRING(
+    s, k, 1))) ...)) re-scanned the UTF-8 bytes from position 0 on EVERY
+    SUBSTRING call — O(n²) per string, measured 4.2x slower on ~1 KB
+    document fingerprints and ~20% slower on short tokens.  Values are
+    bit-identical: Spark's SPLIT is code-point based (surrogate pairs
+    are NOT split — verified against SUBSTRING/ASCII on astral-plane
+    chars), ASCII returns the same code point, and the fold order is
+    unchanged.  The FILTER drops the empty-string artifact an
+    empty-pattern regex split can append; interior elements of a
+    ''-split are single characters, never ''.  CASE keeps the NULL/empty
+    sentinel at 0."""
     return (
         f"(CASE WHEN {s} IS NULL OR LENGTH({s}) = 0 THEN CAST(0 AS BIGINT) "
-        f"ELSE AGGREGATE(TRANSFORM(SEQUENCE(1, LENGTH({s})), "
-        f"k -> CAST(ASCII(SUBSTRING({s}, k, 1)) AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (a, x) -> (a * {mult} + x) % {HASH_P}) END)"
+        f"ELSE AGGREGATE(FILTER(SPLIT({s}, ''), c -> c != ''), "
+        f"CAST(0 AS BIGINT), (a, c) -> (a * {mult} + ASCII(c)) % {HASH_P}) "
+        f"END)"
     )
 
 

@@ -262,11 +262,17 @@ def hits(edges: DataFrame, n_iter: int = 5,
              .unionByName(e.select(F.col("dst").alias("node_id")))
              .distinct().persist())
     n1 = nodes.agg(F.count("*").cast("long").alias("_n"))
-    # h0 is referenced once (round 1's a_raw): no checkpoint needed
+    # h0 is referenced once (round 1's a_raw): no checkpoint needed.
+    # GREATEST(..., 1): with more than `scale` nodes the floor division
+    # yields 0 for every node, all L1 totals become 0 and the DIV _t
+    # rescale emits NULL — silently all-NULL scores (ADVICE r5).  The
+    # round-1 L1 rescale renormalizes any uniform positive init, so
+    # results are unchanged wherever the old init was non-zero (i.e. on
+    # every graph below the cliff, including every oracle fixture).
     h = (nodes.crossJoin(F.broadcast(n1))
          .select("node_id",
-                 F.expr(f"CAST(CAST({scale} AS BIGINT) DIV _n AS BIGINT)")
-                 .alias("h_fx")))
+                 F.expr(f"GREATEST(CAST(CAST({scale} AS BIGINT) DIV _n "
+                        f"AS BIGINT), 1)").alias("h_fx")))
     a = a_raw = None
     for i in range(n_iter):
         prev_a_raw = a_raw

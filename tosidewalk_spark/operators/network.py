@@ -154,9 +154,14 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
                      .withColumnRenamed("component", "nbr_component"), "dst")
             .groupBy("src").agg(F.min("nbr_component").alias("nbr_component"))
         )
+        # carry the pre-round label through the round so convergence is a
+        # row-local FILTER over the checkpointed result — the old shape
+        # re-joined new vs old labels purely to count changes, one extra
+        # join + shuffle per round (r6 optimization; labels unchanged)
         stepped = (
             labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
-            .select("id", F.least("component", F.coalesce("nbr_component", "component")).alias("component"))
+            .select("id", F.col("component").alias("_old"),
+                    F.least("component", F.coalesce("nbr_component", "component")).alias("component"))
             .localCheckpoint(eager=True)
         )
         # pointer jump: L(v) <- L(L(v)) — halves every label chain
@@ -164,14 +169,14 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
                                   F.col("component").alias("jmp"))
         new_labels = (
             stepped.join(jump_map, "component", "left")
-            .select("id", F.coalesce("jmp", F.col("component")).alias("component"))
+            .select("id", "_old",
+                    F.coalesce("jmp", F.col("component")).alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
-        )
-        labels = new_labels
+        changed = (new_labels
+                   .filter(F.col("component") != F.col("_old"))
+                   .limit(1).count())
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     if changed != 0:

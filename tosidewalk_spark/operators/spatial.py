@@ -468,16 +468,23 @@ def compact_cells(cover: DataFrame, res: int,
     ``cell`` column, all at resolution ``res`` (duplicates tolerated — the
     first step is DISTINCT, matching H3's set semantics).
 
-    Plan per round (res - min_res rounds, a small constant like the
-    pagerank/k-means unrolled loops): split the current set on the res
-    field, then ONE map-side-combinable groupBy on the parent id with a
-    bounded collect_list (a parent has at most 4 children, so the list
-    is a <= 4-element struct, not a skew risk) — complete groups emit the
-    parent, incomplete groups re-emit their children via explode.  No
-    join anywhere; per-round persist keeps round k's lineage from
-    recomputing rounds 1..k-1 (the k-means discipline).  Exchange per
-    round carries <= |cells at r| rows keyed by parent — cells/4 keys,
-    evenly spread by construction of the lattice.
+    Plan (r6 rewrite — ONE pass, no driver loop): an ancestor at level
+    L is COMPLETE iff all 4^(res-L) of its res-level descendants are in
+    the input (induction over the iterative promote rounds: a parent
+    promotes iff its 4 children promoted/survived, which unfolds to
+    exactly this descendant-count test).  The minimal covering is then
+    every complete cell (input cells are trivially complete) whose
+    PARENT is not complete.  So: distinct -> explode each input cell's
+    (res - min_res) ancestors -> one map-side-combinable count keyed by
+    ancestor -> completeness filter (count == 4^(res - level)) -> one
+    union + groupBy(parent) pass that drops complete cells whose parent
+    carries a completeness marker (bounded groups: <= 4 children + 1
+    marker — never a skew risk).  No join, no window, no per-round
+    persist/count jobs (the old shape ran res - min_res rounds, each
+    with an eager cache materialization: 8+ driver-blocking jobs for a
+    res 9 -> 5 compact; this is ONE job, 3 exchanges).  The old loop's
+    out-of-contract tolerance is preserved: input cells whose res field
+    is not ``res`` pass through verbatim.
 
     Output: (cell, cell_res) — the covering, every complete quad folded.
     Invariant (pinned by pytest + the DuckDB twin): uncompact_cells of
@@ -485,38 +492,42 @@ def compact_cells(cover: DataFrame, res: int,
     output share a parent."""
     if not (0 <= min_res <= res):
         raise ValueError(f"need 0 <= min_res <= res, got {min_res}..{res}")
+    P56, P28 = sqlfns.POW2_56, sqlfns.POW2_28
     cur = cover.select(F.col("cell").cast("long").alias("cell")).distinct()
-    keep = []
-    cached = []
-    for r in range(res, min_res, -1):
-        at_r = cur.filter(F.expr(f"{_res_expr('cell')} = {r}"))
-        # cells already coarser than r are settled for this round
-        keep.append(cur.filter(F.expr(f"{_res_expr('cell')} <> {r}")))
-        grouped = (at_r
-                   .withColumn("p", F.expr(
-                       sqlfns.parent_sql("cell", r, r - 1)))
-                   .groupBy("p")
-                   .agg(F.count("*").alias("n"),
-                        F.collect_list("cell").alias("kids")))
-        promoted = grouped.filter("n = 4").select(F.col("p").alias("cell"))
-        survivors = (grouped.filter("n < 4")
-                     .select(F.explode("kids").alias("cell")))
-        cur = promoted.unionByName(survivors).persist()
-        cur.count()  # materialize: cut the per-round lineage chain
-        cached.append(cur)
-    out = cur
-    for k in keep:
-        out = out.unionByName(k)
-    out = out.select("cell", F.expr(_res_expr("cell")).alias("cell_res"))
-    # Scope the per-round caches to the result (the knn_join discipline —
-    # VERDICT.md r2 'What's wrong' #3): DataFrame persist is never
-    # auto-evicted, and the `keep` slices read earlier rounds' caches
-    # lazily, so eager unpersist would be wrong.  When the returned
-    # DataFrame is collected and dropped, the caches release; a derived
-    # plan that outlives it merely recomputes from lineage.
-    for c in cached:
-        weakref.finalize(out, _safe_unpersist, c)
-    return out
+    if min_res == res:
+        return cur.select("cell", F.expr(_res_expr("cell")).alias("cell_res"))
+    at_res = cur.filter(F.expr(f"{_res_expr('cell')} = {res}"))
+    passthrough = cur.filter(F.expr(f"{_res_expr('cell')} <> {res}"))
+    # every ancestor of every input cell, levels min_res..res-1
+    ancs = F.array(*[F.expr(sqlfns.parent_sql("cell", res, lo))
+                     for lo in range(min_res, res)])
+    cnt = (at_res.select(F.explode(ancs).alias("cell"))
+           .groupBy("cell").agg(F.count("*").alias("n")))
+    required = ("(CASE " + " ".join(
+        f"WHEN {_res_expr('cell')} = {lo} THEN {4 ** (res - lo)}"
+        for lo in range(min_res, res)) + " END)")
+    complete_anc = cnt.filter(F.expr(f"n = {required}")).select("cell")
+    # parent one level up, valid for a cell at ANY level >= 1
+    gp = (f"((cell DIV {P56}) - 1) * {P56} "
+          f"+ (((cell % {P56}) DIV {P28}) DIV 2) * {P28} "
+          f"+ ((cell % {P28}) DIV 2)")
+    # keyed stream: each complete cell above min_res as a CHILD row under
+    # its parent; each complete ancestor as a MARKER row under itself
+    children = (complete_anc.filter(F.expr(f"{_res_expr('cell')} > {min_res}"))
+                .unionByName(at_res)
+                .select(F.expr(gp).alias("k"), F.col("cell").alias("child")))
+    markers = complete_anc.select(F.col("cell").alias("k"),
+                                  F.lit(None).cast("long").alias("child"))
+    grouped = (children.unionByName(markers)
+               .groupBy("k")
+               .agg(F.collect_list("child").alias("kids"),
+                    F.sum(F.expr("CASE WHEN child IS NULL THEN 1 ELSE 0 END"))
+                    .alias("marked")))
+    kept = (grouped.filter("marked = 0")
+            .select(F.explode("kids").alias("cell")))
+    base = complete_anc.filter(F.expr(f"{_res_expr('cell')} = {min_res}"))
+    out = kept.unionByName(base).unionByName(passthrough)
+    return out.select("cell", F.expr(_res_expr("cell")).alias("cell_res"))
 
 
 def uncompact_cells(cover: DataFrame, res: int) -> DataFrame:

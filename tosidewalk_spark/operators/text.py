@@ -37,21 +37,30 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Deterministic quality heuristics: mean word length, stopword ratio,
-    alpha ratio, and a composite score — standard Common-Crawl-style
-    filters (C4/Gopher rules), SQL-only."""
+def _quality_cols() -> list:
+    """The row-local quality_score measure columns (shared with
+    build_corpus's fused quality+gopher projection — VERDICT r5 #8)."""
     toks = _tokens()
     stop_arr = "ARRAY(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
-    return docs.select(
-        "doc_id", "lang",
+    return [
         F.expr(f"CAST(SIZE({toks}) AS BIGINT)").alias("n_tokens"),
         F.expr(f"ROUND(LENGTH(REPLACE(text, ' ', '')) / GREATEST(SIZE({toks}), 1), 6)").alias("mean_word_len"),
         F.expr(f"ROUND(SIZE(FILTER({toks}, t -> ARRAY_CONTAINS({stop_arr}, t))) / GREATEST(SIZE({toks}), 1), 6)").alias("stopword_ratio"),
         F.expr("ROUND(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z ]', '')) / GREATEST(LENGTH(text), 1), 6)").alias("alpha_ratio"),
-    ).withColumn(
-        "quality",
-        F.round((F.col("alpha_ratio") + F.least(F.col("stopword_ratio") * 4, F.lit(1.0))) / 2, 6))
+    ]
+
+
+def _quality_composite() -> F.Column:
+    return F.round((F.col("alpha_ratio")
+                    + F.least(F.col("stopword_ratio") * 4, F.lit(1.0))) / 2, 6)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: mean word length, stopword ratio,
+    alpha ratio, and a composite score — standard Common-Crawl-style
+    filters (C4/Gopher rules), SQL-only."""
+    return docs.select("doc_id", "lang", *_quality_cols()).withColumn(
+        "quality", _quality_composite())
 
 
 def gopher_rules(docs: DataFrame,
@@ -78,10 +87,21 @@ def gopher_rules(docs: DataFrame,
     Output: (doc_id, n_words, sum_word_chars, n_alpha_words, n_symbols,
     n_stop_hits, ok_words, ok_mean_len, ok_alpha, ok_symbols, ok_stop,
     keep)."""
+    base = docs.select("doc_id", *_gopher_measure_cols())
+    return base.select(
+        "*", *_gopher_rule_cols(min_words, max_words, min_mean_len,
+                                max_mean_len, min_alpha_pct,
+                                max_symbol_pct, min_stopword_hits),
+    ).withColumn("keep", F.expr(
+        "ok_words AND ok_mean_len AND ok_alpha AND ok_symbols AND ok_stop"))
+
+
+def _gopher_measure_cols() -> list:
+    """The row-local Gopher measure columns (shared with build_corpus's
+    fused quality+gopher projection — VERDICT r5 #8)."""
     toks = _tokens()
     stop_arr = "ARRAY(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
-    base = docs.select(
-        "doc_id",
+    return [
         F.expr(f"CAST(SIZE({toks}) AS BIGINT)").alias("n_words"),
         F.expr(f"CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT)")
         .alias("sum_word_chars"),
@@ -94,9 +114,15 @@ def gopher_rules(docs: DataFrame,
                "AS BIGINT) AS BIGINT)").alias("n_symbols"),
         F.expr(f"CAST(SIZE(ARRAY_INTERSECT(ARRAY_DISTINCT({toks}), "
                f"{stop_arr})) AS BIGINT)").alias("n_stop_hits"),
-    )
-    return base.select(
-        "*",
+    ]
+
+
+def _gopher_rule_cols(min_words: int = 50, max_words: int = 100_000,
+                      min_mean_len: int = 3, max_mean_len: int = 10,
+                      min_alpha_pct: int = 80, max_symbol_pct: int = 10,
+                      min_stopword_hits: int = 2) -> list:
+    """Rule booleans over the _gopher_measure_cols aliases."""
+    return [
         F.expr(f"n_words >= {int(min_words)} AND n_words <= {int(max_words)}")
         .alias("ok_words"),
         F.expr(f"sum_word_chars >= {int(min_mean_len)} * n_words AND "
@@ -107,8 +133,7 @@ def gopher_rules(docs: DataFrame,
         F.expr(f"n_symbols * 100 <= {int(max_symbol_pct)} * n_words")
         .alias("ok_symbols"),
         F.expr(f"n_stop_hits >= {int(min_stopword_hits)}").alias("ok_stop"),
-    ).withColumn("keep", F.expr(
-        "ok_words AND ok_mean_len AND ok_alpha AND ok_symbols AND ok_stop"))
+    ]
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -748,8 +773,11 @@ def lm_fluency(docs: DataFrame, ref: DataFrame,
     ref_g = (_spread(ref)
              .select(F.explode(F.expr(grams)).alias("bigram")))
     c2 = ref_g.groupBy("bigram").agg(F.count("*").cast("long").alias("c2"))
-    c1 = (ref_g.select(F.expr("SPLIT(bigram, ' ')[0]").alias("w1"))
-          .groupBy("w1").agg(F.count("*").cast("long").alias("c1")))
+    # c1 derives from the AGGREGATED bigram table, not a second explode of
+    # the reference corpus: c1(w1) = Σ_{bigrams starting w1} c2 — exact
+    # same counts, one corpus pass instead of two (r6 optimization)
+    c1 = (c2.select(F.expr("SPLIT(bigram, ' ')[0]").alias("w1"), "c2")
+          .groupBy("w1").agg(F.sum("c2").cast("long").alias("c1")))
     v1 = (_spread(ref)
           .select(F.explode(F.expr(t)).alias("tok"))
           .agg(F.count_distinct("tok").cast("long").alias("_v")))
@@ -859,9 +887,20 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
           .select(F.explode(F.expr(grams)).alias("gram"))
           .select(F.expr(bkt).alias("bucket"))
           .groupBy("bucket").agg(F.count("*").cast("long").alias("ct")))
-    rg = (_spread(docs)
-          .select(F.explode(F.expr(grams)).alias("gram"))
-          .select(F.expr(bkt).alias("bucket"))
+    # ONE gram-hash pass over the candidate corpus: the per-doc bucket
+    # stream is persisted and feeds BOTH the raw model q (cr counts) and
+    # the per-doc scoring join — the old shape exploded + hashed the
+    # corpus twice (r6 optimization; weakref-scoped cache, knn pattern)
+    import weakref
+
+    from .spatial import _safe_unpersist
+    doc_b = (_spread(docs)
+             .select("doc_id", F.explode_outer(F.expr(grams)).alias("gram"))
+             .select("doc_id",
+                     F.when(F.col("gram").isNotNull(), F.expr(bkt))
+                     .alias("bucket"))
+             .persist())
+    rg = (doc_b.filter(F.col("bucket").isNotNull())
           .groupBy("bucket").agg(F.count("*").cast("long").alias("cr")))
     tt = tg.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("_tt"))
     rt = rg.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("_rt"))
@@ -877,22 +916,22 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
                      F.coalesce(F.col("ct"), F.lit(0)).cast("long")
                      .alias("ct"),
                      F.expr(ratio_fx).alias("ratio_fx")))
-    doc_g = (_spread(docs)
-             .select("doc_id", F.explode_outer(F.expr(grams)).alias("gram"))
-             .withColumn("bucket",
-                         F.when(F.col("gram").isNotNull(), F.expr(bkt))))
-    return (doc_g
-            .join(F.broadcast(model), "bucket", "left")
-            .groupBy("doc_id")
-            .agg(F.count("gram").cast("long").alias("n_grams"),
-                 F.coalesce(
-                     F.sum(F.expr("CASE WHEN gram IS NOT NULL AND ct > 0 "
-                                  "THEN 1 ELSE 0 END")), F.lit(0))
-                 .cast("long").alias("n_target_hit"),
-                 F.coalesce(
-                     F.sum(F.when(F.col("gram").isNotNull(),
-                                  F.col("ratio_fx"))),
-                     F.lit(0).cast("long")).alias("score_fx")))
+    # gram IS NOT NULL ⟺ bucket IS NOT NULL by construction above, so the
+    # cached (doc_id, bucket) stream carries everything the scoring needs
+    result = (doc_b
+              .join(F.broadcast(model), "bucket", "left")
+              .groupBy("doc_id")
+              .agg(F.count("bucket").cast("long").alias("n_grams"),
+                   F.coalesce(
+                       F.sum(F.expr("CASE WHEN bucket IS NOT NULL AND ct > 0 "
+                                    "THEN 1 ELSE 0 END")), F.lit(0))
+                   .cast("long").alias("n_target_hit"),
+                   F.coalesce(
+                       F.sum(F.when(F.col("bucket").isNotNull(),
+                                    F.col("ratio_fx"))),
+                       F.lit(0).cast("long")).alias("score_fx")))
+    weakref.finalize(result, _safe_unpersist, doc_b)
+    return result
 
 
 MIX_SQRT_SCALE = 1_000      # fixed-point scale inside the integer sqrt
