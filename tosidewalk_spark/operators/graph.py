@@ -86,9 +86,9 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     Plan: edges + outdeg are computed once and persisted (each of the
     ``n_iter`` rounds re-reads both); every round is join(on src) →
     hash-agg(dst) → LEFT join back to the node relation, so nodes with no
-    in-edges stay at ``base`` instead of dropping out.  Lineage depth is
-    O(n_iter) with K fixed and small; a checkpoint every ~10 rounds is the
-    standard escape hatch if K ever grows.
+    in-edges stay at ``base`` instead of dropping out; each round's rank
+    vector is cut off with a localCheckpoint (it is referenced twice per
+    round — see the loop comment).
 
     Output: (node_id, rank_fx, out_deg) — rank_fx sums to ~scale (minus
     the documented floor leak)."""
@@ -111,12 +111,18 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                    .select("dst", F.expr("rank_fx DIV out_deg")
                            .alias("_c")))
         inflow = contrib.groupBy("dst").agg(F.sum("_c").alias("_in"))
+        # per-round localCheckpoint (the hits/LPA discipline): the rank
+        # vector is referenced TWICE per round (contrib + the rebuild),
+        # so left lazy the plan doubles per round and exchange reuse
+        # only partly contains the re-execution — measured 5.7 -> 3.9 s
+        # at sf0.1 with bit-identical output (integer arithmetic)
         ranks = (ranks.select("node_id", "_base")
                  .join(inflow, F.col("node_id") == F.col("dst"), "left")
                  .select("node_id", "_base",
                          F.expr(f"CAST(_base + ({damping_pct} * "
                                 "COALESCE(_in, CAST(0 AS BIGINT)))"
-                                " DIV 100 AS BIGINT)").alias("rank_fx")))
+                                " DIV 100 AS BIGINT)").alias("rank_fx"))
+                 .localCheckpoint())
     out = (ranks.join(outdeg, F.col("node_id") == F.col("src"), "left")
            .select("node_id", "rank_fx",
                    F.expr("COALESCE(out_deg, CAST(0 AS BIGINT))")

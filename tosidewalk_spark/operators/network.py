@@ -129,8 +129,13 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     cluster graph shrinks ~100x (sf0.1: 1.3M sym rows -> ~10k quotient
     rows), and R4's two-way chains halve.  The loop itself is unchanged,
     including the non-convergence guard."""
-    sym = (edges.selectExpr("src", "dst")
-           .union(edges.selectExpr("dst AS src", "src AS dst"))
+    # checkpoint the edge list BEFORE symmetrizing: the union's two
+    # branches are two references to the `edges` plan, so symmetrize-
+    # then-checkpoint evaluated the caller's (often expensive) pair-
+    # generation subtree TWICE — for dedup_clusters that was the whole
+    # banded simhash verify run twice (~4 s each at sf0.1, r6 measure)
+    e0 = edges.selectExpr("src", "dst").localCheckpoint(eager=True)
+    sym = (e0.union(e0.selectExpr("dst AS src", "src AS dst"))
            .localCheckpoint(eager=True))  # contraction + loop reuse — scan once
     contract = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
                 .select(F.col("src").alias("id"),

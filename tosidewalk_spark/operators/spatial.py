@@ -209,17 +209,30 @@ def segments_by_cell(buffers: DataFrame) -> DataFrame:
         F.explode("cells").alias("cell")).dropDuplicates(["segment_id", "cell"])
 
 
-def _probe_cells_expr(res: int, r_hi: int) -> F.Column:
-    """(2*r_hi+1)^2 probe cells (Chebyshev disk) around the point's cell at
-    ``res``, derived from lat/lng so the probe resolution is decoupled from
-    the stored cell9 tiling resolution."""
+def _probe_ji_cols(res: int) -> list:
+    """The point's lattice coordinates at ``res``, staged ONCE as integer
+    columns.  The probe arrays below reference these columns instead of
+    re-deriving FLOOR((lat+90)/s) inside every array element: with the
+    old per-element form a disk(6) probe repeated the j/i derivation —
+    and, when lat/lng were unmaterialized upstream expressions (the
+    map_match ping chain's hash geocode), the WHOLE upstream chain —
+    169 times per row inside one giant interpreted projection (measured
+    ~85 us/row; the staged form is ~100x cheaper)."""
     s = sqlfns.dlit(cells.cell_size_deg(res))
-    j = f"CAST(FLOOR((lat + 90.0e0) / {s}) AS BIGINT)"
-    i = f"CAST(FLOOR((lng + 180.0e0) / {s}) AS BIGINT)"
+    return [
+        F.expr(f"CAST(FLOOR((lat + 90.0e0) / {s}) AS BIGINT)").alias("_pj"),
+        F.expr(f"CAST(FLOOR((lng + 180.0e0) / {s}) AS BIGINT)").alias("_pi"),
+    ]
+
+
+def _probe_cells_expr(res: int, r_hi: int) -> F.Column:
+    """(2*r_hi+1)^2 probe cells (Chebyshev disk) around the point's cell
+    at ``res`` from the staged ``_pj``/``_pi`` columns (_probe_ji_cols) —
+    every element is two integer adds + a multiply, pure codegen."""
     offs = [(di, dj) for di in range(-r_hi, r_hi + 1) for dj in range(-r_hi, r_hi + 1)]
     return F.array(*[
         F.expr(f"CAST({res} AS BIGINT) * {sqlfns.POW2_56} "
-               f"+ ({j} + {dj}) * {sqlfns.POW2_28} + ({i} + {di})")
+               f"+ (_pj + {dj}) * {sqlfns.POW2_28} + (_pi + {di})")
         for di, dj in offs])
 
 
@@ -252,7 +265,10 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
     s = cells.cell_size_deg(res)
     # conservative meters-per-cell lower bound (lng edge at |lat|<=60)
     edge_min_m = s * geom.M_PER_DEG * 0.5
-    pts = points.select("url", "entity", "lat", "lng", "cell9")
+    # _pj/_pi staged once per point (see _probe_ji_cols): probe arrays
+    # become pure integer arithmetic over these columns
+    pts = points.select("url", "entity", "lat", "lng", "cell9",
+                        *_probe_ji_cols(res))
     # per-segment frame staged on the tiny build side (same JIT-limit
     # rationale and bit-identical arithmetic as pip_join)
     M = sqlfns.M
@@ -342,7 +358,8 @@ def knn_join(points: DataFrame, seg_cells: DataFrame, k: int = 1,
                         F.lit(1).alias("knn_rank")))
         stragglers = (phase1.filter(F.col("b").isNull()
                                     | (F.col("b.dist_m") > bound))
-                      .select("url", "entity", "lat", "lng", "cell9"))
+                      .select("url", "entity", "lat", "lng", "cell9",
+                              *_probe_ji_cols(res)))
     else:
         phase1 = topk(pts, first_radius).persist()
         settled = (phase1.groupBy("url", "entity")
