@@ -597,18 +597,24 @@ def test_hits_and_lpa_rounds_are_checkpointed_flat(spark):
 
 def test_textrank_topk_is_take_ordered_no_python(spark):
     """TextRank's top-k must compile to TakeOrderedAndProject (per-
-    partition heads, no global sort) and the co-occurrence derivation
-    must stay row-local JVM codegen (a Generate over the zipped slices,
-    no python evaluator anywhere)."""
+    partition heads, no global sort) with no python evaluator anywhere;
+    the co-occurrence derivation must stay row-local JVM codegen (a
+    Generate over the zipped slices) — asserted on the edge-derivation
+    subtree, since pagerank's per-round localCheckpoint (r6) cuts the
+    final plan off at the checkpointed rank vector."""
     from tosidewalk_spark.operators import graph
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     final = _executed_plan(
         graph.textrank_keywords(docs, k=10, n_iter=2)
     ).split("== Initial Plan ==")[0]
     assert "TakeOrderedAndProject" in final
-    assert "Generate" in final           # the explode of zipped pairs
     for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert marker not in final
+    edges = graph.cooccurrence_edges(docs)
+    eplan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in eplan           # the explode of zipped pairs
+    for marker in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert marker not in eplan
 
 
 def test_ts_resample_single_key_shuffle_grid_from_span(spark):
