@@ -34,6 +34,45 @@ def test_make_sidewalks_straight3(spark):
     assert (rows[0].lngs[0] - -122.330) * (rows[1].lngs[0] - -122.330) < 0
 
 
+def test_make_sidewalks_sql_matches_pandas(spark):
+    """r6: make_sidewalks was rewritten from applyInPandas to pure SQL for
+    the per-session python-worker spawn cost — the SQL form must stay
+    BIT-identical to the kernel-faithful pandas form on every geometry
+    class (straight, bent, multi-vertex near-collinear, grid city)."""
+    fixtures = ["straight3", "bent3", "zigzag_redundant", "split_street"]
+    for name in fixtures:
+        gw = _gw(spark, name)
+        sql_rows = {r.way_id: r for r in SW.make_sidewalks(gw).collect()}
+        pd_rows = {r.way_id: r for r in SW._make_sidewalks_pandas(gw).collect()}
+        assert sql_rows.keys() == pd_rows.keys(), name
+        for wid, a in sql_rows.items():
+            b = pd_rows[wid]
+            assert a.parent_way_id == b.parent_way_id and a.side == b.side
+            assert list(a.node_ids) == list(b.node_ids), (name, wid)
+            assert a.highway == b.highway
+            # exact double equality — the whole point of the op-order mirror
+            assert a.lats == b.lats, (name, wid)
+            assert a.lngs == b.lngs, (name, wid)
+    # grid city (the bench's buffers chain input)
+    nodes, ways = synth.osm_grid(spark, g=6)
+    gw = N.geom_ways(nodes, N.split_streets(N.filter_streets(ways)))
+    sql_rows = {r.way_id: (list(r.node_ids), r.lats, r.lngs)
+                for r in SW.make_sidewalks(gw).collect()}
+    pd_rows = {r.way_id: (list(r.node_ids), r.lats, r.lngs)
+               for r in SW._make_sidewalks_pandas(gw).collect()}
+    assert sql_rows == pd_rows
+
+
+def test_make_sidewalks_plan_has_no_python(spark):
+    """The SQL rewrite's reason to exist: no python stage anywhere in the
+    sidewalk synthesis plan (upstream geom_ways exchanges are unaffected)."""
+    gw = _gw(spark, "bent3")
+    plan = SW.make_sidewalks(gw)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+                   "BatchEvalPython"):
+        assert marker not in plan
+
+
 def test_sidewalk_ids_deterministic_across_parallelism(spark):
     gw = _gw(spark, "bent3")
     a = {(r.way_id, tuple(r.node_ids)) for r in SW.make_sidewalks(gw.repartition(1)).collect()}

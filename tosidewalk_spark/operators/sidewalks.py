@@ -45,9 +45,106 @@ _SW_SCHEMA = T.StructType([
 
 def make_sidewalks(gw: DataFrame, offset_m: float = geom.SIDEWALK_OFFSET_M) -> DataFrame:
     """R12+R13: two sidewalk polylines per street way, offset +-offset_m
-    perpendicular via the bisector method (kernel.offset_polyline).
+    perpendicular via the bisector method — pure Spark SQL, bit-identical
+    to kernel.offset_polyline (r6 rewrite of the applyInPandas form, kept
+    as _make_sidewalks_pandas and pinned equal by
+    tests/test_sidewalks.py::test_make_sidewalks_sql_matches_pandas).
+
+    Why SQL: the pandas form was the ONLY python stage in the bench's
+    buffers chain, so every fresh session paid the python-worker spawn +
+    Arrow init (~2.6 s/session, x25 sessions across the scaling legs) and
+    the groupBy(way_id) shuffle — the SQL form is a narrow projection +
+    explode, no shuffle, no python (guide §4).  Bit-exactness: every op is
+    IEEE exact-rounded (+,-,*,/, SQRT) or the shared Horner cos, evaluated
+    in the numpy kernel's exact order — see the inline op-order notes.
+
     Deterministic ids: way = SW_WAY_BASE + 2*parent + side,
     node = SW_NODE_BASE + parent*20000 + side*10000 + seq."""
+    M = sqlfns.M
+    d = sqlfns.dlit(offset_m)
+    # n < 2: no segments (the pandas form's `continue`); node-id capacity
+    # guard stays loud (ASSERT_TRUE evaluates per row, raises on overflow)
+    base = (gw.filter(F.size("lats") >= 2)
+            .filter(F.expr(
+                "ASSERT_TRUE(SIZE(lats) < 10000, CONCAT('way ', "
+                "CAST(way_id AS STRING), ': ', CAST(SIZE(lats) AS STRING), "
+                "' vertices overflow the sidewalk node-id scheme')) IS NULL"))
+            .select("way_id", "highway", "lats", "lngs",
+                    F.size("lats").alias("_n"),
+                    # scalar anchor cos(lat0) — computed once per way
+                    F.expr(sqlfns.coslat_sql("ELEMENT_AT(lats, 1)")).alias("_cs")))
+    # equirect_xy: x = ((lng - lng0) * cs) * M ; y = (lat - lat0) * M
+    xy = base.select(
+        "*",
+        F.expr(f"TRANSFORM(lngs, g -> (g - ELEMENT_AT(lngs, 1)) * _cs * {M})").alias("_xs"),
+        F.expr(f"TRANSFORM(lats, a -> (a - ELEMENT_AT(lats, 1)) * {M})").alias("_ys"))
+    # per-segment deltas, guarded lengths, unit directions (np.diff order)
+    dxy = xy.select(
+        "*",
+        F.expr("TRANSFORM(SEQUENCE(1, _n - 1), k -> "
+               "ELEMENT_AT(_xs, k + 1) - ELEMENT_AT(_xs, k))").alias("_dxs"),
+        F.expr("TRANSFORM(SEQUENCE(1, _n - 1), k -> "
+               "ELEMENT_AT(_ys, k + 1) - ELEMENT_AT(_ys, k))").alias("_dys"))
+    ln = dxy.select(
+        "*",
+        F.expr("ZIP_WITH(_dxs, _dys, (dx, dy) -> "
+               "CASE WHEN SQRT(dx * dx + dy * dy) = 0.0e0 THEN 1.0e0 "
+               "ELSE SQRT(dx * dx + dy * dy) END)").alias("_ls"))
+    u = ln.select(
+        "*",
+        F.expr("ZIP_WITH(_dxs, _ls, (dx, l) -> dx / l)").alias("_uxs"),
+        F.expr("ZIP_WITH(_dys, _ls, (dy, l) -> dy / l)").alias("_uys"))
+    # interior bisectors: b = u[k-1] + u[k]; |b| < 1e-12 -> 1 (degenerate);
+    # ENDPOINTS take u directly (NOT re-normalized — dividing a unit vector
+    # by its ~1.0 norm would change low bits vs the kernel)
+    ib = u.select(
+        "*",
+        F.expr("CASE WHEN _n > 2 THEN TRANSFORM(SEQUENCE(1, _n - 2), k -> "
+               "ELEMENT_AT(_uxs, k) + ELEMENT_AT(_uxs, k + 1)) "
+               "ELSE CAST(ARRAY() AS ARRAY<DOUBLE>) END").alias("_ibx"),
+        F.expr("CASE WHEN _n > 2 THEN TRANSFORM(SEQUENCE(1, _n - 2), k -> "
+               "ELEMENT_AT(_uys, k) + ELEMENT_AT(_uys, k + 1)) "
+               "ELSE CAST(ARRAY() AS ARRAY<DOUBLE>) END").alias("_iby"))
+    ibl = ib.select(
+        "*",
+        F.expr("ZIP_WITH(_ibx, _iby, (bx, by) -> "
+               "CASE WHEN SQRT(bx * bx + by * by) < 1e-12 THEN 1.0e0 "
+               "ELSE SQRT(bx * bx + by * by) END)").alias("_ibl"))
+    v = ibl.select(
+        "way_id", "highway", "lats", "lngs", "_n", "_cs", "_xs", "_ys",
+        F.expr("CONCAT(ARRAY(ELEMENT_AT(_uxs, 1)), "
+               "ZIP_WITH(_ibx, _ibl, (bx, l) -> bx / l), "
+               "ARRAY(ELEMENT_AT(_uxs, _n - 1)))").alias("_vxs"),
+        F.expr("CONCAT(ARRAY(ELEMENT_AT(_uys, 1)), "
+               "ZIP_WITH(_iby, _ibl, (by, l) -> by / l), "
+               "ARRAY(ELEMENT_AT(_uys, _n - 1)))").alias("_vys"))
+    # left = rotate +90 (lx, ly) = (x - vy*d, y + vx*d); right the mirror;
+    # unproject: lat0 + py / M, lng0 + px / (M * cs) — kernel op order
+    offs = v.select(
+        "way_id", "highway", "_n",
+        F.expr(f"TRANSFORM(SEQUENCE(1, _n), k -> ELEMENT_AT(lats, 1) "
+               f"+ (ELEMENT_AT(_ys, k) + ELEMENT_AT(_vxs, k) * {d}) / {M})").alias("_llats"),
+        F.expr(f"TRANSFORM(SEQUENCE(1, _n), k -> ELEMENT_AT(lngs, 1) "
+               f"+ (ELEMENT_AT(_xs, k) - ELEMENT_AT(_vys, k) * {d}) / ({M} * _cs))").alias("_llngs"),
+        F.expr(f"TRANSFORM(SEQUENCE(1, _n), k -> ELEMENT_AT(lats, 1) "
+               f"+ (ELEMENT_AT(_ys, k) - ELEMENT_AT(_vxs, k) * {d}) / {M})").alias("_rlats"),
+        F.expr(f"TRANSFORM(SEQUENCE(1, _n), k -> ELEMENT_AT(lngs, 1) "
+               f"+ (ELEMENT_AT(_xs, k) + ELEMENT_AT(_vys, k) * {d}) / ({M} * _cs))").alias("_rlngs"))
+    sided = offs.select("*", F.explode(F.expr("ARRAY(0, 1)")).alias("side"))
+    return sided.select(
+        F.expr(f"{SW_WAY_BASE} + 2 * way_id + side").alias("way_id"),
+        F.col("way_id").alias("parent_way_id"),
+        F.col("side"),
+        F.expr(f"TRANSFORM(SEQUENCE(0, _n - 1), k -> "
+               f"{SW_NODE_BASE} + way_id * 20000 + side * 10000 + k)").alias("node_ids"),
+        F.expr("CASE WHEN side = 0 THEN _llats ELSE _rlats END").alias("lats"),
+        F.expr("CASE WHEN side = 0 THEN _llngs ELSE _rlngs END").alias("lngs"),
+        F.col("highway"))
+
+
+def _make_sidewalks_pandas(gw: DataFrame, offset_m: float = geom.SIDEWALK_OFFSET_M) -> DataFrame:
+    """The original applyInPandas form of make_sidewalks — retained as the
+    kernel-faithful twin the SQL rewrite is tested bit-equal against."""
 
     def offset(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
