@@ -117,7 +117,12 @@ def minhash_lsh_pairs(docs: DataFrame,
     buckets whose pair emit is quadratic (VERDICT.md r1); buckets larger
     than ``max_bucket`` are dropped before the self-join — the size
     aggregation is map-side combinable, so the cap costs one cheap agg +
-    semi-join and bounds the worst bucket at any scale."""
+    semi-join and bounds the worst bucket at any scale.
+
+    (r6 note: persisting the banded relation was measured and REVERTED —
+    the cap agg and both self-join sides shuffle on the same keys with
+    identical subtrees, so Spark's ReusedExchange already evaluates the
+    signature build once; the cache only added write overhead.)"""
     sigs = minhash_signatures(docs, hashes_sql)
     r = len(MINHASH_PERMS) // LSH_BANDS
     bands = sigs.select(
@@ -349,7 +354,12 @@ def _simhash_verified_pairs_multi(docs: DataFrame, max_hamming: int,
     distinct is a wasted wide shuffle of the whole verified pair set —
     the CC contraction's groupBy-min absorbs edge multiplicity in its
     map-side combine instead.  Pair-listing consumers get the distinct
-    via simhash_neardup_pairs."""
+    via simhash_neardup_pairs.
+
+    (r6 note: persisting the banded relation was measured and REVERTED —
+    ReusedExchange already shares the 62-column simhash aggregation
+    across the cap agg and both join sides; the cache cost 0.5 s more
+    than it saved at sf0.1.)"""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the 4x16-bit band pigeonhole "
@@ -855,10 +865,13 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.8,
         F.expr(f"ARRAY_SORT(ARRAY_DISTINCT({_shingles('text', w)}))")
         .alias("toks"))
         .withColumn("nt", F.size("toks"))
+        # stage the shingle hashes INTO the cache (r6): the explode below
+        # feeds the df agg, the semi-join probe and both candidate sides —
+        # hashed lazily, the per-shingle polyhash re-ran on every branch
+        .withColumn("ghs", F.expr(
+            "TRANSFORM(toks, t -> " + sqlfns.polyhash_spark("t") + ")"))
         .persist())  # feeds the candidate explode AND both verify sides
-    ex = sh.select("doc_id", F.explode(F.expr(
-        "TRANSFORM(toks, t -> " + sqlfns.polyhash_spark("t") + ")"))
-        .alias("gh"))
+    ex = sh.select("doc_id", F.explode("ghs").alias("gh"))
     rare = (ex.groupBy("gh").agg(F.count("*").alias("df"))
             .filter(F.col("df") <= max_df).select("gh"))
     exk = ex.join(rare, "gh", "left_semi")

@@ -83,8 +83,9 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     with ``base = ((100 - damping_pct) * scale) DIV (100 * n)`` the
     teleport share.  Parallel edges vote once each (outdeg counts them).
 
-    Plan: edges + outdeg are computed once and persisted (each of the
-    ``n_iter`` rounds re-reads both); every round is join(on src) →
+    Plan: the edge relation is pre-joined with outdeg ONCE and persisted
+    as ``ew`` (r6 — the old shape re-aggregated and re-joined outdeg
+    inside every round); every round is then ONE join(on src) →
     hash-agg(dst) → LEFT join back to the node relation, so nodes with no
     in-edges stay at ``base`` instead of dropping out; each round's rank
     vector is cut off with a localCheckpoint (it is referenced twice per
@@ -96,7 +97,12 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     nodes = (e.select(F.col("src").alias("node_id"))
              .unionByName(e.select(F.col("dst").alias("node_id")))
              .distinct().persist())
+    # edges pre-joined with out-degree ONCE and persisted (r6): the old
+    # shape re-aggregated outdeg and re-joined it inside EVERY round —
+    # n_iter extra (agg + join) stages for an edge-constant value.  The
+    # weights are identical (out_deg per src is a pure function of e).
     outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    ew = e.join(outdeg, "src").persist()
     n1 = nodes.agg(F.count("*").cast("long").alias("_n"))
     base_expr = (f"CAST(({100 - damping_pct} * CAST({scale} AS BIGINT))"
                  f" DIV (100 * _n) AS BIGINT)")
@@ -106,8 +112,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                             " AS BIGINT)").alias("rank_fx"),
                      F.expr(base_expr).alias("_base")))
     for _ in range(n_iter):
-        contrib = (ranks.join(e, F.col("node_id") == F.col("src"))
-                   .join(outdeg, "src")
+        contrib = (ranks.join(ew, F.col("node_id") == F.col("src"))
                    .select("dst", F.expr("rank_fx DIV out_deg")
                            .alias("_c")))
         inflow = contrib.groupBy("dst").agg(F.sum("_c").alias("_in"))
@@ -132,6 +137,7 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     # never wrong
     weakref.finalize(out, _safe_unpersist, e)
     weakref.finalize(out, _safe_unpersist, nodes)
+    weakref.finalize(out, _safe_unpersist, ew)
     return out
 
 
@@ -282,6 +288,10 @@ def hits(edges: DataFrame, n_iter: int = 5,
     a = a_raw = None
     for i in range(n_iter):
         prev_a_raw = a_raw
+        # (r6 note: folding the L1 total into this aggregation via
+        # rollup/grouping-sets was measured and REVERTED — the Expand
+        # doubles the aggregation input, costing far more than the
+        # 1-row total agg it saves: 8.1 -> 12.6 s at sf0.1.)
         a_raw = (h.join(e, F.col("node_id") == F.col("src"))
                  .groupBy("dst").agg(F.sum("h_fx").alias("_a"))
                  .persist())

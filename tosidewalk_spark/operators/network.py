@@ -135,8 +135,10 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
     # generation subtree TWICE — for dedup_clusters that was the whole
     # banded simhash verify run twice (~4 s each at sf0.1, r6 measure)
     e0 = edges.selectExpr("src", "dst").localCheckpoint(eager=True)
-    sym = (e0.union(e0.selectExpr("dst AS src", "src AS dst"))
-           .localCheckpoint(eager=True))  # contraction + loop reuse — scan once
+    # sym stays LAZY (r6): it is two scans of the checkpointed e0 — an
+    # eager checkpoint here materialized 2|E| rows purely to save re-union,
+    # one fixed job per CC call for no recompute worth avoiding
+    sym = e0.union(e0.selectExpr("dst AS src", "src AS dst"))
     contract = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
                 .select(F.col("src").alias("id"),
                         F.least("src", "mn").alias("lbl"))
@@ -167,15 +169,25 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS) -> D
             labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
             .select("id", F.col("component").alias("_old"),
                     F.least("component", F.coalesce("nbr_component", "component")).alias("component"))
-            .localCheckpoint(eager=True)
         )
-        # pointer jump: L(v) <- L(L(v)) — halves every label chain
-        jump_map = stepped.select(F.col("id").alias("component"),
-                                  F.col("component").alias("jmp"))
+        # pointer jump THROUGH THE PRE-ROUND LABELS: L' <- min(L', L(L'))
+        # where L is the previous round's (already checkpointed, flat)
+        # vector — r6: jumping through the freshly-stepped vector forced a
+        # second eager checkpoint per round purely to self-join it; the
+        # pre-round jump keeps one materialization per round.  Still
+        # correct: every label value is a node id present in `labels`, the
+        # update stays monotone non-increasing and bounded by the
+        # component min, and the fixpoint condition (stable under both
+        # neighbor-min and jump) is unchanged — so converged labels are
+        # identical; only the per-round contraction schedule differs
+        # (both are O(log diameter), the non-convergence guard is intact).
+        jump_map = labels.select(F.col("id").alias("component"),
+                                 F.col("component").alias("jmp"))
         new_labels = (
             stepped.join(jump_map, "component", "left")
             .select("id", "_old",
-                    F.coalesce("jmp", F.col("component")).alias("component"))
+                    F.least("component",
+                            F.coalesce("jmp", F.col("component"))).alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (new_labels
