@@ -56,6 +56,37 @@ def test_connected_components_long_chain(spark):
     assert agg.n == 1 and agg.c == 200
 
 
+def test_connected_components_match_union_find(spark):
+    """r6: the pointer jump now goes through the PRE-round label vector
+    (one checkpoint per round instead of two) — pin the converged labels
+    against a driver-side union-find on a deterministic multi-component
+    graph mixing chains, a star, a clique and singletonizing self-edges."""
+    from pyspark.sql import functions as F
+    pairs = []
+    pairs += [(i, i + 1) for i in range(0, 40)]            # chain 0..40
+    pairs += [(100, 100 + i) for i in range(1, 12)]        # star at 100
+    pairs += [(200 + i, 200 + j) for i in range(6) for j in range(i + 1, 6)]
+    pairs += [(300, 301), (301, 302), (302, 300)]          # triangle
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    comp = {r.id: r.component
+            for r in N.connected_components(edges).collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert comp == want
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     edges = spark.range(60).selectExpr("id AS src", "id + 1 AS dst")
     with pytest.raises(RuntimeError, match="did not converge"):
