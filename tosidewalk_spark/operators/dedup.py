@@ -132,7 +132,16 @@ def minhash_lsh_pairs(docs: DataFrame,
             for b in range(LSH_BANDS)])).alias("band_no", "band_sig"))
     ok = (bands.groupBy("band_no", "band_sig").agg(F.count("*").alias("bn"))
           .filter(F.col("bn") <= max_bucket).select("band_no", "band_sig"))
-    bands = bands.join(ok, ["band_no", "band_sig"], "left_semi")
+    # hash-repartition the kept bands on the join keys (r6): the self-join
+    # below EXPANDS (quadratic within buckets), but AQE coalesces the tiny
+    # upstream agg output to 1-2 partitions and a broadcast join inherits
+    # that, serializing the expansion.  Partitioning by the join keys at
+    # defaultParallelism is what a sort-merge self-join would shuffle
+    # anyway at scale (both join sides reuse this one exchange), bounded
+    # per partition by the max_bucket cap.  Measured -27% on the pair gen.
+    bands = (bands.join(ok, ["band_no", "band_sig"], "left_semi")
+             .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                          "band_no", "band_sig"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_no", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_no", "band_sig")
     return (a.join(b, ["band_no", "band_sig"])
@@ -372,7 +381,12 @@ def _simhash_verified_pairs_multi(docs: DataFrame, max_hamming: int,
         ])).alias("band_no", "band_val"))
     ok = (bands.groupBy("band_no", "band_val").agg(F.count("*").alias("bn"))
           .filter(F.col("bn") <= max_bucket).select("band_no", "band_val"))
-    bands = bands.join(ok, ["band_no", "band_val"], "left_semi")
+    # same join-key repartition as minhash_lsh_pairs (see the comment
+    # there): keeps the quadratic band expansion at full parallelism
+    # instead of the 1-2 AQE-coalesced partitions it inherited
+    bands = (bands.join(ok, ["band_no", "band_val"], "left_semi")
+             .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                          "band_no", "band_val"))
     a = bands.select(F.col("doc_id").alias("doc_a"),
                      F.col("simhash64").alias("sh_a"), "band_no", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"),

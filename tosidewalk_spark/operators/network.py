@@ -299,9 +299,13 @@ def split_streets(ways: DataFrame, inter: DataFrame | None = None) -> DataFrame:
     adjacent segments via explode(sequence(...)).  New way id =
     way_id * SPLIT_FACTOR + seg_no (deterministic; parent kept)."""
     inter = intersections(ways) if inter is None else inter
-    wn = way_nodes(ways)
-    sizes = ways.select("way_id", F.size("node_ids").alias("n_vertices"))
-    wn = wn.join(sizes, "way_id").join(
+    # n_vertices rides the explode (r6): the old shape re-derived it as a
+    # separate (way_id, SIZE) relation and equi-joined it back — one join
+    # stage (cold-compiled in every bench session) for a value that is 4
+    # bytes wide per exploded row when simply carried
+    wn = ways.select("way_id", F.size("node_ids").alias("n_vertices"),
+                     F.posexplode("node_ids").alias("seq", "node_id"))
+    wn = wn.join(
         inter.select("node_id", F.lit(True).alias("is_x")), "node_id", "left")
     w = Window.partitionBy("way_id").orderBy("seq")
     wn = wn.withColumn(
