@@ -247,7 +247,11 @@ def hits(edges: DataFrame, n_iter: int = 5,
     Overflow headroom: the rescale product is a'(v) * scale ≤
     indeg_max · scale², so scale = 10⁶ holds to indeg_max ≈ 9·10⁶; for
     crawl graphs with hotter hubs drop scale a decade (ranking
-    unchanged, one fewer digit of score resolution).
+    unchanged, one fewer digit of score resolution).  Past that cliff
+    the engines DIVERGE, not merely degrade (ADVICE r5): Spark's
+    non-ANSI BIGINT multiply wraps silently (wrong ranks) while DuckDB
+    promotes the SUM to HUGEINT and raises on the out-of-range product
+    (hard error) — size `scale` to the graph's max in-degree.
 
     Plan: edges persisted once; each round is two join→hash-agg passes
     plus two 1-row L1 totals that ride broadcasts (no driver collect).
