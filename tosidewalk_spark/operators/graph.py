@@ -296,34 +296,46 @@ def hits(edges: DataFrame, n_iter: int = 5,
         # rollup/grouping-sets was measured and REVERTED — the Expand
         # doubles the aggregation input, costing far more than the
         # 1-row total agg it saves: 8.1 -> 12.6 s at sf0.1.)
+        #
+        # SPARSE rounds (r6): the loop used to LEFT-join every half-round
+        # score back onto the full node relation purely to carry explicit
+        # zeros — but HITS has no teleport term, so a zero-score node
+        # contributes exactly nothing to the next aggregation and to the
+        # L1 total (integer SUM of the same non-zero multiset).  Keeping
+        # the vectors sparse drops TWO node-relation joins per round; the
+        # zeros come back once, in the output join below.  Values are
+        # bit-identical (same sums, same DIV rescale).
         a_raw = (h.join(e, F.col("node_id") == F.col("src"))
                  .groupBy("dst").agg(F.sum("h_fx").alias("_a"))
                  .persist())
         a_tot = a_raw.agg(F.sum("_a").alias("_t"))
-        a = (nodes.join(a_raw, F.col("node_id") == F.col("dst"), "left")
-             .crossJoin(F.broadcast(a_tot))
-             .select("node_id",
-                     F.expr(f"CAST((COALESCE(_a, CAST(0 AS BIGINT)) * "
-                            f"CAST({scale} AS BIGINT)) DIV _t AS BIGINT)")
-                     .alias("a_fx")))
+        a = (a_raw.crossJoin(F.broadcast(a_tot))
+             .select(F.col("dst").alias("node_id"),
+                     F.expr(f"CAST((_a * CAST({scale} AS BIGINT)) "
+                            f"DIV _t AS BIGINT)").alias("a_fx")))
         h_raw = (a.join(e, F.col("node_id") == F.col("dst"))
                  .groupBy("src").agg(F.sum("a_fx").alias("_h"))
                  .persist())
         h_tot = h_raw.agg(F.sum("_h").alias("_t2"))
-        h = (nodes.join(h_raw, F.col("node_id") == F.col("src"), "left")
-             .crossJoin(F.broadcast(h_tot))
-             .select("node_id",
-                     F.expr(f"CAST((COALESCE(_h, CAST(0 AS BIGINT)) * "
-                            f"CAST({scale} AS BIGINT)) DIV _t2 AS BIGINT)")
-                     .alias("h_fx"))
+        h = (h_raw.crossJoin(F.broadcast(h_tot))
+             .select(F.col("src").alias("node_id"),
+                     F.expr(f"CAST((_h * CAST({scale} AS BIGINT)) "
+                            f"DIV _t2 AS BIGINT)").alias("h_fx"))
              .localCheckpoint())
         h_raw.unpersist()
         if prev_a_raw is not None:
             prev_a_raw.unpersist()
-    out = (h.join(a.selectExpr("node_id AS _na", "a_fx"),
-                  F.col("node_id") == F.col("_na"))
-           .select("node_id", F.col("h_fx").alias("hub_fx"),
-                   F.col("a_fx").alias("auth_fx")))
+    # densify once: every node appears in the output, zero-score nodes
+    # (no in-links / no out-links) included — same rows and values as the
+    # old per-round dense rebuild
+    out = (nodes
+           .join(h.selectExpr("node_id AS _nh", "h_fx"),
+                 F.col("node_id") == F.col("_nh"), "left")
+           .join(a.selectExpr("node_id AS _na", "a_fx"),
+                 F.col("node_id") == F.col("_na"), "left")
+           .select("node_id",
+                   F.expr("COALESCE(h_fx, CAST(0 AS BIGINT))").alias("hub_fx"),
+                   F.expr("COALESCE(a_fx, CAST(0 AS BIGINT))").alias("auth_fx")))
     weakref.finalize(out, _safe_unpersist, e)
     weakref.finalize(out, _safe_unpersist, nodes)
     if a_raw is not None:
